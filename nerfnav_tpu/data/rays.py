@@ -1,0 +1,66 @@
+"""Ray generation from camera poses — jittable, differentiable w.r.t. pose.
+
+Capability parity: reference nerf/utils.py:53-116 (`get_rays`) including
+error-map-driven importance sampling of pixels (utils.py:78-98). The pose
+filter differentiates rays w.r.t. a candidate pose (estimator_helpers.py:
+302-314), which this pure-jnp formulation supports by construction.
+
+Camera convention (paired with provider.nerf_matrix_to_ngp): pixel directions
+are (x=(i-cx)/fx, y=(j-cy)/fy, z=1) in camera frame — +x right, +y down,
++z forward — rotated by pose[:3,:3]; origins are pose[:3,3].
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _pixel_dirs(i, j, intrinsics):
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    xs = (i + 0.5 - cx) / fx
+    ys = (j + 0.5 - cy) / fy
+    return jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+
+
+def get_rays(pose, intrinsics, H, W, n_rays, key, error_map=None):
+    """Sample n_rays random pixels of an HxW image and build world-space rays.
+
+    pose: (4, 4) camera-to-world (ngp convention); intrinsics: (4,) fx,fy,cx,cy.
+    error_map: optional (eh*ew,) importance weights (reference utils.py:78-98,
+    eh=ew=128) — pixels are drawn from the coarse error bins with jitter.
+    Returns dict: rays_o (n,3), rays_d (n,3), inds (n,) flat pixel indices.
+    """
+    if error_map is None:
+        inds = jax.random.randint(key, (n_rays,), 0, H * W)
+    else:
+        eh = ew = 128
+        k1, k2 = jax.random.split(key)
+        # draw coarse bins proportionally to error, then jitter inside the bin
+        coarse = jax.random.categorical(
+            k1, jnp.log(error_map + 1e-8), shape=(n_rays,)
+        )
+        cy_, cx_ = coarse // ew, coarse % ew
+        jit = jax.random.uniform(k2, (n_rays, 2))
+        fy_ = jnp.clip(((cy_ + jit[:, 0]) / eh * H).astype(jnp.int32), 0, H - 1)
+        fx_ = jnp.clip(((cx_ + jit[:, 1]) / ew * W).astype(jnp.int32), 0, W - 1)
+        inds = fy_ * W + fx_
+    j, i = inds // W, inds % W
+    dirs = _pixel_dirs(i.astype(jnp.float32), j.astype(jnp.float32), intrinsics)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays_d = dirs @ pose[:3, :3].T
+    rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
+    return {"rays_o": rays_o, "rays_d": rays_d, "inds": inds}
+
+
+def get_all_rays(pose, intrinsics, H, W):
+    """Full-image rays, row-major flat (H*W, 3) — eval/test path
+    (reference get_rays with N=-1, utils.py:100-110)."""
+    j, i = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    dirs = _pixel_dirs(i.reshape(-1), j.reshape(-1), intrinsics)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays_d = dirs @ pose[:3, :3].T
+    rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
+    return {"rays_o": rays_o, "rays_d": rays_d}

@@ -1,0 +1,94 @@
+"""Synthetic scene generation: render analytic fields to a transforms.json
+dataset on disk.
+
+This formalizes the reference's latent fake-backend test pattern
+(quad_plot.py:442-443 `get_manual_nerf("empty"/"cylinder")`) into a first-
+class tool: every data-dependent component (provider, trainer, eval, nav) is
+exercisable without downloading a dataset or a pretrained checkpoint.
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from nerfnav_tpu.data.provider import ngp_to_nerf_matrix, rand_poses
+from nerfnav_tpu.data.rays import get_all_rays
+from nerfnav_tpu.models import Field, RenderConfig, render_rays
+
+
+def sphere_field(radius=0.5, sigma=200.0, bound=1.0):
+    """Opaque sphere with position-dependent color (so views differ)."""
+
+    def density_fn(x):
+        inside = jnp.linalg.norm(x, axis=-1) < radius
+        return jnp.where(inside, sigma, 0.0), x
+
+    def color_fn(d, geo):
+        return jnp.clip(geo * 0.8 + 0.6, 0.0, 1.0)
+
+    return Field(density_fn=density_fn, color_fn=color_fn, bound=bound)
+
+
+def cylinder_field(radius=0.4, sigma=200.0, bound=1.0):
+    """Infinite vertical cylinder — the planner's classic obstacle
+    (reference quad_plot.py:442-443 `get_manual_nerf("cylinder")`)."""
+
+    def density_fn(x):
+        inside = jnp.linalg.norm(x[:, :2], axis=-1) < radius
+        return jnp.where(inside, sigma, 0.0), x
+
+    def color_fn(d, geo):
+        return jnp.full((d.shape[0], 3), 0.7)
+
+    return Field(density_fn=density_fn, color_fn=color_fn, bound=bound)
+
+
+def make_synthetic_scene(
+    out_dir: str,
+    field: Field = None,
+    n_train: int = 12,
+    n_val: int = 2,
+    H: int = 64,
+    W: int = 64,
+    fov_x: float = 0.9,
+    radius: float = 1.8,
+    seed: int = 0,
+    num_steps: int = 128,
+):
+    """Write a blender-layout dataset (transforms_{train,val}.json + RGBA
+    pngs) rendered from `field`. Poses stored in OpenGL convention with
+    scale=1.0 so the provider round-trips them exactly."""
+    import imageio.v2 as imageio
+
+    field = field or sphere_field()
+    rng = np.random.default_rng(seed)
+    fx = W / (2 * np.tan(fov_x / 2))
+    intr = jnp.asarray([fx, fx, W / 2, H / 2], jnp.float32)
+    rcfg = RenderConfig(num_steps=num_steps, upsample_steps=0, min_near=0.05)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for split, n in [("train", n_train), ("val", n_val)]:
+        poses_ngp = rand_poses(rng, n, radius=radius)
+        frames = []
+        for i, pose in enumerate(poses_ngp):
+            rays = get_all_rays(jnp.asarray(pose), intr, H, W)
+            out = render_rays(field, rcfg, rays["rays_o"], rays["rays_d"], bg_color=0.0)
+            rgb = np.asarray(out["image"]).reshape(H, W, 3)
+            alpha = np.asarray(out["weights_sum"]).reshape(H, W, 1)
+            # un-premultiply so provider's alpha-composite reproduces rgb
+            rgba = np.concatenate([np.divide(rgb, np.maximum(alpha, 1e-4)), alpha], -1)
+            rgba = (np.clip(rgba, 0, 1) * 255).astype(np.uint8)
+            fname = f"{split}_{i:03d}.png"
+            imageio.imwrite(os.path.join(out_dir, fname), rgba)
+            frames.append(
+                {
+                    "file_path": fname,
+                    "transform_matrix": ngp_to_nerf_matrix(pose, 1.0).tolist(),
+                }
+            )
+        meta = {"camera_angle_x": float(fov_x), "frames": frames, "h": H, "w": W}
+        with open(os.path.join(out_dir, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta, f)
+    return out_dir

@@ -1,0 +1,68 @@
+"""Checkpoint save/load with the reference's rolling/full/best semantics.
+
+Capability parity: reference nerf/utils.py:938-1060 —
+  * full checkpoints: {epoch, global_step, stats, model, optimizer, ema}
+  * rolling window max_keep (969-972, default 2)
+  * "best" keeps model params only, occupancy grid stripped (987-996)
+  * resume from latest | best | scratch | explicit path (361-379, 1000-1060)
+    with loose loading (missing/unexpected key reporting, 1017-1022)
+
+Format: a single .npz per checkpoint (flattened pytree leaves as numpy
+arrays) + embedded JSON treedef/stats — dependency-free and stable across JAX
+versions (orbax's evolving layout is avoided deliberately; the on-disk
+contract here is ours).
+"""
+
+import glob
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def _flatten(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return leaves, str(treedef)
+
+
+def save_checkpoint(path: str, tree, meta: dict | None = None):
+    leaves, treedef = _flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps({"treedef": treedef, "meta": meta or {}}).encode(), dtype=np.uint8
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+
+
+def load_checkpoint(path: str, like):
+    """Load into the structure of `like` (loose: shape-mismatched leaves keep
+    the template value and are reported). Returns (tree, meta, report)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    info = json.loads(bytes(data["__meta__"].tobytes()).decode())
+    like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    report = []
+    leaves = []
+    for i, tmpl in enumerate(like_leaves):
+        k = f"leaf_{i}"
+        if k in data and data[k].shape == np.shape(tmpl):
+            leaves.append(jax.numpy.asarray(data[k]))
+        else:
+            report.append(f"leaf {i}: missing or shape mismatch, kept template")
+            leaves.append(tmpl)
+    return jax.tree_util.tree_unflatten(treedef, leaves), info["meta"], report
+
+
+def prune_checkpoints(ckpt_dir: str, name: str, max_keep: int = 2):
+    """Rolling window: delete oldest ngp_ep*.npz beyond max_keep."""
+    files = sorted(glob.glob(os.path.join(ckpt_dir, f"{name}_ep*.npz")))
+    for f in files[:-max_keep]:
+        os.remove(f)
+
+
+def latest_checkpoint(ckpt_dir: str, name: str):
+    files = sorted(glob.glob(os.path.join(ckpt_dir, f"{name}_ep*.npz")))
+    return files[-1] if files else None
