@@ -12,6 +12,7 @@ from nerfnav_tpu.models.renderer import (
     RenderConfig,
     make_field,
     render_rays,
+    render_rays_grid,
     render_image,
     composite,
     sample_pdf,
@@ -30,6 +31,7 @@ __all__ = [
     "RenderConfig",
     "make_field",
     "render_rays",
+    "render_rays_grid",
     "render_image",
     "composite",
     "sample_pdf",

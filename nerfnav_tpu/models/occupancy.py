@@ -1,0 +1,193 @@
+"""Occupancy-grid state: multi-cascade density grid + packed bitfield.
+
+Capability parity: reference nerf/renderer.py —
+  * grid shape: 128^3 per cascade, cascades = 1 + ceil(log2(bound))
+    (renderer.py:73-74, 89-101)
+  * `update_extra_state` (446-539): full sweep for the first 16 updates, then
+    partial updates of (random uniform + random occupied) cells; density EMA
+    `grid = max(grid * 0.95, fresh)`; occupancy threshold
+    `min(mean_density, density_thresh)`; repack bitfield
+  * `mark_untrained_grid` (381-444): cells outside every training camera
+    frustum are pinned to -1 so they never activate
+  * `reset_extra_state` (113-118)
+
+TPU-native design: the state is a pytree of dense arrays; every update is one
+jitted program (density sweep is lax.map-chunked so the MLP sees fixed-size
+batches); partial-update cell choice uses categorical sampling over the
+occupancy mask instead of the reference's host-side index juggling; the
+bitfield layout is row-major (see ops/morton.py docstring).
+"""
+
+from dataclasses import dataclass
+from functools import cached_property, partial
+import math
+
+import jax
+import jax.numpy as jnp
+
+from nerfnav_tpu.models import network as net
+from nerfnav_tpu.ops.morton import packbits
+
+
+@dataclass(frozen=True)
+class OccupancyConfig:
+    bound: float = 1.0
+    grid_size: int = 128                 # H (renderer.py:73)
+    density_thresh: float = 10.0         # main_nerf.py:48
+    decay: float = 0.95                  # renderer.py:496
+    n_full_updates: int = 16             # renderer.py:451
+    update_chunk: int = 2 ** 17          # density-query batch inside the sweep
+    min_near: float = 0.2
+
+    @cached_property
+    def cascades(self) -> int:
+        return 1 + math.ceil(math.log2(max(self.bound, 1.0)))
+
+    @cached_property
+    def n_cells(self) -> int:
+        return self.grid_size ** 3
+
+
+def init_occupancy_state(cfg: OccupancyConfig):
+    return {
+        "density_grid": jnp.zeros((cfg.cascades, cfg.n_cells), jnp.float32),
+        "bitfield": jnp.zeros((cfg.cascades, cfg.n_cells // 8), jnp.uint8),
+        "mean_density": jnp.asarray(0.0, jnp.float32),
+        "iter_density": jnp.asarray(0, jnp.int32),
+    }
+
+
+def _cell_centers(cfg: OccupancyConfig, cell_idx):
+    """Flat row-major cell indices -> centers in [-1, 1]^3 (unit cube; scaled
+    per cascade by the caller)."""
+    H = cfg.grid_size
+    x = cell_idx // (H * H)
+    y = (cell_idx // H) % H
+    z = cell_idx % H
+    coords = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
+    return (coords + 0.5) / H * 2.0 - 1.0
+
+
+def _query_cells(params, net_cfg, cfg: OccupancyConfig, cell_idx, cas, key):
+    """Density at a perturbed point inside each cell of cascade `cas`
+    (reference renderer.py:455-476)."""
+    H = cfg.grid_size
+    centers = _cell_centers(cfg, cell_idx)  # in [-1,1]
+    cas_bound = jnp.minimum(2.0 ** cas, cfg.bound)
+    half_cell = cas_bound / H
+    pts = centers * (cas_bound - half_cell)
+    jitter = (jax.random.uniform(key, pts.shape) * 2.0 - 1.0) * half_cell
+    pts = pts + jitter
+
+    def chunk_density(p):
+        return net.density(params, p, net_cfg)["sigma"]
+
+    n = pts.shape[0]
+    c = min(cfg.update_chunk, n)
+    pad = (-n) % c
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
+    sig = jax.lax.map(chunk_density, pts_p.reshape(-1, c, 3))
+    return sig.reshape(-1)[:n]
+
+
+@partial(jax.jit, static_argnums=(1, 3))
+def _update_full(state, cfg: OccupancyConfig, params, net_cfg, key):
+    grid = state["density_grid"]
+    tmp = jnp.full_like(grid, -1.0)
+    all_cells = jnp.arange(cfg.n_cells)
+    for cas in range(cfg.cascades):
+        key, sub = jax.random.split(key)
+        sig = _query_cells(params, net_cfg, cfg, all_cells, cas, sub)
+        tmp = tmp.at[cas].set(sig * net_cfg.density_scale)
+    return _finish_update(state, cfg, grid, tmp, all_cells_mask=None)
+
+
+@partial(jax.jit, static_argnums=(1, 3))
+def _update_partial(state, cfg: OccupancyConfig, params, net_cfg, key):
+    grid = state["density_grid"]
+    n_sample = cfg.n_cells // 4
+    tmp = jnp.full_like(grid, -1.0)
+    for cas in range(cfg.cascades):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        # half uniform random cells, half occupied-biased (renderer.py:478-494)
+        rand_cells = jax.random.randint(k1, (n_sample // 2,), 0, cfg.n_cells)
+        occ_logits = jnp.where(grid[cas] > 0, 0.0, -30.0)
+        occ_cells = jax.random.categorical(k2, occ_logits, shape=(n_sample // 2,))
+        cells = jnp.concatenate([rand_cells, occ_cells])
+        sig = _query_cells(params, net_cfg, cfg, cells, cas, k3)
+        tmp = tmp.at[cas, cells].max(sig * net_cfg.density_scale)
+    return _finish_update(state, cfg, grid, tmp, all_cells_mask=None)
+
+
+def _finish_update(state, cfg, grid, tmp, all_cells_mask):
+    # EMA-max; untrained cells (-1 in grid, -1 in tmp) stay negative
+    # (reference renderer.py:496-505)
+    valid = grid >= 0
+    new_grid = jnp.where(valid, jnp.maximum(grid * cfg.decay, tmp), grid)
+    mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
+    thresh = jnp.minimum(mean_density, cfg.density_thresh)
+    bitfield = packbits((new_grid > thresh).astype(jnp.float32))
+    return {
+        "density_grid": new_grid,
+        "bitfield": bitfield,
+        "mean_density": mean_density,
+        "iter_density": state["iter_density"] + 1,
+    }
+
+
+def update_extra_state(state, cfg: OccupancyConfig, params, net_cfg, key):
+    """Dispatch full/partial exactly like renderer.py:446-451. Host-level
+    branch on the update counter (a host scalar between jitted steps)."""
+    if int(state["iter_density"]) < cfg.n_full_updates:
+        return _update_full(state, cfg, params, net_cfg, key)
+    return _update_partial(state, cfg, params, net_cfg, key)
+
+
+def reset_extra_state(state, cfg: OccupancyConfig):
+    """reference renderer.py:113-118."""
+    return init_occupancy_state(cfg)
+
+
+@partial(jax.jit, static_argnums=(1,), static_argnames=("img_hw",))
+def _mark_untrained(state, cfg: OccupancyConfig, poses, intrinsics, img_hw):
+    H_img, W_img = img_hw
+    grid = state["density_grid"]
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    all_cells = jnp.arange(cfg.n_cells)
+
+    R = poses[:, :3, :3]  # (P, 3, 3) c2w
+    t = poses[:, :3, 3]   # (P, 3)
+
+    def visible_count(pts):
+        # world -> camera: x_cam = R^T (x - t); +z forward convention
+        rel = pts[:, None, :] - t[None]                       # (n, P, 3)
+        cam = jnp.einsum("npj,pji->npi", rel, R)              # R^T applied
+        x, y, z = cam[..., 0], cam[..., 1], cam[..., 2]
+        in_front = z > cfg.min_near
+        # frustum test with half-pixel slack (reference renderer.py:411-423)
+        in_x = jnp.abs(x) * fx < (W_img / 2 + 0.5) * jnp.abs(z)
+        in_y = jnp.abs(y) * fy < (H_img / 2 + 0.5) * jnp.abs(z)
+        return jnp.sum(in_front & in_x & in_y, axis=-1)
+
+    new_grid = grid
+    for cas in range(cfg.cascades):
+        cas_bound = min(2.0 ** cas, cfg.bound)
+        centers = _cell_centers(cfg, all_cells) * (cas_bound - cas_bound / cfg.grid_size)
+
+        def chunk_fn(p):
+            return visible_count(p)
+
+        c = cfg.update_chunk
+        n = centers.shape[0]
+        pad = (-n) % c
+        cp = jnp.pad(centers, ((0, pad), (0, 0)))
+        counts = jax.lax.map(chunk_fn, cp.reshape(-1, c, 3)).reshape(-1)[:n]
+        new_grid = new_grid.at[cas].set(
+            jnp.where(counts == 0, -1.0, new_grid[cas])
+        )
+    return {**state, "density_grid": new_grid}
+
+
+def mark_untrained_grid(state, cfg: OccupancyConfig, poses, intrinsics, H_img, W_img):
+    """reference renderer.py:381-444."""
+    return _mark_untrained(state, cfg, poses, intrinsics, (int(H_img), int(W_img)))

@@ -250,6 +250,51 @@ def render_rays(
     return {"image": image, "depth": depth, "weights_sum": weights_sum}
 
 
+def render_rays_grid(
+    field: Field,
+    bitfield,
+    mcfg,
+    rays_o,
+    rays_d,
+    key=None,
+    bg_color=1.0,
+):
+    """Occupancy-grid accelerated rendering — reference `run_cuda`
+    (renderer.py:257-374): march through the bitfield with empty-space
+    skipping, evaluate the field only at occupied samples (static budget K),
+    composite. One jittable program for both training (perturb via key) and
+    inference; the reference's alive-ray compaction becomes the static-budget
+    masking inside ops/marching.py (SURVEY.md 7 design translation #2).
+    """
+    from nerfnav_tpu.ops.marching import march_rays
+
+    n = rays_o.shape[0]
+    m = march_rays(rays_o, rays_d, bitfield, mcfg, key=key)
+    z, dt, valid = m["z"], m["dt"], m["valid"]
+    k = z.shape[1]
+
+    pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    pos = jnp.clip(pos, -mcfg.bound, mcfg.bound)
+    sigmas, geo = field.density_fn(pos.reshape(-1, 3))
+    sigmas = jnp.where(valid.reshape(-1), sigmas, 0.0)
+
+    dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    dirs = jnp.broadcast_to(dirs[:, None, :], (n, k, 3)).reshape(-1, 3)
+    rgbs = field.color_fn(dirs, geo).reshape(n, k, 3)
+
+    image, depth, weights_sum, _ = composite(
+        sigmas.reshape(n, k), rgbs, dt, z, field.density_scale
+    )
+    if field.bg_fn is not None and field.bg_radius > 0:
+        sph = sph_from_ray(rays_o, rays_d, field.bg_radius)
+        bg = field.bg_fn(sph, rays_d)
+    else:
+        bg = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32), image.shape)
+    image = image + (1.0 - weights_sum)[:, None] * bg
+    image = jnp.clip(image, 0.0, 1.0)
+    return {"image": image, "depth": depth, "weights_sum": weights_sum}
+
+
 def render_image(field: Field, rcfg: RenderConfig, rays_o, rays_d, bg_color=1.0,
                  chunk=None):
     """Staged full-image rendering (reference renderer.py:555-566): host-level

@@ -1,0 +1,155 @@
+"""Occupancy-grid ray marching under static shapes.
+
+Capability parity: reference raymarching/src/raymarching.cu —
+`march_rays_train` (314-495: per-ray marching with empty-space skipping via
+the density bitfield, adaptive step `dt = clamp(t*dt_gamma, dt_min, dt_max)`,
+mip level `max(mip_from_pos, mip_from_dt)`, perturbed start, global point
+budget with ray-drop) and the inference marcher `march_rays` (707-825).
+
+TPU-native design (SURVEY.md 7, hard part #1): the CUDA version's dynamic
+output (per-ray variable step counts + atomic slab allocation) is replaced by
+a fully data-parallel two-phase formulation with static shapes:
+
+  Phase A — candidate lattice: a trace-time step ladder tau_i (dt follows the
+  reference's clamp formula) spans [near, far] for every ray at once; all
+  N x T candidate positions are tested against the packed bitfield in ONE
+  vectorized gather — no sequential skip loop; "skipping" falls out as a
+  mask, and the per-candidate cost is a byte gather + bit test on the VPU.
+
+  Phase B — static compaction: each ray keeps its first K occupied
+  candidates via cumsum-slot scatter (slot >= K drops, reproducing the
+  reference's point-budget ray-drop, raymarching.py:198-203). The MLP then
+  runs on a dense (N*K, 3) batch — exactly the fixed-size, MXU-friendly
+  layout XLA wants.
+
+Everything is jit/grad-compatible; gradients flow through densities/colors
+and through ray origins (near/far), not through the discrete sample choice —
+matching the reference where marching runs under no-grad.
+"""
+
+from dataclasses import dataclass
+from functools import cached_property
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_SQRT3 = math.sqrt(3.0)
+
+
+@dataclass(frozen=True)
+class MarchConfig:
+    bound: float = 1.0
+    grid_size: int = 128          # H, must match OccupancyConfig
+    max_steps: int = 1024         # candidate lattice length (main_nerf.py:28)
+    samples_per_ray: int = 64     # K: static per-ray sample budget
+    dt_gamma: float = 0.0         # adaptive stepping (main_nerf.py:47)
+    min_near: float = 0.2
+
+    @cached_property
+    def cascades(self) -> int:
+        return 1 + math.ceil(math.log2(max(self.bound, 1.0)))
+
+    @cached_property
+    def dt_min(self) -> float:
+        # reference raymarching.cu:347: 2*sqrt(3)/max_steps
+        return 2.0 * _SQRT3 / self.max_steps
+
+    @cached_property
+    def dt_max(self) -> float:
+        # reference raymarching.cu:348: 2*sqrt(3)*2^(C-1)/H
+        return 2.0 * _SQRT3 * (2 ** (self.cascades - 1)) / self.grid_size
+
+    @cached_property
+    def ladder(self):
+        """(tau, dt) numpy arrays of length T <= max_steps: the trace-time
+        step ladder. tau_0 = 0; dt_i = clamp(tau_i * gamma, dt_min, dt_max)."""
+        taus, dts = [], []
+        t = 0.0
+        span = 2.0 * _SQRT3 * max(self.bound, 1.0)
+        for _ in range(self.max_steps):
+            dt = float(np.clip(t * self.dt_gamma, self.dt_min, self.dt_max))
+            taus.append(t)
+            dts.append(dt)
+            t += dt
+            if t > span:
+                break
+        return np.asarray(taus, np.float32), np.asarray(dts, np.float32)
+
+
+def mip_level(pos, dt, cfg: MarchConfig):
+    """Cascade selection: max(mip_from_pos, mip_from_dt), clamped
+    (reference raymarching.cu:44-56, 372-377)."""
+    mx = jnp.max(jnp.abs(pos), axis=-1)
+    c_pos = jnp.ceil(jnp.log2(jnp.maximum(mx, 1e-9)))
+    c_dt = jnp.ceil(jnp.log2(jnp.maximum(dt * cfg.grid_size * 0.5, 1e-9)))
+    c = jnp.maximum(jnp.maximum(c_pos, c_dt), 0.0)
+    return jnp.minimum(c, cfg.cascades - 1).astype(jnp.int32)
+
+
+def occupancy_lookup(bitfield, pos, dt, cfg: MarchConfig):
+    """Test positions against the packed bitfield.
+
+    bitfield: (cascades, H^3 // 8) uint8; pos: (..., 3); dt: broadcastable.
+    Returns bool (...,). Row-major cell layout (models/occupancy.py).
+    """
+    H = cfg.grid_size
+    cas = mip_level(pos, dt, cfg)
+    cas_bound = jnp.minimum(2.0 ** cas.astype(jnp.float32), cfg.bound)
+    u = jnp.clip(pos / cas_bound[..., None] * 0.5 + 0.5, 0.0, 1.0 - 1e-6)
+    cell = (u * H).astype(jnp.int32)
+    idx = (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2]
+    byte = bitfield[cas, idx >> 3]
+    return ((byte >> (idx & 7).astype(jnp.uint8)) & 1).astype(bool)
+
+
+def near_far_aabb(rays_o, rays_d, bound: float, min_near: float):
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
+    t0 = (-bound - rays_o) * inv_d
+    t1 = (bound - rays_o) * inv_d
+    near = jnp.maximum(jnp.minimum(t0, t1).max(axis=-1), min_near)
+    far = jnp.maximum(jnp.maximum(t0, t1).min(axis=-1), near)
+    return near, far
+
+
+def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None):
+    """March N rays through the occupancy grid.
+
+    Returns dict:
+      z:     (N, K) sample distances (0 in padding slots)
+      dt:    (N, K) marching step sizes at each sample
+      valid: (N, K) bool sample mask
+    K = cfg.samples_per_ray. Deterministic unless `key` (perturbed start,
+    reference raymarching.cu:489 PCG32 equivalent).
+    """
+    n = rays_o.shape[0]
+    k = cfg.samples_per_ray
+    taus, dts = cfg.ladder
+    taus = jnp.asarray(taus)
+    dts_l = jnp.asarray(dts)
+    t_c = taus.shape[0]
+
+    near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near)
+    if key is not None:
+        near = near + jax.random.uniform(key, (n,)) * cfg.dt_min
+
+    z = near[:, None] + taus[None, :]                     # (N, T)
+    pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    occ = occupancy_lookup(bitfield, pos, dts_l[None, :], cfg)
+    occ = occ & (z < far[:, None])
+
+    # static compaction: first K occupied candidates per ray
+    slot = jnp.cumsum(occ, axis=1) - 1                    # (N, T)
+    keep = occ & (slot < k)
+    slot_c = jnp.where(keep, slot, k)                     # k -> dropped
+    ray_idx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, t_c))
+
+    z_buf = jnp.zeros((n, k), z.dtype).at[ray_idx, slot_c].set(
+        jnp.where(keep, z, 0.0), mode="drop"
+    )
+    dt_buf = jnp.zeros((n, k), z.dtype).at[ray_idx, slot_c].set(
+        jnp.where(keep, dts_l[None, :], 0.0), mode="drop"
+    )
+    valid = jnp.zeros((n, k), bool).at[ray_idx, slot_c].set(keep, mode="drop")
+    return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}

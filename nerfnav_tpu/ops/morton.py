@@ -1,0 +1,75 @@
+"""Morton (Z-order) codes and occupancy bit-packing.
+
+Capability parity: reference raymarching/src/raymarching.cu —
+`morton3D` (58-68), `morton3D_invert` (70-83, 216-262), `packbits` (269-302).
+
+TPU-native design: the magic-number bit-interleave is pure vectorized integer
+VPU math (no kernel needed). `packbits` packs 8 consecutive occupancy bools
+per byte via a reshape + dot with bit weights — one fused XLA op chain.
+
+Note on layout: the CUDA marcher indexes its bitfield in Morton order for
+warp locality (raymarching.cu:372-382). Our grid/bitfield use row-major
+(x*H + y)*H + z order — on TPU both are equally random for HBM gathers and
+row-major keeps index math fused; Morton ops are still provided for API
+parity and for tooling that wants Z-order traversals.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _expand_bits(v):
+    """Spread the low 10 bits of v so there are 2 zero bits between each."""
+    v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+    v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+    v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+    v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+    return v
+
+
+def morton3d(coords):
+    """coords: (..., 3) uint32/int32 in [0, 1024) -> (...,) uint32 Morton codes."""
+    c = coords.astype(jnp.uint32)
+    x = _expand_bits(c[..., 0])
+    y = _expand_bits(c[..., 1])
+    z = _expand_bits(c[..., 2])
+    return x | (y << 1) | (z << 2)
+
+
+def _compact_bits(v):
+    v = v & np.uint32(0x49249249)
+    v = (v | (v >> 2)) & np.uint32(0xC30C30C3)
+    v = (v | (v >> 4)) & np.uint32(0x0F00F00F)
+    v = (v | (v >> 8)) & np.uint32(0xFF0000FF)
+    v = (v | (v >> 16)) & np.uint32(0x000003FF)
+    return v
+
+
+def morton3d_invert(codes):
+    """(...,) uint32 Morton codes -> (..., 3) uint32 coords."""
+    c = codes.astype(jnp.uint32)
+    return jnp.stack(
+        [_compact_bits(c), _compact_bits(c >> 1), _compact_bits(c >> 2)], axis=-1
+    )
+
+
+def packbits(occupied):
+    """(..., 8*m) bool/float occupancy -> (..., m) uint8 bitfield.
+
+    Bit k of byte j covers cell 8*j + k (LSB-first, matching the marcher's
+    `byte >> (idx & 7) & 1` test).
+    """
+    bits = (occupied > 0).astype(jnp.uint32).reshape(*occupied.shape[:-1], -1, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint32)
+    return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+
+
+def unpackbits(bitfield, n_bits=None):
+    """Inverse of packbits: (..., m) uint8 -> (..., 8*m) bool."""
+    b = bitfield.astype(jnp.uint32)[..., None]
+    shifts = jnp.arange(8, dtype=jnp.uint32)
+    bits = (b >> shifts) & 1
+    out = bits.reshape(*bitfield.shape[:-1], -1).astype(bool)
+    if n_bits is not None:
+        out = out[..., :n_bits]
+    return out

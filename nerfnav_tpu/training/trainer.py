@@ -77,11 +77,18 @@ class Trainer:
         opt: TrainerOptions,
         params=None,
         occupancy_cfg=None,
+        march_cfg=None,
     ):
+        """march_cfg + occupancy_cfg together enable the occupancy-grid fast
+        path (the reference's `-O`/cuda_ray mode, main_nerf.py:66-69); without
+        them training uses the dense differentiable path."""
         self.cfg = cfg
         self.rcfg = rcfg
         self.opt = opt
         self.occupancy_cfg = occupancy_cfg
+        self.march_cfg = march_cfg
+        if march_cfg is not None and occupancy_cfg is None:
+            raise ValueError("march_cfg requires occupancy_cfg")
         self.epoch = 0
         self.global_step = 0
         self.stats = {"loss": [], "valid_loss": [], "results": [], "best_result": None}
@@ -145,6 +152,7 @@ class Trainer:
     def _build_train_step(self, H, W, C):
         cfg, rcfg, opt = self.cfg, self.rcfg, self.opt
         optimizer = self.optimizer
+        mcfg = self.march_cfg
 
         def train_step(state: TrainState, arrays, idx, key):
             pose = arrays["poses"][idx]
@@ -168,10 +176,19 @@ class Trainer:
                 gt_rgb = gt
 
             def loss_fn(p):
-                out = render_rays(
-                    make_field(p, cfg), rcfg, rays["rays_o"], rays["rays_d"],
-                    key=k_perturb, bg_color=bg,
-                )
+                if mcfg is not None:
+                    from nerfnav_tpu.models import render_rays_grid
+
+                    out = render_rays_grid(
+                        make_field(p, cfg), state.occupancy["bitfield"], mcfg,
+                        rays["rays_o"], rays["rays_d"], key=k_perturb,
+                        bg_color=bg,
+                    )
+                else:
+                    out = render_rays(
+                        make_field(p, cfg), rcfg, rays["rays_o"], rays["rays_d"],
+                        key=k_perturb, bg_color=bg,
+                    )
                 per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)
                 return jnp.mean(per_ray), per_ray
 
@@ -207,13 +224,24 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _build_render_chunk(self):
-        cfg, rcfg = self.cfg, self.rcfg
+        cfg, rcfg, mcfg = self.cfg, self.rcfg, self.march_cfg
 
-        @partial(jax.jit, static_argnums=(3,))
-        def render_chunk(params, rays_o, rays_d, bg_color: float):
-            return render_rays(
-                make_field(params, cfg), rcfg, rays_o, rays_d, bg_color=bg_color
-            )
+        if mcfg is not None:
+            from nerfnav_tpu.models import render_rays_grid
+
+            @partial(jax.jit, static_argnums=(4,))
+            def render_chunk(params, bitfield, rays_o, rays_d, bg_color: float):
+                return render_rays_grid(
+                    make_field(params, cfg), bitfield, mcfg, rays_o, rays_d,
+                    bg_color=bg_color,
+                )
+        else:
+
+            @partial(jax.jit, static_argnums=(4,))
+            def render_chunk(params, bitfield, rays_o, rays_d, bg_color: float):
+                return render_rays(
+                    make_field(params, cfg), rcfg, rays_o, rays_d, bg_color=bg_color
+                )
 
         return render_chunk
 
@@ -292,10 +320,17 @@ class Trainer:
         pad = (-n) % chunk
         ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
         rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0)), constant_values=1.0)
+        bitfield = (
+            self.state.occupancy["bitfield"]
+            if (self.march_cfg is not None and self.state is not None
+                and self.state.occupancy is not None)
+            else jnp.zeros((1, 1), jnp.uint8)
+        )
         imgs, depths = [], []
         for i in range(0, n + pad, chunk):
             out = self._render_chunk_fn(
-                params, ro[i : i + chunk], rd[i : i + chunk], float(bg_color)
+                params, bitfield, ro[i : i + chunk], rd[i : i + chunk],
+                float(bg_color)
             )
             imgs.append(out["image"])
             depths.append(out["depth"])

@@ -1,0 +1,163 @@
+"""Marcher + grid renderer tests against hand-built occupancy fields."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfnav_tpu.models import Field, RenderConfig, render_rays, render_rays_grid
+from nerfnav_tpu.ops.marching import (
+    MarchConfig,
+    march_rays,
+    occupancy_lookup,
+    mip_level,
+)
+from nerfnav_tpu.ops.morton import packbits
+
+
+def make_bitfield(cfg: MarchConfig, occupied_fn):
+    """Build a bitfield from a predicate over cell centers (cascade 0)."""
+    H = cfg.grid_size
+    idx = np.arange(H ** 3)
+    x = idx // (H * H)
+    y = (idx // H) % H
+    z = idx % H
+    centers = (np.stack([x, y, z], -1) + 0.5) / H * 2 - 1  # [-1,1]
+    centers = centers * cfg.bound
+    occ = occupied_fn(centers).astype(np.float32)
+    fields = [packbits(jnp.asarray(occ))]
+    for c in range(1, cfg.cascades):
+        fields.append(jnp.zeros((H ** 3 // 8,), jnp.uint8))
+    return jnp.stack(fields)
+
+
+@pytest.fixture
+def cfg():
+    return MarchConfig(bound=1.0, grid_size=32, max_steps=256, samples_per_ray=32,
+                       min_near=0.05)
+
+
+class TestMipLevel:
+    def test_inner_points_level0(self):
+        c = MarchConfig(bound=4.0, grid_size=32)
+        pos = jnp.array([[0.5, 0.5, 0.5]])
+        assert int(mip_level(pos, jnp.asarray([0.001]), c)[0]) == 0
+
+    def test_outer_points_higher_level(self):
+        c = MarchConfig(bound=4.0, grid_size=32)
+        assert int(mip_level(jnp.array([[1.5, 0, 0]]), jnp.asarray([1e-3]), c)[0]) == 1
+        assert int(mip_level(jnp.array([[3.5, 0, 0]]), jnp.asarray([1e-3]), c)[0]) == 2
+
+    def test_clamped_to_cascades(self):
+        c = MarchConfig(bound=2.0, grid_size=32)  # cascades=2
+        assert int(mip_level(jnp.array([[100.0, 0, 0]]), jnp.asarray([1e-3]), c)[0]) == 1
+
+
+class TestOccupancyLookup:
+    def test_full_grid(self, cfg):
+        bf = make_bitfield(cfg, lambda c: np.ones(c.shape[0], bool))
+        pos = jnp.asarray(np.random.default_rng(0).uniform(-0.9, 0.9, (50, 3)),
+                          jnp.float32)
+        occ = occupancy_lookup(bf, pos, jnp.full((50,), cfg.dt_min), cfg)
+        assert np.asarray(occ).all()
+
+    def test_half_space(self, cfg):
+        bf = make_bitfield(cfg, lambda c: c[:, 0] > 0)
+        pos = jnp.asarray([[0.5, 0.0, 0.0], [-0.5, 0.0, 0.0]])
+        occ = np.asarray(occupancy_lookup(bf, pos, jnp.full((2,), cfg.dt_min), cfg))
+        assert occ[0] and not occ[1]
+
+
+class TestMarch:
+    def test_empty_grid_no_samples(self, cfg):
+        bf = make_bitfield(cfg, lambda c: np.zeros(c.shape[0], bool))
+        o = jnp.array([[0.0, 0.0, -1.5]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        m = march_rays(o, d, bf, cfg)
+        assert not np.asarray(m["valid"]).any()
+
+    def test_sphere_samples_inside_only(self, cfg):
+        bf = make_bitfield(cfg, lambda c: np.linalg.norm(c, axis=-1) < 0.5)
+        o = jnp.array([[0.0, 0.0, -1.5]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        m = march_rays(o, d, bf, cfg)
+        valid = np.asarray(m["valid"][0])
+        z = np.asarray(m["z"][0])
+        assert valid.sum() > 0
+        # all valid samples lie within the sphere's z-extent (cell-padded)
+        zs = z[valid]
+        pts_z = zs - 1.5  # world z along the ray
+        assert (np.abs(pts_z) < 0.5 + 2 * 2 / cfg.grid_size).all()
+
+    def test_budget_cap(self, cfg):
+        bf = make_bitfield(cfg, lambda c: np.ones(c.shape[0], bool))
+        o = jnp.array([[0.0, 0.0, -1.5]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        m = march_rays(o, d, bf, cfg)
+        assert np.asarray(m["valid"][0]).sum() == cfg.samples_per_ray
+
+    def test_samples_sorted(self, cfg):
+        bf = make_bitfield(cfg, lambda c: np.linalg.norm(c, axis=-1) < 0.7)
+        o = jnp.array([[0.0, 0.2, -1.5]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        m = march_rays(o, d, bf, cfg)
+        valid = np.asarray(m["valid"][0])
+        z = np.asarray(m["z"][0])[valid]
+        assert (np.diff(z) > 0).all()
+
+    def test_jit_and_grad_safe(self, cfg):
+        bf = make_bitfield(cfg, lambda c: np.linalg.norm(c, axis=-1) < 0.5)
+        o = jnp.array([[0.0, 0.0, -1.5]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        f = jax.jit(lambda oo: march_rays(oo, d, bf, cfg)["z"].sum())
+        assert np.isfinite(float(f(o)))
+
+
+class TestGridRenderer:
+    def _field(self, radius=0.5):
+        def density_fn(x):
+            inside = jnp.linalg.norm(x, axis=-1) < radius
+            return jnp.where(inside, 200.0, 0.0), jnp.zeros((x.shape[0], 1))
+
+        def color_fn(d, geo):
+            return jnp.broadcast_to(jnp.array([0.2, 0.9, 0.3]), (d.shape[0], 3))
+
+        return Field(density_fn=density_fn, color_fn=color_fn, bound=1.0)
+
+    def test_matches_dense_renderer(self, cfg):
+        """Grid path == differentiable path on a converged occupancy grid
+        (the golden cross-check SURVEY.md 4 prescribes)."""
+        field = self._field()
+        bf = make_bitfield(cfg, lambda c: np.linalg.norm(c, axis=-1) < 0.6)
+        o = jnp.array([[0.0, 0.0, -1.5], [0.3, 0.1, -1.5], [0.9, 0.9, -1.5]])
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (3, 1))
+        out_grid = render_rays_grid(field, bf, cfg, o, d, bg_color=0.0)
+        rcfg = RenderConfig(num_steps=256, upsample_steps=0, min_near=0.05)
+        out_dense = render_rays(field, rcfg, o, d, bg_color=0.0)
+        np.testing.assert_allclose(
+            np.asarray(out_grid["image"]), np.asarray(out_dense["image"]), atol=0.05
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_grid["depth"]), np.asarray(out_dense["depth"]), atol=0.05
+        )
+
+    def test_gradients_flow_to_field(self, cfg):
+        """Training through the grid path: grads reach a learnable sigma."""
+        bf = make_bitfield(cfg, lambda c: np.linalg.norm(c, axis=-1) < 0.6)
+        o = jnp.array([[0.0, 0.0, -1.5]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+
+        def loss(scale):
+            def density_fn(x):
+                inside = jnp.linalg.norm(x, axis=-1) < 0.5
+                return jnp.where(inside, scale, 0.0), jnp.zeros((x.shape[0], 1))
+
+            def color_fn(dd, geo):
+                return jnp.full((dd.shape[0], 3), 0.5)
+
+            f = Field(density_fn=density_fn, color_fn=color_fn, bound=1.0)
+            out = render_rays_grid(f, bf, cfg, o, d, bg_color=0.0)
+            return jnp.sum(out["image"])
+
+        g = float(jax.grad(loss)(10.0))
+        assert np.isfinite(g) and abs(g) > 0

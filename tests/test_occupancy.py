@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfnav_tpu.models import NetworkConfig, init_network
+from nerfnav_tpu.models.occupancy import (
+    OccupancyConfig,
+    init_occupancy_state,
+    update_extra_state,
+    mark_untrained_grid,
+    reset_extra_state,
+)
+from nerfnav_tpu.ops.morton import unpackbits
+
+
+@pytest.fixture(scope="module")
+def net_cfg():
+    return NetworkConfig(bound=1.0, grid_levels=4, grid_log2_hashmap_size=10,
+                         grid_max_resolution=64)
+
+
+@pytest.fixture(scope="module")
+def params(net_cfg):
+    return init_network(jax.random.PRNGKey(0), net_cfg)
+
+
+@pytest.fixture
+def cfg():
+    return OccupancyConfig(bound=1.0, grid_size=32, update_chunk=4096)
+
+
+class TestConfig:
+    def test_cascades(self):
+        assert OccupancyConfig(bound=1.0).cascades == 1
+        assert OccupancyConfig(bound=2.0).cascades == 2
+        assert OccupancyConfig(bound=4.0).cascades == 3
+        assert OccupancyConfig(bound=8.0).cascades == 4
+
+
+class TestUpdate:
+    def test_full_update_shapes(self, cfg, params, net_cfg):
+        state = init_occupancy_state(cfg)
+        state = update_extra_state(state, cfg, params, net_cfg, jax.random.PRNGKey(0))
+        assert state["density_grid"].shape == (1, 32 ** 3)
+        assert state["bitfield"].shape == (1, 32 ** 3 // 8)
+        assert int(state["iter_density"]) == 1
+        assert float(state["mean_density"]) > 0
+
+    def test_grid_tracks_density(self, cfg, net_cfg):
+        """With a synthetic field that is dense only in one octant, the
+        bitfield must activate (approximately) only there."""
+        # build params whose density is high iff x>0,y>0,z>0: monkeypatch via
+        # a fake 'network' isn't needed — craft a table-free check instead by
+        # overriding density through a tiny wrapper config is complex; use a
+        # real net but verify EMA/threshold mechanics on a hand-set grid.
+        state = init_occupancy_state(cfg)
+        grid = state["density_grid"].at[0, :100].set(50.0)
+        from nerfnav_tpu.models.occupancy import _finish_update
+
+        new = _finish_update(state, cfg, grid, jnp.full_like(grid, -1.0), None)
+        # decayed but above threshold -> first 100 cells occupied
+        bits = np.asarray(unpackbits(new["bitfield"][0]))
+        assert bits[:100].all()
+        assert not bits[100:].any()
+
+    def test_untrained_cells_stay_negative(self, cfg, params, net_cfg):
+        state = init_occupancy_state(cfg)
+        state["density_grid"] = state["density_grid"].at[0, :500].set(-1.0)
+        state = update_extra_state(state, cfg, params, net_cfg, jax.random.PRNGKey(0))
+        assert np.all(np.asarray(state["density_grid"][0, :500]) < 0)
+
+    def test_partial_update_after_full_phase(self, cfg, params, net_cfg):
+        state = init_occupancy_state(cfg)
+        state["iter_density"] = jnp.asarray(16, jnp.int32)  # past full phase
+        state = update_extra_state(state, cfg, params, net_cfg, jax.random.PRNGKey(1))
+        assert int(state["iter_density"]) == 17
+
+    def test_reset(self, cfg):
+        state = init_occupancy_state(cfg)
+        state["iter_density"] = jnp.asarray(5, jnp.int32)
+        state = reset_extra_state(state, cfg)
+        assert int(state["iter_density"]) == 0
+
+
+class TestMarkUntrained:
+    def test_camera_frustum_marking(self, cfg):
+        state = init_occupancy_state(cfg)
+        # one camera at z=-2 looking +z with narrow fov: cells behind it
+        # (z < -2) must be marked -1
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -2.0
+        intr = jnp.asarray([40.0, 40.0, 16.0, 16.0])  # ~43deg for 32px image
+        state = mark_untrained_grid(state, cfg, jnp.asarray(pose[None]), intr, 32, 32)
+        grid = np.asarray(state["density_grid"][0]).reshape(32, 32, 32)
+        # cell centers with z near -1 and x,y near +-1: outside narrow frustum
+        assert grid[0, 0, 0] == -1.0  # corner cell, outside fov
+        # cell straight ahead at z=0 center: visible
+        assert grid[16, 16, 24] == 0.0

@@ -91,6 +91,37 @@ def test_error_map_mode_runs(scene_dir, cfg, tmp_path):
     assert not np.allclose(em, 0.1)  # got updated
 
 
+def test_grid_fast_path_training(scene_dir, cfg, tmp_path):
+    """Occupancy-grid accelerated training (the reference -O mode) end-to-end:
+    grid updates every 16 steps, marching + static-budget rendering, PSNR
+    improves on the train split."""
+    from nerfnav_tpu.models.occupancy import OccupancyConfig
+    from nerfnav_tpu.ops.marching import MarchConfig
+
+    train_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "train")
+    rcfg = RenderConfig(num_steps=48, upsample_steps=0, min_near=0.05,
+                        max_ray_batch=1600)
+    opt = TrainerOptions(
+        name="grid", workspace=str(tmp_path / "wsg"), lr=1e-2, iters=1000,
+        num_rays=512, bg_train="white", use_checkpoint="scratch",
+        update_extra_interval=16,
+    )
+    occ_cfg = OccupancyConfig(bound=1.0, grid_size=32, update_chunk=8192,
+                              density_thresh=2.0, min_near=0.05)
+    mcfg = MarchConfig(bound=1.0, grid_size=32, max_steps=256,
+                       samples_per_ray=32, min_near=0.05)
+    tr = Trainer(cfg, rcfg, opt, occupancy_cfg=occ_cfg, march_cfg=mcfg)
+    tr.train(train_ds, max_epochs=2, steps_per_epoch=100)
+    psnr_train = tr.evaluate(train_ds, use_ema=False)
+    assert psnr_train > 20, psnr_train
+    # the occupancy grid learned something: some cells on, most off
+    import numpy as np
+
+    bits = np.asarray(tr.state.occupancy["bitfield"])
+    frac = np.unpackbits(bits).mean()
+    assert 0.001 < frac < 0.9, frac
+
+
 def test_test_renders_frames(scene_dir, cfg, tmp_path):
     val_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "val")
     tr = make_trainer(cfg, str(tmp_path / "ws4"))
