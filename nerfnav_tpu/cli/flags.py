@@ -1,0 +1,101 @@
+"""Shared argparse flags.
+
+Capability parity: the reference duplicates ~40 flags verbatim between
+main_nerf.py:15-63 and simulate.py:109-157; here they live once. The `-O`
+meta-flag expands differently per entry point exactly as in the reference:
+training -> fp16 + grid fast path + preload (main_nerf.py:66-69); nav ->
+fp16 + differentiable path + no preload (simulate.py:163-166, the nav loop
+needs gradients through the renderer).
+"""
+
+import argparse
+
+
+def build_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("path", type=str, help="dataset root (transforms json)")
+    p.add_argument("-O", action="store_true", help="recommended settings meta-flag")
+    p.add_argument("--workspace", type=str, default="workspace")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--test", action="store_true")
+    # training
+    p.add_argument("--iters", type=int, default=30000)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--ckpt", type=str, default="latest")
+    p.add_argument("--num_rays", type=int, default=4096)
+    p.add_argument("--cuda_ray", action="store_true",
+                   help="occupancy-grid fast path (name kept for parity)")
+    p.add_argument("--max_steps", type=int, default=1024)
+    p.add_argument("--num_steps", type=int, default=512)
+    p.add_argument("--upsample_steps", type=int, default=0)
+    p.add_argument("--update_extra_interval", type=int, default=16)
+    p.add_argument("--max_ray_batch", type=int, default=4096)
+    p.add_argument("--samples_per_ray", type=int, default=64,
+                   help="static per-ray sample budget of the grid fast path")
+    # model
+    p.add_argument("--fp16", action="store_true", help="bf16 MLP compute on TPU")
+    p.add_argument("--ff", action="store_true", help="fused-MLP backend")
+    p.add_argument("--tcnn", action="store_true",
+                   help="parity flag; maps to the fused backend on TPU")
+    # dataset
+    p.add_argument("--color_space", type=str, default="srgb")
+    p.add_argument("--preload", action="store_true")
+    p.add_argument("--bound", type=float, default=2.0)
+    p.add_argument("--scale", type=float, default=0.33)
+    p.add_argument("--offset", type=float, nargs=3, default=[0.0, 0.0, 0.0])
+    p.add_argument("--dt_gamma", type=float, default=1 / 128)
+    p.add_argument("--min_near", type=float, default=0.2)
+    p.add_argument("--density_thresh", type=float, default=10.0)
+    p.add_argument("--bg_radius", type=float, default=-1.0)
+    p.add_argument("--downscale", type=int, default=1)
+    # experimental / gui / clip (parity)
+    p.add_argument("--error_map", action="store_true")
+    p.add_argument("--rand_pose", type=int, default=-1)
+    p.add_argument("--clip_text", type=str, default="")
+    p.add_argument("--gui", action="store_true")
+    p.add_argument("--W", type=int, default=1920)
+    p.add_argument("--H", type=int, default=1080)
+    p.add_argument("--radius", type=float, default=5.0)
+    p.add_argument("--fovy", type=float, default=50.0)
+    p.add_argument("--max_spp", type=int, default=64)
+    return p
+
+
+def make_configs(opt, for_nav: bool = False):
+    """Expand flags (incl. -O) into the framework config objects."""
+    from nerfnav_tpu.models import NetworkConfig, RenderConfig
+    from nerfnav_tpu.models.occupancy import OccupancyConfig
+    from nerfnav_tpu.ops.marching import MarchConfig
+
+    if opt.O:
+        opt.fp16 = True
+        if for_nav:
+            opt.cuda_ray = False  # nav needs the differentiable path
+            opt.preload = False
+        else:
+            opt.cuda_ray = True
+            opt.preload = True
+
+    cfg = NetworkConfig(
+        bound=opt.bound,
+        bg_radius=opt.bg_radius,
+        mlp_dtype="bfloat16" if opt.fp16 else "float32",
+    )
+    rcfg = RenderConfig(
+        num_steps=opt.num_steps,
+        upsample_steps=opt.upsample_steps,
+        min_near=opt.min_near,
+        max_ray_batch=opt.max_ray_batch,
+    )
+    occ_cfg = march_cfg = None
+    if opt.cuda_ray:
+        occ_cfg = OccupancyConfig(
+            bound=opt.bound, density_thresh=opt.density_thresh,
+            min_near=opt.min_near,
+        )
+        march_cfg = MarchConfig(
+            bound=opt.bound, max_steps=opt.max_steps,
+            samples_per_ray=opt.samples_per_ray, dt_gamma=opt.dt_gamma,
+            min_near=opt.min_near,
+        )
+    return cfg, rcfg, occ_cfg, march_cfg

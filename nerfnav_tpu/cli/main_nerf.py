@@ -1,0 +1,53 @@
+"""Training CLI.
+
+Capability parity: reference main_nerf.py — `python -m nerfnav_tpu.cli.main_nerf
+<path> -O --bound 2.0 --scale 1.0 ...` trains Instant-NGP on a transforms.json
+scene; `--test` evaluates + renders the test path to mp4 (main_nerf.py:104-155).
+"""
+
+import sys
+
+
+def main(argv=None):
+    from nerfnav_tpu.cli.flags import build_parser, make_configs
+
+    opt = build_parser("nerfnav_tpu NeRF training").parse_args(argv)
+    cfg, rcfg, occ_cfg, march_cfg = make_configs(opt, for_nav=False)
+
+    from nerfnav_tpu.data import NeRFDataset
+    from nerfnav_tpu.data.provider import DatasetOptions
+    from nerfnav_tpu.training import Trainer, TrainerOptions
+
+    ds_opt = DatasetOptions(
+        path=opt.path, scale=opt.scale, offset=tuple(opt.offset),
+        downscale=opt.downscale, preload=opt.preload, fp16=opt.fp16,
+        num_rays=opt.num_rays, error_map=opt.error_map,
+    )
+    topt = TrainerOptions(
+        name="ngp", workspace=opt.workspace, lr=opt.lr, iters=opt.iters,
+        num_rays=opt.num_rays, use_checkpoint=opt.ckpt, seed=opt.seed,
+        error_map=opt.error_map,
+        update_extra_interval=opt.update_extra_interval, tensorboard=True,
+    )
+    trainer = Trainer(cfg, rcfg, topt, occupancy_cfg=occ_cfg, march_cfg=march_cfg)
+
+    if opt.test:
+        val_ds = NeRFDataset(ds_opt, split="val")
+        trainer.state = trainer._init_state(len(val_ds))
+        trainer._maybe_resume()
+        trainer.evaluate(val_ds)
+        test_ds = NeRFDataset(ds_opt, split="test")
+        trainer.test(test_ds, write_video=True)
+        return
+
+    train_ds = NeRFDataset(ds_opt, split="train")
+    val_ds = NeRFDataset(ds_opt, split="val")
+    steps_per_epoch = max(len(train_ds), 100)
+    max_epochs = max(opt.iters // steps_per_epoch, 1)
+    trainer.train(train_ds, valid_ds=val_ds, max_epochs=max_epochs,
+                  steps_per_epoch=steps_per_epoch)
+    trainer.evaluate(val_ds)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

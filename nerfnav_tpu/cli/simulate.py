@@ -1,0 +1,185 @@
+"""Navigation simulation CLI — the full plan / act / estimate / replan loop.
+
+Capability parity: reference simulate.py —
+  * `simulate()` orchestration (18-103): workspace tree -> Planner
+    (a_star_init + learn_init) -> Agent + Estimator -> per-step
+    [get_next_action -> agent.step(+noise) -> filter.estimate_state ->
+    traj.update_state -> learn_update], last `open_loop_steps` steps open-loop
+  * nav configs inline with the reference's values (200-334): estimator
+    lr 1e-3 / 300 iters / 1024 rays; body 0.1x0.1x0.04 m; Stonehenge start
+    [0.39,-0.67,0.2] -> goal [-0.4,0.55,0.16]; T=2 s over 20 steps; planner
+    lr 1e-3, 2500/250 epochs; MPC noise
+  * the three closures injected into the nav stack (336-347)
+  * `-O` disables the grid path: nav differentiates through the renderer
+    (163-166)
+
+Observation backends: "nerf" (default, Blender-free — BASELINE.json
+sanctioned) or "blender" (the preserved sim_img_cache file-RPC protocol).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+
+def simulate(traj, agent, filt, steps: int = 20, open_loop_steps: int = 5,
+             noise_std: float = 0.0, noise_mean: float = 0.0, seed: int = 0,
+             on_step=None):
+    """The reference main loop (simulate.py:18-103). Returns the list of
+    (true_state, estimated_state) pairs."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    history = []
+    try:
+        for it in range(steps):
+            action = np.asarray(traj.get_next_action())
+            img, true_state, pose = agent.step(
+                action, noise_std=noise_std, noise_mean=noise_mean, rng=rng
+            )
+            if it < steps - open_loop_steps:
+                x_est = filt.estimate_state(img, pose, action)
+                traj.update_state(x_est)
+                traj.learn_update(it)
+            else:
+                # open-loop tail (reference simulate.py:71-98)
+                x_est = np.asarray(filt.xt) if filt.xt is not None else true_state[:12]
+                traj.update_state(true_state[:12] if len(true_state) >= 12 else x_est)
+            history.append((true_state.copy(), np.asarray(x_est).copy()))
+            if on_step is not None:
+                on_step(it, history[-1])
+    except KeyboardInterrupt:
+        # graceful early end (reference simulate.py:101-102)
+        pass
+    return history
+
+
+def main(argv=None):
+    from nerfnav_tpu.cli.flags import build_parser, make_configs
+
+    parser = build_parser("nerfnav_tpu navigation simulation")
+    parser.add_argument("--sim_backend", type=str, default="nerf",
+                        choices=["nerf", "blender"])
+    parser.add_argument("--blend_file", type=str, default="")
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--open_loop_steps", type=int, default=5)
+    parser.add_argument("--mpc_noise_std", type=float, default=2e-3)
+    parser.add_argument("--mpc_noise_mean", type=float, default=0.0)
+    parser.add_argument("--start", type=float, nargs=3, default=[0.39, -0.67, 0.2])
+    parser.add_argument("--goal", type=float, nargs=3, default=[-0.4, 0.55, 0.16])
+    parser.add_argument("--planner_lr", type=float, default=1e-3)
+    parser.add_argument("--epochs_init", type=int, default=2500)
+    parser.add_argument("--epochs_update", type=int, default=250)
+    parser.add_argument("--estimator_lr", type=float, default=1e-3)
+    parser.add_argument("--estimator_iters", type=int, default=300)
+    parser.add_argument("--estimator_batch", type=int, default=1024)
+    parser.add_argument("--obs_res", type=int, default=800)
+    parser.add_argument("--obs_focal", type=float, default=800.0)
+    parser.add_argument("--analytic", action="store_true",
+                        help="run against the built-in analytic scene (no ckpt)")
+    opt = parser.parse_args(argv)
+    opt.cuda_ray = False
+    cfg, rcfg, _, _ = make_configs(opt, for_nav=True)
+    # nav render path: fewer samples than full quality, differentiable
+    from nerfnav_tpu.models import RenderConfig
+
+    rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=opt.min_near,
+                        max_ray_batch=opt.max_ray_batch)
+
+    import jax.numpy as jnp
+
+    from nerfnav_tpu.data.rays import get_all_rays
+    from nerfnav_tpu.models import make_field, render_rays
+    from nerfnav_tpu.nav.agent import Agent, AgentConfig, body_state_to_camera_pose
+    from nerfnav_tpu.nav.dynamics import DynamicsConfig
+    from nerfnav_tpu.nav.estimator import Estimator, EstimatorConfig
+    from nerfnav_tpu.nav.planner import Planner, PlannerConfig
+
+    # ---- field: trained checkpoint or analytic demo scene
+    if opt.analytic:
+        from nerfnav_tpu.data.synthetic import textured_sphere_field
+
+        field = textured_sphere_field()
+    else:
+        from nerfnav_tpu.models import init_network
+        from nerfnav_tpu.training import checkpoint as ckpt_lib
+        import jax
+
+        params_tmpl = init_network(jax.random.PRNGKey(0), cfg)
+        ckpt_path = opt.ckpt
+        if ckpt_path in ("latest", "best"):
+            cdir = os.path.join(opt.workspace, "checkpoints")
+            ckpt_path = (
+                os.path.join(cdir, "ngp_best.npz") if opt.ckpt == "best"
+                else ckpt_lib.latest_checkpoint(cdir, "ngp")
+            )
+        if ckpt_path is None or not os.path.exists(ckpt_path):
+            raise FileNotFoundError(
+                f"no checkpoint at {ckpt_path}; train first or pass --analytic"
+            )
+        params, _, _ = ckpt_lib.load_checkpoint(ckpt_path, params_tmpl)
+        field = make_field(params, cfg)
+
+    # ---- the three closures (reference simulate.py:336-347)
+    def density_fn(x):
+        return field.density_fn(x)[0]
+
+    def render_fn(ro, rd):
+        return render_rays(field, rcfg, ro, rd, bg_color=1.0)
+
+    H = W = opt.obs_res
+    intr = jnp.asarray([opt.obs_focal, opt.obs_focal, W / 2, H / 2])
+
+    def get_rays_fn(pose):
+        return get_all_rays(pose, intr, H, W)
+
+    # ---- configs (reference simulate.py:200-334)
+    dyn = DynamicsConfig(dt=2.0 / opt.steps)
+    pcfg = PlannerConfig(
+        T=opt.steps, dt=dyn.dt, lr=opt.planner_lr,
+        epochs_init=opt.epochs_init, epochs_update=opt.epochs_update,
+        bound=min(opt.bound, 1.0),
+    )
+    start18 = np.zeros(18, np.float32)
+    start18[0:3] = opt.start
+    start18[6:15] = np.eye(3).reshape(-1)
+    end18 = start18.copy()
+    end18[0:3] = opt.goal
+
+    ws = opt.workspace
+    os.makedirs(ws, exist_ok=True)
+    traj = Planner(start18, end18, pcfg, density_fn, workspace=ws, exp_name="sim")
+    print("[simulate] A* warm start...")
+    traj.a_star_init()
+    print("[simulate] initial trajectory optimization...")
+    traj.learn_init()
+
+    start12 = np.concatenate([start18[0:3], start18[3:6], np.zeros(3), start18[15:18]])
+    acfg = AgentConfig(dyn=dyn, H=H, W=W, focal=opt.obs_focal,
+                       backend=opt.sim_backend, blend_file=opt.blend_file)
+    agent = Agent(start12.astype(np.float32), acfg, field=field)
+    ecfg = EstimatorConfig(lr=opt.estimator_lr, n_iters=opt.estimator_iters,
+                           batch_size=opt.estimator_batch)
+    filt = Estimator(ecfg, dyn, render_fn, get_rays_fn,
+                     body_state_to_camera_pose, workspace=ws)
+    filt.set_initial_state(start12)
+
+    def on_step(it, pair):
+        true_s, est_s = pair
+        err = np.linalg.norm(true_s[0:3] - est_s[0:3])
+        print(f"[simulate] step {it}: pos err {err:.4f}  true {true_s[0:3]}")
+
+    history = simulate(traj, agent, filt, steps=opt.steps,
+                       open_loop_steps=opt.open_loop_steps,
+                       noise_std=opt.mpc_noise_std,
+                       noise_mean=opt.mpc_noise_mean, seed=opt.seed,
+                       on_step=on_step)
+    final = history[-1][0]
+    goal_err = np.linalg.norm(final[0:3] - np.asarray(opt.goal))
+    print(f"[simulate] done: {len(history)} steps, final goal error {goal_err:.4f}")
+    return history
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -45,6 +45,29 @@ def cylinder_field(radius=0.4, sigma=200.0, bound=1.0):
     return Field(density_fn=density_fn, color_fn=color_fn, bound=bound)
 
 
+def textured_sphere_field(radius=0.5, sigma=300.0, bound=1.0):
+    """Opaque sphere with high-frequency color texture — gives SIFT corners
+    for the pose filter and view-dependent structure for NeRF fitting."""
+    import jax
+
+    def density_fn(x):
+        d = jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-12)
+        return sigma * jax.nn.sigmoid((radius - d) * 40.0), x
+
+    def color_fn(d, geo):
+        checker = (
+            jnp.sin(20.0 * geo[:, 0])
+            * jnp.sin(20.0 * geo[:, 1])
+            * jnp.sin(20.0 * geo[:, 2])
+        )
+        r = 0.5 + 0.5 * jnp.sin(17.0 * geo[:, 0] + 3.0 * geo[:, 1])
+        g = 0.5 + 0.5 * checker
+        b = 0.5 + 0.5 * jnp.cos(13.0 * geo[:, 2])
+        return jnp.stack([r, g, b], axis=-1)
+
+    return Field(density_fn=density_fn, color_fn=color_fn, bound=bound)
+
+
 def make_synthetic_scene(
     out_dir: str,
     field: Field = None,

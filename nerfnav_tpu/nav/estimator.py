@@ -1,0 +1,279 @@
+"""6-DoF optimization-based pose filter (iEKF-flavored).
+
+Capability parity: reference nav/estimator_helpers.py (`Estimator`, 134-419):
+  * predict: propagate the 12-dim state through the dynamics, Jacobian A via
+    autodiff, covariance A Sigma A^T + Q (347-369)
+  * measurement front-end: SIFT keypoints on the observed image (`find_POI`,
+    37-68), dilated interest-region mask (199-204)
+  * update: 300 Adam steps minimizing
+    mse(render(rays from candidate pose), observed pixels) +
+    mahalanobis(x, x_pred, Sigma_pred) (227-241, measurement_fn 293-327)
+  * posterior covariance = inverse of the measurement Hessian projected to
+    the nearest PD matrix (381-394)
+  * graceful degradation when no features found (returns the prior, 185-190)
+  * per-step JSON artifact dump (408-419), SE(3) error vs ground truth
+    (250-261)
+
+TPU-native design: one jitted Adam step optimizes the 12-dim state through
+the FULL differentiable renderer (gradients w.r.t. rays flow through
+models/renderer.py by construction); `jax.jacfwd`/`jax.hessian` replace
+torch.autograd.functional (12-dim — tiny); SIFT and nearestPD stay on host
+(non-differentiable front-end / 12x12 numpy, same as the reference). The
+interest-region pixel pool is padded to a fixed size so every MPC step reuses
+one compiled program.
+"""
+
+import json
+import os
+from dataclasses import dataclass, field as dfield
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfnav_tpu.nav.dynamics import DynamicsConfig, drone_dynamics
+from nerfnav_tpu.nav.math_utils import (
+    calc_se3_err,
+    mahalanobis,
+    nearest_pd,
+    vec_to_rot_matrix,
+)
+
+
+def find_poi(img_uint8: np.ndarray, max_features: int = 100):
+    """SIFT keypoint pixel coords (M, 2) int32 [x, y]
+    (reference estimator_helpers.py:37-68). Falls back to Shi-Tomasi corners
+    if SIFT is unavailable."""
+    import cv2
+
+    gray = cv2.cvtColor(img_uint8, cv2.COLOR_RGB2GRAY)
+    xy = np.zeros((0, 2), np.float32)
+    try:
+        sift = cv2.SIFT_create()
+        kps = sift.detect(gray, None)
+        xy = np.array([kp.pt for kp in kps], dtype=np.float32).reshape(-1, 2)
+    except Exception:
+        pass
+    if len(xy) < 8:
+        # SIFT sparse (smooth texture / close-up): Shi-Tomasi corners as a
+        # denser fallback front-end
+        corners = cv2.goodFeaturesToTrack(gray, max_features, 0.01, 8)
+        if corners is not None:
+            xy = np.concatenate([xy, corners.reshape(-1, 2)], axis=0)
+    xy = np.unique(xy.astype(np.int32), axis=0)
+    if len(xy) > max_features:
+        xy = xy[np.random.default_rng(0).choice(len(xy), max_features, replace=False)]
+    return xy
+
+
+def interest_region_mask(hw, poi_xy, kernel_size=5, dil_iter=3):
+    """Dilated square regions around keypoints (estimator_helpers.py:199-204)."""
+    import cv2
+
+    H, W = hw
+    mask = np.zeros((H, W), np.uint8)
+    half = kernel_size // 2
+    for x, y in poi_xy:
+        mask[max(y - half, 0) : y + half + 1, max(x - half, 0) : x + half + 1] = 1
+    kernel = np.ones((kernel_size, kernel_size), np.uint8)
+    return cv2.dilate(mask, kernel, iterations=dil_iter).astype(bool)
+
+
+@dataclass
+class EstimatorConfig:
+    lr: float = 1e-3            # simulate.py:203
+    n_iters: int = 300          # simulate.py:204
+    batch_size: int = 1024      # simulate.py:205
+    kernel_size: int = 5
+    dilate_iter: int = 3
+    pool_size: int = 16384      # fixed-size interest-pixel pool (static shape)
+    sig0: float = 1.0           # initial state covariance scale
+    q_diag: float = 1e-4        # process noise
+    measurement_weight: float = 1e3
+    sig_max_eig: float = 1e3    # covariance conditioning cap
+    hess_reg: float = 1e-6      # Tikhonov term before Hessian inversion
+
+
+class Estimator:
+    def __init__(
+        self,
+        cfg: EstimatorConfig,
+        dyn_cfg: DynamicsConfig,
+        render_fn,
+        get_rays_fn,
+        state_to_pose,
+        workspace: str | None = None,
+    ):
+        """render_fn(rays_o, rays_d) -> {"image": (N,3)};
+        get_rays_fn(pose 4x4) -> {"rays_o": (H*W,3), "rays_d": (H*W,3)};
+        state_to_pose(x12) -> (4,4) camera-to-world — the three closures the
+        reference injects (simulate.py:343-347)."""
+        self.cfg = cfg
+        self.dyn_cfg = dyn_cfg
+        self.render_fn = render_fn
+        self.get_rays_fn = get_rays_fn
+        self.state_to_pose = state_to_pose
+        self.workspace = workspace
+        if workspace:
+            os.makedirs(os.path.join(workspace, "estimator_data"), exist_ok=True)
+
+        self.xt = None           # (12,) current estimate
+        self.sig = np.eye(12, dtype=np.float32) * cfg.sig0
+        self.Q = np.eye(12, dtype=np.float32) * cfg.q_diag
+        self.iteration = 0
+        self._opt = optax.adam(cfg.lr)
+        self._jit_cache = {}
+
+    def _condition(self, sig):
+        """PD-project and cap eigenvalues so one degenerate update cannot
+        destabilize all subsequent prediction steps."""
+        sig = nearest_pd(sig)
+        w, Q = np.linalg.eigh(sig)
+        w = np.clip(w, 1e-9, self.cfg.sig_max_eig)
+        return ((Q * w) @ Q.T).astype(np.float32)
+
+    def set_initial_state(self, x0):
+        self.xt = jnp.asarray(x0, jnp.float32)
+
+    # ------------------------------------------------------------- internals
+    def _build_update(self, H, W):
+        cfg = self.cfg
+        render_fn, get_rays_fn = self.render_fn, self.get_rays_fn
+        state_to_pose = self.state_to_pose
+        opt = self._opt
+
+        def measurement_loss(x, pool_inds, pool_count, gt_pixels, x_pred, sig_inv, key):
+            pose = state_to_pose(x)
+            rays = get_rays_fn(pose)
+            sel = jax.random.randint(key, (cfg.batch_size,), 0, pool_count)
+            inds = pool_inds[sel]
+            ro = rays["rays_o"][inds]
+            rd = rays["rays_d"][inds]
+            out = render_fn(ro, rd)
+            mse = jnp.mean((out["image"] - gt_pixels[sel]) ** 2)
+            d = x - x_pred
+            prior = d @ sig_inv @ d
+            return cfg.measurement_weight * mse + prior
+
+        @jax.jit
+        def opt_step(x, opt_state, pool_inds, pool_count, gt_pixels, x_pred,
+                     sig_inv, key):
+            loss, grads = jax.value_and_grad(measurement_loss)(
+                x, pool_inds, pool_count, gt_pixels, x_pred, sig_inv, key
+            )
+            updates, opt_state = opt.update(grads, opt_state)
+            x = optax.apply_updates(x, updates)
+            return x, opt_state, loss
+
+        @jax.jit
+        def hess_fn(x, pool_inds, pool_count, gt_pixels, x_pred, sig_inv, key):
+            return jax.hessian(measurement_loss)(
+                x, pool_inds, pool_count, gt_pixels, x_pred, sig_inv, key
+            )
+
+        return opt_step, hess_fn
+
+    # ------------------------------------------------------------ public API
+    def estimate_state(self, obs_img, obs_pose_gt, action):
+        """One filter step (reference estimator_helpers.py:347-419).
+
+        obs_img: (H, W, 3) float [0,1] or uint8; obs_pose_gt: (4,4) true
+        camera pose (logging only); action: (4,) applied control.
+        Returns the posterior 12-dim state estimate.
+        """
+        assert self.xt is not None, "call set_initial_state first"
+        H, W = obs_img.shape[:2]
+        img_f = (
+            obs_img.astype(np.float32) / 255.0 if obs_img.dtype == np.uint8
+            else np.asarray(obs_img, np.float32)
+        )
+        img_u8 = (np.clip(img_f, 0, 1) * 255).astype(np.uint8)
+
+        # ---- predict
+        action = jnp.asarray(action, jnp.float32)
+        x_pred = drone_dynamics(self.xt, action, self.dyn_cfg)
+        A = np.asarray(
+            jax.jacfwd(lambda s: drone_dynamics(s, action, self.dyn_cfg))(self.xt)
+        )
+        sig_pred = A @ self.sig @ A.T + self.Q
+
+        # ---- measurement front-end (host)
+        poi = find_poi(img_u8)
+        if len(poi) < 3:
+            # no features: fall back to the prior (estimator_helpers.py:185-190)
+            self.xt = x_pred
+            self.sig = self._condition(sig_pred)
+            self.iteration += 1
+            return np.asarray(self.xt)
+        mask = interest_region_mask((H, W), poi, self.cfg.kernel_size,
+                                    self.cfg.dilate_iter)
+        flat = np.flatnonzero(mask.reshape(-1))
+        pool_count = min(len(flat), self.cfg.pool_size)
+        pool = np.zeros(self.cfg.pool_size, np.int32)
+        pool[:pool_count] = flat[:pool_count]
+        if pool_count < self.cfg.pool_size:  # pad by wrapping
+            pool[pool_count:] = flat[np.arange(self.cfg.pool_size - pool_count) % len(flat)]
+
+        gt_pixels = jnp.asarray(img_f.reshape(-1, 3)[pool])
+        pool_inds = jnp.arange(self.cfg.pool_size)  # index into gt_pixels/pool
+        rays_pool = jnp.asarray(pool)
+
+        key = (H, W)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_update(H, W)
+        opt_step, hess_fn = self._jit_cache[key]
+
+        sig_inv = jnp.asarray(np.linalg.inv(sig_pred), jnp.float32)
+        x = jnp.asarray(x_pred)
+        opt_state = self._opt.init(x)
+        rng = jax.random.PRNGKey(self.iteration)
+        loss = None
+        for it in range(self.cfg.n_iters):
+            rng, sub = jax.random.split(rng)
+            x, opt_state, loss = opt_step(
+                x, opt_state, rays_pool, self.cfg.pool_size, gt_pixels,
+                jnp.asarray(x_pred), sig_inv, sub,
+            )
+
+        if not np.all(np.isfinite(np.asarray(x))):
+            # optimization diverged: fall back to the prior (mirrors the
+            # reference's graceful degradation on bad measurements)
+            self.xt = x_pred
+            self.sig = self._condition(sig_pred)
+            self.iteration += 1
+            return np.asarray(self.xt)
+
+        # ---- posterior covariance from the measurement Hessian
+        rng, sub = jax.random.split(rng)
+        Hs = np.asarray(
+            hess_fn(x, rays_pool, self.cfg.pool_size, gt_pixels,
+                    jnp.asarray(x_pred), sig_inv, sub)
+        )
+        Hs_pd = nearest_pd(Hs) + self.cfg.hess_reg * np.eye(12)
+        self.sig = self._condition(np.linalg.inv(Hs_pd))
+        self.xt = x
+        self.iteration += 1
+
+        # ---- artifacts + error report
+        if self.workspace or obs_pose_gt is not None:
+            pose_est = np.asarray(self.state_to_pose(x))
+            rot_err, trans_err = (None, None)
+            if obs_pose_gt is not None:
+                rot_err, trans_err = calc_se3_err(pose_est, np.asarray(obs_pose_gt))
+            if self.workspace:
+                with open(
+                    os.path.join(self.workspace, "estimator_data",
+                                 f"step_{self.iteration:04d}.json"), "w",
+                ) as f:
+                    json.dump(
+                        {
+                            "state": np.asarray(x).tolist(),
+                            "sig": self.sig.tolist(),
+                            "action": np.asarray(action).tolist(),
+                            "loss": float(loss) if loss is not None else None,
+                            "rot_err_deg": rot_err,
+                            "trans_err": trans_err,
+                        }, f,
+                    )
+        return np.asarray(self.xt)

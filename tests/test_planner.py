@@ -1,0 +1,195 @@
+"""Planner tests against analytic density fields (the reference's own dev
+pattern, quad_plot.py:442-443: get_manual_nerf("empty"/"cylinder"))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfnav_tpu.nav.astar import astar_python
+from nerfnav_tpu.nav.planner import (
+    Planner,
+    PlannerConfig,
+    body_points,
+    calc_everything,
+)
+
+
+def empty_density(x):
+    return jnp.zeros(x.shape[0])
+
+
+def cylinder_density(x, radius=0.3, sigma=100.0, sharpness=30.0):
+    """Vertical cylinder through the origin with a soft (sigmoid) boundary —
+    matching a trained NeRF's smooth density, so collision gradients exist."""
+    d = jnp.sqrt(jnp.sum(x[:, :2] ** 2, axis=-1) + 1e-12)
+    return sigma * jax.nn.sigmoid((radius - d) * sharpness)
+
+
+def make_state(pos, vel=(0, 0, 0)):
+    s = np.zeros(18, np.float32)
+    s[0:3] = pos
+    s[3:6] = vel
+    s[6:15] = np.eye(3).reshape(-1)
+    return s
+
+
+@pytest.fixture
+def cfg():
+    return PlannerConfig(T=12, dt=0.1, epochs_init=300, epochs_update=50,
+                         astar_fine=40, astar_coarse=20)
+
+
+class TestAstar:
+    def test_straight_line(self):
+        occ = np.zeros((10, 10, 10), bool)
+        path = astar_python(occ, (0, 0, 0), (9, 0, 0))
+        assert path is not None
+        assert path[0] == (0, 0, 0) and path[-1] == (9, 0, 0)
+        assert len(path) == 10
+
+    def test_routes_around_wall(self):
+        occ = np.zeros((10, 10, 10), bool)
+        occ[5, :, :] = True
+        occ[5, 9, :] = False  # gap at y=9
+        path = astar_python(occ, (0, 0, 0), (9, 0, 0))
+        assert path is not None
+        assert any(c[1] == 9 for c in path)  # went through the gap
+
+    def test_unreachable(self):
+        occ = np.zeros((10, 10, 10), bool)
+        occ[5, :, :] = True  # full wall
+        assert astar_python(occ, (0, 0, 0), (9, 0, 0)) is None
+
+    def test_occupied_start_raises(self):
+        occ = np.zeros((4, 4, 4), bool)
+        occ[0, 0, 0] = True
+        with pytest.raises(ValueError):
+            astar_python(occ, (0, 0, 0), (3, 3, 3))
+
+
+class TestFlatness:
+    def test_shapes(self, cfg):
+        start = make_state([-0.7, 0, 0.1])
+        end = make_state([0.7, 0, 0.1])
+        states = jnp.zeros((cfg.T, 4))
+        out = calc_everything(jnp.asarray(start), jnp.asarray(end), states,
+                              jnp.asarray([10.0, 10.0]), cfg)
+        assert out["pos"].shape == (cfg.T + 5, 3)
+        assert out["rot"].shape == (cfg.T + 4, 3, 3)
+        assert out["actions"].shape == (cfg.T + 2, 4)
+
+    def test_start_continuity(self, cfg):
+        """pos[0], vel[0], rot[0] reproduce the start state (reference
+        asserts allclose(actions[:2,0], initial_accel), quad_plot.py:207-210)."""
+        start = make_state([-0.7, 0.1, 0.1], vel=(0.1, 0.0, 0.0))
+        end = make_state([0.7, 0, 0.1])
+        states = jnp.asarray(np.random.default_rng(0).normal(size=(cfg.T, 4)) * 0.1,
+                             jnp.float32)
+        ia = jnp.asarray([10.0, 10.0])
+        out = calc_everything(jnp.asarray(start), jnp.asarray(end), states, ia, cfg)
+        np.testing.assert_allclose(np.asarray(out["pos"][0]), start[0:3], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["vel"][0]), start[3:6], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["rot"][0]),
+                                   start[6:15].reshape(3, 3), atol=1e-5)
+        # first thrust equals m * |R e3 * ia[0]| = ia[0] for identity R
+        np.testing.assert_allclose(float(out["actions"][0, 0]), 10.0, rtol=1e-4)
+
+    def test_hover_trajectory_cost_is_gravity_only(self, cfg):
+        """Stationary start=end: optimal actions are hover thrust."""
+        p = [0.0, 0.0, 0.2]
+        start = make_state(p)
+        end = make_state(p)
+        states = jnp.concatenate(
+            [jnp.tile(jnp.asarray(p)[None], (cfg.T, 1)), jnp.zeros((cfg.T, 1))], -1
+        )
+        out = calc_everything(jnp.asarray(start), jnp.asarray(end), states,
+                              jnp.asarray([10.0, 10.0]), cfg)
+        np.testing.assert_allclose(np.asarray(out["actions"][:, 0]), 10.0, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(out["actions"][:, 1:]), 0.0, atol=1e-3)
+
+    def test_rotations_orthonormal(self, cfg):
+        start = make_state([-0.7, 0, 0.1])
+        end = make_state([0.7, 0, 0.1])
+        states = jnp.asarray(
+            np.random.default_rng(1).normal(size=(cfg.T, 4)) * 0.2, jnp.float32
+        )
+        out = calc_everything(jnp.asarray(start), jnp.asarray(end), states,
+                              jnp.asarray([10.0, 10.0]), cfg)
+        R = np.asarray(out["rot"])
+        for i in range(R.shape[0]):
+            np.testing.assert_allclose(R[i] @ R[i].T, np.eye(3), atol=1e-4)
+
+
+class TestPlanner:
+    def test_astar_init_avoids_cylinder(self, cfg):
+        start = make_state([-0.7, 0.0, 0.1])
+        end = make_state([0.7, 0.0, 0.1])
+        planner = Planner(start, end, cfg, cylinder_density)
+        planner.a_star_init()
+        wp = np.asarray(planner.states[:, :3])
+        # waypoints clear the cylinder (coarse-cell padded)
+        assert np.min(np.linalg.norm(wp[:, :2], axis=-1)) > 0.2
+
+    def test_learn_init_reduces_cost_and_avoids_obstacle(self, cfg):
+        start = make_state([-0.7, 0.0, 0.1])
+        end = make_state([0.7, 0.0, 0.1])
+        planner = Planner(start, end, cfg, cylinder_density)
+        planner.a_star_init()
+        losses = planner.learn_init()
+        assert losses[-1] < losses[0]
+        # final trajectory stays out of the cylinder
+        out = planner.get_full_states()
+        pos = np.asarray(out["pos"])
+        body_r = 0.08  # body half-diagonal margin
+        assert np.min(np.linalg.norm(pos[:, :2], axis=-1)) > 0.3 - body_r
+
+    def test_empty_field_stays_in_plane(self, cfg):
+        """Without obstacles the solution is a ballistic arc in the xz plane
+        (thrust^2 favors freefall); y must stay untouched and the arc bounded."""
+        start = make_state([-0.5, 0.0, 0.1])
+        end = make_state([0.5, 0.0, 0.1])
+        planner = Planner(start, end, cfg, empty_density)
+        losses = planner.learn_init()
+        assert losses[-1] < losses[0]
+        pos = np.asarray(planner.get_full_states()["pos"])
+        assert np.abs(pos[:, 1]).max() < 0.05
+        assert np.abs(pos[:, 2] - 0.1).max() < 0.4
+        # endpoints pinned
+        np.testing.assert_allclose(pos[0], [-0.5, 0, 0.1], atol=1e-5)
+        np.testing.assert_allclose(pos[-1], [0.5, 0, 0.1], atol=1e-5)
+
+    def test_mpc_update_state(self, cfg):
+        start = make_state([-0.5, 0.0, 0.1])
+        end = make_state([0.5, 0.0, 0.1])
+        planner = Planner(start, end, cfg, empty_density)
+        t0 = planner.states.shape[0]
+        est = np.zeros(12, np.float32)
+        est[0:3] = [-0.4, 0.01, 0.1]
+        planner.update_state(est)
+        assert planner.states.shape[0] == t0 - 1
+        np.testing.assert_allclose(np.asarray(planner.start_state[0:3]),
+                                   [-0.4, 0.01, 0.1], atol=1e-6)
+        # replan still works on the shorter horizon
+        losses = planner.learn_update(iteration=1)
+        assert np.isfinite(losses[-1])
+
+    def test_artifacts_written(self, cfg, tmp_path):
+        start = make_state([-0.5, 0.0, 0.1])
+        end = make_state([0.5, 0.0, 0.1])
+        planner = Planner(start, end, cfg, empty_density,
+                          workspace=str(tmp_path), exp_name="t")
+        planner.learn_init()
+        import os
+
+        assert os.path.exists(tmp_path / "init_poses" / "t" / "init_0.json")
+        assert os.path.exists(tmp_path / "init_costs" / "t" / "init_0.json")
+
+    def test_save_load_progress(self, cfg, tmp_path):
+        start = make_state([-0.5, 0.0, 0.1])
+        end = make_state([0.5, 0.0, 0.1])
+        planner = Planner(start, end, cfg, empty_density)
+        planner.save_progress(str(tmp_path / "prog.npz"))
+        p2 = Planner(start, end, cfg, empty_density)
+        p2.load_progress(str(tmp_path / "prog.npz"))
+        np.testing.assert_allclose(np.asarray(p2.states), np.asarray(planner.states))
