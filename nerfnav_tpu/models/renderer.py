@@ -252,7 +252,7 @@ def render_rays(
 
 def render_rays_grid(
     field: Field,
-    bitfield,
+    occupancy,
     mcfg,
     rays_o,
     rays_d,
@@ -265,11 +265,14 @@ def render_rays_grid(
     composite. One jittable program for both training (perturb via key) and
     inference; the reference's alive-ray compaction becomes the static-budget
     masking inside ops/marching.py (SURVEY.md 7 design translation #2).
+
+    occupancy: occupancy-state dict (uses the coarse-fine marcher when a
+    coarse bitfield is present) or a bare bitfield array.
     """
-    from nerfnav_tpu.ops.marching import march_rays
+    from nerfnav_tpu.ops.marching import march
 
     n = rays_o.shape[0]
-    m = march_rays(rays_o, rays_d, bitfield, mcfg, key=key)
+    m = march(rays_o, rays_d, occupancy, mcfg, key=key)
     z, dt, valid = m["z"], m["dt"], m["valid"]
     k = z.shape[1]
 

@@ -43,6 +43,16 @@ class HashGridConfig:
     per_level_scale: float = 2.0
     desired_resolution: int | None = None  # overrides per_level_scale when set
     gridtype: str = "hash"  # "hash" | "tiled"
+    # Table layout (TPU-specific knob; both are capability-equivalent):
+    #  "corner": Instant-NGP vertex hashing — 2^D gathers/point/level of
+    #            F-wide rows; neighbor cells share corner features (the
+    #            reference's exact scheme, gridencoder.cu:55-72).
+    #  "cell":   cell hashing — ONE gather/point/level of a (2^D * F)-wide
+    #            row holding all corner features of the cell. TPU gathers
+    #            cost per ROW (~5 ns) regardless of width, so this is ~2^D x
+    #            faster; corners are duplicated across neighboring cells
+    #            (extra capacity, trained to agree through the interpolation).
+    layout: str = "corner"  # "corner" | "cell"
 
     @cached_property
     def scale(self) -> float:
@@ -63,11 +73,16 @@ class HashGridConfig:
 
     @cached_property
     def level_sizes(self) -> tuple:
-        """Parameter count per level, 8-aligned (reference grid.py:118-121)."""
+        """Row count per level, 8-aligned (reference grid.py:118-121).
+
+        corner layout: rows are grid vertices, (R+1)^D when dense.
+        cell layout: rows are cells, R^D when dense.
+        """
         max_params = 2**self.log2_hashmap_size
         sizes = []
         for r in self.resolutions:
-            params = min(max_params, (r + 1) ** self.input_dim)
+            dense = (r + 1) ** self.input_dim if self.layout == "corner" else r**self.input_dim
+            params = min(max_params, dense)
             params = int(math.ceil(params / 8) * 8)
             sizes.append(params)
         return tuple(sizes)
@@ -88,11 +103,18 @@ class HashGridConfig:
     def output_dim(self) -> int:
         return self.num_levels * self.level_dim
 
+    @cached_property
+    def row_dim(self) -> int:
+        """Features per table row."""
+        if self.layout == "cell":
+            return (2**self.input_dim) * self.level_dim
+        return self.level_dim
+
 
 def hash_grid_init(key, config: HashGridConfig, dtype=jnp.float32) -> jnp.ndarray:
     """Uniform(-1e-4, 1e-4) table init (reference grid.py:128-131)."""
     return jax.random.uniform(
-        key, (config.total_params, config.level_dim), dtype=dtype,
+        key, (config.total_params, config.row_dim), dtype=dtype,
         minval=-1e-4, maxval=1e-4,
     )
 
@@ -113,6 +135,26 @@ def _corner_indices(config: HashGridConfig, level: int, grid_coords: jnp.ndarray
         for d in range(1, config.input_dim):
             idx = idx * np.uint32(r + 1) + gc[..., d]
         if not stride_fits:  # tiled overflow: wrap by modulo
+            idx = idx % np.uint32(size)
+    return (idx + np.uint32(config.offsets[level])).astype(jnp.int32)
+
+
+def _cell_indices(config: HashGridConfig, level: int, cell_coords: jnp.ndarray):
+    """Integer cell coords (N, D) -> flat table row indices (N,) (cell layout)."""
+    r = config.resolutions[level]
+    size = config.level_sizes[level]
+    dense_fits = r**config.input_dim <= 2**config.log2_hashmap_size
+    gc = cell_coords.astype(jnp.uint32)
+    if config.gridtype == "hash" and not dense_fits:
+        idx = gc[..., 0] * np.uint32(_PRIMES[0])
+        for d in range(1, config.input_dim):
+            idx = idx ^ (gc[..., d] * np.uint32(_PRIMES[d]))
+        idx = idx % np.uint32(size)
+    else:
+        idx = gc[..., 0]
+        for d in range(1, config.input_dim):
+            idx = idx * np.uint32(r) + gc[..., d]
+        if not dense_fits:
             idx = idx % np.uint32(size)
     return (idx + np.uint32(config.offsets[level])).astype(jnp.int32)
 
@@ -142,28 +184,31 @@ def hash_grid_encode(
         [(np.arange(num_corners) >> i) & 1 for i in range(d - 1, -1, -1)], axis=-1
     ).astype(np.float32)  # e.g. for D=3: [[0,0,0],[0,0,1],...,[1,1,1]]
 
-    all_idx = []
-    all_w = []
+    # Per-level gather + immediate weighted reduction: peak intermediate is
+    # one level's (N, 2^D, F) gather instead of a stacked (L, N, 2^D, F)
+    # tensor (which OOMs HBM at marching-scale N ~ 10^6 points).
+    outs = []
     for level in range(config.num_levels):
         r = config.resolutions[level]
         pos = x01c * r  # grid of r+1 vertices per axis
         pf = jnp.clip(jnp.floor(pos), 0, r - 1)
         frac = pos - pf  # (N, D) in [0, 1]
-        corners = pf[:, None, :] + bits[None]  # (N, 2^D, D)
-        idx = _corner_indices(config, level, corners)  # (N, 2^D)
         # trilinear weights: prod over dims of (bit ? frac : 1-frac)
         w = jnp.prod(
             jnp.where(bits[None] > 0.5, frac[:, None, :], 1.0 - frac[:, None, :]),
             axis=-1,
         )  # (N, 2^D)
-        all_idx.append(idx)
-        all_w.append(w)
-
-    idx = jnp.stack(all_idx, axis=0)  # (L, N, 2^D)
-    w = jnp.stack(all_w, axis=0)  # (L, N, 2^D)
-    feats = jnp.take(table, idx.reshape(-1), axis=0).reshape(
-        config.num_levels, n, num_corners, config.level_dim
-    )
-    out = jnp.sum(feats.astype(jnp.float32) * w[..., None], axis=2)  # (L, N, F)
-    out = jnp.transpose(out, (1, 0, 2)).reshape(n, config.output_dim)
+        if config.layout == "cell":
+            idx = _cell_indices(config, level, pf)  # (N,)
+            feats = jnp.take(table, idx, axis=0).reshape(
+                n, num_corners, config.level_dim
+            )
+        else:
+            corners = pf[:, None, :] + bits[None]  # (N, 2^D, D)
+            idx = _corner_indices(config, level, corners)  # (N, 2^D)
+            feats = jnp.take(table, idx.reshape(-1), axis=0).reshape(
+                n, num_corners, config.level_dim
+            )
+        outs.append(jnp.sum(feats.astype(jnp.float32) * w[..., None], axis=1))
+    out = jnp.concatenate(outs, axis=-1)  # (N, L*F)
     return out * in_bounds[:, None].astype(out.dtype)

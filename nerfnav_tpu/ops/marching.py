@@ -46,6 +46,9 @@ class MarchConfig:
     samples_per_ray: int = 64     # K: static per-ray sample budget
     dt_gamma: float = 0.0         # adaptive stepping (main_nerf.py:47)
     min_near: float = 0.2
+    coarse_factor: int = 4        # spatial maxpool of the phase-A bitfield
+    coarse_step_mult: int = 8     # phase-A step = coarse_step_mult * dt_min
+    coarse_segments: int = 16     # K_A: occupied coarse segments kept per ray
 
     @cached_property
     def cascades(self) -> int:
@@ -113,6 +116,81 @@ def near_far_aabb(rays_o, rays_d, bound: float, min_near: float):
     return near, far
 
 
+def _compact_first_k(occ, z, dtv, k):
+    """Keep each ray's first k True candidates (cumsum-slot scatter).
+
+    occ: (N, T) bool; z: (N, T); dtv: (N, T) or (T,) broadcastable.
+    Returns (z_buf, dt_buf, valid) each (N, k)."""
+    n, t = occ.shape
+    slot = jnp.cumsum(occ, axis=1) - 1
+    keep = occ & (slot < k)
+    slot_c = jnp.where(keep, slot, k)
+    ray_idx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, t))
+    dtv = jnp.broadcast_to(dtv, (n, t))
+    z_buf = jnp.zeros((n, k), z.dtype).at[ray_idx, slot_c].set(
+        jnp.where(keep, z, 0.0), mode="drop"
+    )
+    dt_buf = jnp.zeros((n, k), z.dtype).at[ray_idx, slot_c].set(
+        jnp.where(keep, dtv, 0.0), mode="drop"
+    )
+    valid = jnp.zeros((n, k), bool).at[ray_idx, slot_c].set(keep, mode="drop")
+    return z_buf, dt_buf, valid
+
+
+def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
+                         cfg: MarchConfig, key=None):
+    """Coarse-to-fine two-phase march (dt_gamma == 0 only).
+
+    Phase A walks a sparse ladder (coarse_step_mult * dt_min) against the
+    maxpooled coarse bitfield and keeps the first K_A occupied segments;
+    phase B subdivides only those segments at dt_min against the fine
+    bitfield. Cuts occupancy-gather volume ~T/(T_A + K_A*mult) (~6x) versus
+    the single-phase marcher — the TPU replacement for the CUDA marcher's
+    per-ray empty-space skip loop (raymarching.cu:372-404), whose work also
+    scales with occupied length rather than total length.
+    """
+    import dataclasses
+
+    assert cfg.dt_gamma == 0.0, "two-phase march requires dt_gamma == 0"
+    n = rays_o.shape[0]
+    dt = cfg.dt_min
+    dt_a = dt * cfg.coarse_step_mult
+    span = 2.0 * _SQRT3 * max(cfg.bound, 1.0)
+    t_a = int(np.ceil(span / dt_a))
+
+    near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near)
+    if key is not None:
+        near = near + jax.random.uniform(key, (n,)) * dt
+
+    cfg_coarse = dataclasses.replace(
+        cfg, grid_size=cfg.grid_size // cfg.coarse_factor
+    )
+    taus_a = jnp.arange(t_a, dtype=jnp.float32) * dt_a
+    z_a = near[:, None] + taus_a[None, :]                   # (N, T_A)
+    pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
+    occ_a = occupancy_lookup(bitfield_coarse, pos_a, dt_a, cfg_coarse)
+    # a segment [z_i, z_i + dt_a) is kept if EITHER endpoint lands in an
+    # occupied coarse cell — occupancy transitions inside a segment would
+    # otherwise be missed by the start-point sample alone
+    occ_next = jnp.concatenate(
+        [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1
+    )
+    occ_a = (occ_a | occ_next) & (z_a < far[:, None])
+    za_buf, _, valid_a = _compact_first_k(occ_a, z_a, dt_a, cfg.coarse_segments)
+
+    # phase B: subdivide kept segments at dt_min
+    offs = jnp.arange(cfg.coarse_step_mult, dtype=jnp.float32) * dt
+    z_b = (za_buf[:, :, None] + offs[None, None, :]).reshape(n, -1)  # (N, K_A*mult)
+    pos_b = rays_o[:, None, :] + rays_d[:, None, :] * z_b[..., None]
+    occ_b = occupancy_lookup(bitfield, pos_b, dt, cfg)
+    valid_ab = jnp.broadcast_to(
+        valid_a[:, :, None], (n, cfg.coarse_segments, cfg.coarse_step_mult)
+    ).reshape(n, -1)
+    occ_b = occ_b & valid_ab & (z_b < far[:, None])
+    z_buf, dt_buf, valid = _compact_first_k(occ_b, z_b, dt, cfg.samples_per_ray)
+    return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
+
+
 def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None):
     """March N rays through the occupancy grid.
 
@@ -138,18 +216,21 @@ def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None):
     pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
     occ = occupancy_lookup(bitfield, pos, dts_l[None, :], cfg)
     occ = occ & (z < far[:, None])
-
-    # static compaction: first K occupied candidates per ray
-    slot = jnp.cumsum(occ, axis=1) - 1                    # (N, T)
-    keep = occ & (slot < k)
-    slot_c = jnp.where(keep, slot, k)                     # k -> dropped
-    ray_idx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, t_c))
-
-    z_buf = jnp.zeros((n, k), z.dtype).at[ray_idx, slot_c].set(
-        jnp.where(keep, z, 0.0), mode="drop"
-    )
-    dt_buf = jnp.zeros((n, k), z.dtype).at[ray_idx, slot_c].set(
-        jnp.where(keep, dts_l[None, :], 0.0), mode="drop"
-    )
-    valid = jnp.zeros((n, k), bool).at[ray_idx, slot_c].set(keep, mode="drop")
+    z_buf, dt_buf, valid = _compact_first_k(occ, z, dts_l[None, :], k)
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
+
+
+def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None):
+    """Dispatch: two-phase when a coarse bitfield is available (and
+    dt_gamma == 0), single-phase ladder otherwise.
+
+    occupancy: occupancy-state dict (models/occupancy.py) or a bare
+    (cascades, H^3//8) bitfield array."""
+    if isinstance(occupancy, dict):
+        bitfield = occupancy["bitfield"]
+        coarse = occupancy.get("bitfield_coarse")
+    else:
+        bitfield, coarse = occupancy, None
+    if coarse is not None and cfg.dt_gamma == 0.0:
+        return march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key)
+    return march_rays(rays_o, rays_d, bitfield, cfg, key)

@@ -78,17 +78,28 @@ class Trainer:
         params=None,
         occupancy_cfg=None,
         march_cfg=None,
+        mesh=None,
     ):
         """march_cfg + occupancy_cfg together enable the occupancy-grid fast
         path (the reference's `-O`/cuda_ray mode, main_nerf.py:66-69); without
-        them training uses the dense differentiable path."""
+        them training uses the dense differentiable path.
+
+        mesh: optional jax.sharding.Mesh — rays are sharded across its "data"
+        axis inside the jitted step (data parallelism; replaces the
+        reference's vestigial DDP, utils.py:267-268, 305-307)."""
         self.cfg = cfg
         self.rcfg = rcfg
         self.opt = opt
         self.occupancy_cfg = occupancy_cfg
         self.march_cfg = march_cfg
+        self.mesh = mesh
         if march_cfg is not None and occupancy_cfg is None:
             raise ValueError("march_cfg requires occupancy_cfg")
+        if mesh is not None and opt.num_rays % mesh.devices.size != 0:
+            raise ValueError(
+                f"num_rays ({opt.num_rays}) must divide evenly across "
+                f"{mesh.devices.size} devices"
+            )
         self.epoch = 0
         self.global_step = 0
         self.stats = {"loss": [], "valid_loss": [], "results": [], "best_result": None}
@@ -153,6 +164,7 @@ class Trainer:
         cfg, rcfg, opt = self.cfg, self.rcfg, self.opt
         optimizer = self.optimizer
         mcfg = self.march_cfg
+        mesh = self.mesh
 
         def train_step(state: TrainState, arrays, idx, key):
             pose = arrays["poses"][idx]
@@ -163,6 +175,15 @@ class Trainer:
             emap = None if state.error_maps is None else state.error_maps[idx]
             rays = get_rays(pose, intr, H, W, opt.num_rays, k_ray, emap)
             gt = image.reshape(H * W, C)[rays["inds"]]  # (n, C)
+            if mesh is not None:
+                # shard rays + targets over the data axis: XLA SPMD splits
+                # the render/MLP across devices and psums grads over ICI
+                from nerfnav_tpu.parallel.sharding import shard_rays
+
+                rays = {**rays, **shard_rays(
+                    {"rays_o": rays["rays_o"], "rays_d": rays["rays_d"]}, mesh
+                )}
+                gt = shard_rays(gt, mesh)
 
             if opt.bg_train == "random":
                 bg = jax.random.uniform(k_bg, (opt.num_rays, 3))
@@ -180,7 +201,7 @@ class Trainer:
                     from nerfnav_tpu.models import render_rays_grid
 
                     out = render_rays_grid(
-                        make_field(p, cfg), state.occupancy["bitfield"], mcfg,
+                        make_field(p, cfg), state.occupancy, mcfg,
                         rays["rays_o"], rays["rays_d"], key=k_perturb,
                         bg_color=bg,
                     )
@@ -230,9 +251,9 @@ class Trainer:
             from nerfnav_tpu.models import render_rays_grid
 
             @partial(jax.jit, static_argnums=(4,))
-            def render_chunk(params, bitfield, rays_o, rays_d, bg_color: float):
+            def render_chunk(params, occupancy, rays_o, rays_d, bg_color: float):
                 return render_rays_grid(
-                    make_field(params, cfg), bitfield, mcfg, rays_o, rays_d,
+                    make_field(params, cfg), occupancy, mcfg, rays_o, rays_d,
                     bg_color=bg_color,
                 )
         else:
@@ -320,8 +341,8 @@ class Trainer:
         pad = (-n) % chunk
         ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
         rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0)), constant_values=1.0)
-        bitfield = (
-            self.state.occupancy["bitfield"]
+        occupancy = (
+            self.state.occupancy
             if (self.march_cfg is not None and self.state is not None
                 and self.state.occupancy is not None)
             else jnp.zeros((1, 1), jnp.uint8)
@@ -329,7 +350,7 @@ class Trainer:
         imgs, depths = [], []
         for i in range(0, n + pad, chunk):
             out = self._render_chunk_fn(
-                params, bitfield, ro[i : i + chunk], rd[i : i + chunk],
+                params, occupancy, ro[i : i + chunk], rd[i : i + chunk],
                 float(bg_color)
             )
             imgs.append(out["image"])
@@ -396,6 +417,29 @@ class Trainer:
             except Exception as e:  # codec availability varies
                 self.log(f"mp4 write failed ({e}); pngs saved")
         return frames
+
+    def save_mesh(self, path: str | None = None, resolution: int = 256,
+                  threshold: float = 10.0):
+        """Marching-tets mesh export of the density field
+        (reference utils.py:533-553 `save_mesh`)."""
+        from nerfnav_tpu.models import network as net
+        from nerfnav_tpu.utils.mesh import extract_geometry, save_obj, save_ply
+
+        params = self.state.ema_params if self.state else self.params
+        cfg = self.cfg
+
+        def density_fn(x):
+            return net.density(params, x, cfg)["sigma"]
+
+        verts, faces, _ = extract_geometry(
+            density_fn, cfg.bound, resolution=resolution, threshold=threshold
+        )
+        path = path or os.path.join(
+            self.workspace, "meshes", f"{self.opt.name}_{self.epoch}.ply"
+        )
+        (save_ply if path.endswith(".ply") else save_obj)(path, verts, faces)
+        self.log(f"mesh saved to {path}: {len(verts)} verts, {len(faces)} faces")
+        return path
 
     @staticmethod
     def _save_image(path, img):

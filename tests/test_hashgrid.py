@@ -113,6 +113,78 @@ class TestEncode:
             rtol=1e-5, atol=1e-7,
         )
 
+    def test_cell_layout_shapes_and_grads(self):
+        """TPU-fast cell layout: one wide row per cell; same API surface."""
+        c = HashGridConfig(input_dim=3, num_levels=4, level_dim=2,
+                           base_resolution=4, log2_hashmap_size=9,
+                           desired_resolution=32, layout="cell")
+        assert c.row_dim == 16
+        table = hash_grid_init(jax.random.PRNGKey(0), c)
+        assert table.shape == (c.total_params, 16)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (21, 3), minval=-1, maxval=1)
+        out = hash_grid_encode(table, x, c, bound=1.0)
+        assert out.shape == (21, c.output_dim)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+        @jax.jit
+        def loss(t):
+            return jnp.sum(hash_grid_encode(t, x, c) ** 2)
+
+        g = jax.jit(jax.grad(loss))(table)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_cell_layout_interpolates_within_cell(self):
+        """Inside one cell the encoding is trilinear in position."""
+        c = HashGridConfig(input_dim=3, num_levels=1, level_dim=2,
+                           base_resolution=4, log2_hashmap_size=10, layout="cell")
+        table = jnp.asarray(
+            np.random.default_rng(0).normal(size=(c.total_params, c.row_dim)),
+            jnp.float32,
+        )
+        # points along a line inside cell (1,1,1): x01 in (0.25, 0.5)
+        ts = np.linspace(0.26, 0.49, 7)
+        x = jnp.asarray(np.stack([ts, ts, ts], -1) * 2 - 1, jnp.float32)
+        out = np.asarray(hash_grid_encode(table, x, c))
+        # trilinear along the diagonal is cubic in t; check smoothness via
+        # third differences being continuous (no jumps)
+        d = np.diff(out[:, 0])
+        assert np.all(np.isfinite(d))
+        assert np.abs(np.diff(d)).max() < 1.0  # no discontinuity spikes
+
+    def test_cell_layout_trains_like_corner(self):
+        """Both layouts can regress a target field to similar loss."""
+        import optax
+
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (512, 3), minval=-1, maxval=1)
+        target = jnp.sin(3.0 * x[:, 0:1]) * jnp.cos(2.0 * x[:, 1:2])  # (512,1)
+        losses = {}
+        for layout in ["corner", "cell"]:
+            c = HashGridConfig(input_dim=3, num_levels=4, level_dim=2,
+                               base_resolution=4, log2_hashmap_size=8,
+                               desired_resolution=16, layout=layout)
+            table = hash_grid_init(rng, c)
+            w = jax.random.normal(jax.random.PRNGKey(2), (c.output_dim, 1)) * 0.3
+            params = {"t": table, "w": w}
+            opt = optax.adam(1e-2)
+            st = opt.init(params)
+
+            @jax.jit
+            def step(params, st):
+                def loss_fn(p):
+                    f = hash_grid_encode(p["t"], x, c)
+                    return jnp.mean((f @ p["w"] - target) ** 2)
+
+                l, g = jax.value_and_grad(loss_fn)(params)
+                u, st2 = opt.update(g, st)
+                return optax.apply_updates(params, u), st2, l
+
+            for _ in range(300):
+                params, st, l = step(params, st)
+            losses[layout] = float(l)
+        assert losses["cell"] < losses["corner"] * 3 + 1e-3, losses
+
     def test_2d_grid(self):
         """Background model uses a 2D hash grid (reference network.py:71-92)."""
         c = HashGridConfig(input_dim=2, num_levels=4, level_dim=2,

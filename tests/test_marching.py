@@ -113,6 +113,54 @@ class TestMarch:
         assert np.isfinite(float(f(o)))
 
 
+class TestTwoPhase:
+    def _setup(self, cfg):
+        from nerfnav_tpu.ops.morton import packbits as pb
+
+        H = cfg.grid_size
+        idx = np.arange(H**3)
+        c = (np.stack([idx // (H * H), (idx // H) % H, idx % H], -1) + 0.5) / H * 2 - 1
+        occ = np.linalg.norm(c * cfg.bound, axis=-1) < 0.55
+        bf = jnp.stack([pb(jnp.asarray(occ.astype(np.float32)))])
+        f = cfg.coarse_factor
+        hc = H // f
+        occ_c = occ.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
+        bfc = jnp.stack([pb(jnp.asarray(occ_c.astype(np.float32)))])
+        return bf, bfc
+
+    def test_matches_single_phase(self, cfg):
+        """Two-phase sample set == single-phase on the same occupancy."""
+        from nerfnav_tpu.ops.marching import march_rays_two_phase
+
+        bf, bfc = self._setup(cfg)
+        rng = np.random.default_rng(0)
+        o = jnp.asarray(
+            np.concatenate([rng.uniform(-0.4, 0.4, (16, 2)),
+                            np.full((16, 1), -1.6)], -1), jnp.float32)
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (16, 1))
+        m1 = march_rays(o, d, bf, cfg)
+        m2 = march_rays_two_phase(o, d, bf, bfc, cfg)
+        v1, v2 = np.asarray(m1["valid"]), np.asarray(m2["valid"])
+        z1, z2 = np.asarray(m1["z"]), np.asarray(m2["z"])
+        # float-epsilon cell-boundary grazing can shift one sample in/out;
+        # demand near-identical sample sets per ray
+        for r in range(v1.shape[0]):
+            assert abs(int(v1[r].sum()) - int(v2[r].sum())) <= 1, r
+            k = min(int(v1[r].sum()), int(v2[r].sum()))
+            np.testing.assert_allclose(z1[r, :k], z2[r, :k], atol=2e-2)
+
+    def test_dispatch(self, cfg):
+        from nerfnav_tpu.ops.marching import march
+
+        bf, bfc = self._setup(cfg)
+        o = jnp.array([[0.0, 0.0, -1.5]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        m_dict = march(o, d, {"bitfield": bf, "bitfield_coarse": bfc}, cfg)
+        m_arr = march(o, d, bf, cfg)
+        np.testing.assert_array_equal(np.asarray(m_dict["valid"]),
+                                      np.asarray(m_arr["valid"]))
+
+
 class TestGridRenderer:
     def _field(self, radius=0.5):
         def density_fn(x):

@@ -67,6 +67,21 @@ def test_background_net():
     assert rgb.shape == (5, 3)
 
 
+def test_fused_mlp_backend_matches_xla(small_cfg, params):
+    """--ff parity: fused backend output == xla backend (same params)."""
+    import dataclasses
+
+    cfg_ff = dataclasses.replace(small_cfg, mlp_backend="fused")
+    x = jax.random.uniform(jax.random.PRNGKey(5), (16, 3), minval=-1, maxval=1)
+    d = jax.random.normal(jax.random.PRNGKey(6), (16, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    s1, r1 = forward(params, x, d, small_cfg)
+    s2, r2 = forward(params, x, d, cfg_ff)
+    # fused computes in bf16: tolerances accordingly
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=0.1, atol=0.05)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=0.1, atol=0.05)
+
+
 def test_jit_forward(params, small_cfg):
     f = jax.jit(lambda x, d: forward(params, x, d, small_cfg))
     x = jnp.zeros((4, 3))
