@@ -1,0 +1,67 @@
+"""Training throughput benchmark on the current default device.
+
+Measures jitted train-step rate at the reference workload shape
+(4096 rays/step, full-size field, occupancy fast path, 800x800 images) on a
+synthetic in-memory scene. Prints a JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main(num_rays=4096, steps=50, H=800, W=800, layout="cell"):
+    import jax
+    import jax.numpy as jnp
+
+    from nerfnav_tpu.models import NetworkConfig, RenderConfig
+    from nerfnav_tpu.models.occupancy import OccupancyConfig
+    from nerfnav_tpu.ops.marching import MarchConfig
+    from nerfnav_tpu.training import Trainer, TrainerOptions
+
+    cfg = NetworkConfig(bound=1.0, mlp_dtype="bfloat16", grid_layout=layout,
+                        grid_log2_hashmap_size=16 if layout == "cell" else 19)
+    rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.2)
+    opt = TrainerOptions(name="bench", workspace="/tmp/nerfnav_train_bench",
+                         num_rays=num_rays, use_checkpoint="scratch",
+                         bg_train="random")
+    occ = OccupancyConfig(bound=1.0)
+    march = MarchConfig(bound=1.0, samples_per_ray=32)
+    tr = Trainer(cfg, rcfg, opt, occupancy_cfg=occ, march_cfg=march)
+
+    rng = np.random.default_rng(0)
+    n_img = 4
+    arrays = {
+        "poses": jnp.asarray(
+            np.tile(np.eye(4, dtype=np.float32)[None], (n_img, 1, 1))
+        ).at[:, 2, 3].set(-1.8),
+        "images": jnp.asarray(rng.random((n_img, H, W, 4)), jnp.float32),
+        "intrinsics": jnp.asarray([1000.0, 1000.0, W / 2, H / 2]),
+    }
+    tr.state = tr._init_state(n_img)
+    # seed the occupancy grid once (not timed; amortized 1/16 in practice)
+    tr._maybe_update_occupancy()
+    step_fn = tr._build_train_step(H, W, 4)
+
+    key = jax.random.PRNGKey(0)
+    state = tr.state
+    state, loss = step_fn(state, arrays, jnp.asarray(0), key)  # compile
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for s in range(steps):
+        key, sub = jax.random.split(key)
+        state, loss = step_fn(state, arrays, jnp.asarray(s % n_img), sub)
+    loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / steps
+    print(json.dumps({
+        "metric": "train_steps_per_sec",
+        "value": round(1.0 / dt, 2),
+        "unit": "steps/s",
+        "rays_per_step": num_rays,
+        "train_rays_per_sec": round(num_rays / dt),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,15 @@ def main(argv=None):
 
     train_ds = NeRFDataset(ds_opt, split="train")
     val_ds = NeRFDataset(ds_opt, split="val")
+
+    if opt.gui:
+        from nerfnav_tpu.gui import NeRFGUI
+
+        gui = NeRFGUI(trainer, train_ds, W=opt.W, H=opt.H, radius=opt.radius,
+                      fovy=opt.fovy, max_spp=opt.max_spp)
+        gui.serve(port=7860)
+        return
+
     steps_per_epoch = max(len(train_ds), 100)
     max_epochs = max(opt.iters // steps_per_epoch, 1)
     trainer.train(train_ds, valid_ds=val_ds, max_epochs=max_epochs,

@@ -418,6 +418,50 @@ class Trainer:
                 self.log(f"mp4 write failed ({e}); pngs saved")
         return frames
 
+    # ------------------------------------------------------------- GUI hooks
+    def train_gui(self, train_ds, step: int = 16):
+        """Run `step` training iterations and report timing — the hook the
+        interactive viewer drives (reference utils.py:641-700 `train_gui`)."""
+        arrays = train_ds.as_arrays()
+        H, W = train_ds.H, train_ds.W
+        C = arrays["images"].shape[-1]
+        if self.state is None:
+            self.state = self._init_state(len(train_ds))
+        if self._train_step_fn is None:
+            self._train_step_fn = self._build_train_step(H, W, C)
+        rng = np.random.default_rng(self.opt.seed + self.global_step)
+        t0 = time.time()
+        total = 0.0
+        for _ in range(step):
+            self._maybe_update_occupancy()
+            idx = int(rng.integers(len(train_ds)))
+            self.key, sub = jax.random.split(self.key)
+            self.state, loss = self._train_step_fn(
+                self.state, arrays, jnp.asarray(idx), sub
+            )
+            self.global_step += 1
+            total += float(loss)
+        dt = time.time() - t0
+        return {"loss": total / step, "time": dt,
+                "steps_per_sec": step / max(dt, 1e-9)}
+
+    def test_gui(self, pose, intrinsics, W, H, bg_color=1.0, spp=1,
+                 downscale=1.0):
+        """Render one interactive frame at `downscale` resolution — the
+        viewer's render hook (reference utils.py:703-752 `test_gui`)."""
+        rh, rw = max(int(H * downscale), 8), max(int(W * downscale), 8)
+        intr = np.asarray(intrinsics, np.float32) * downscale
+        params = self.state.ema_params if self.state else self.params
+        t0 = time.time()
+        image, depth = self.render_full(params, pose, intr, rh, rw, bg_color)
+        dt = time.time() - t0
+        img = np.asarray(image)
+        if (rh, rw) != (H, W):
+            import cv2
+
+            img = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
+        return {"image": img, "time": dt}
+
     def save_mesh(self, path: str | None = None, resolution: int = 256,
                   threshold: float = 10.0):
         """Marching-tets mesh export of the density field
