@@ -12,6 +12,11 @@ import time
 import numpy as np
 
 
+from nerfnav_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+
 def main():
     import jax
     import jax.numpy as jnp

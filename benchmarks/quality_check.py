@@ -1,0 +1,74 @@
+"""At-scale quality validation: train the full-size field on a synthetic
+scene with the occupancy fast path and report eval PSNR — validates the
+whole training stack (march + encode + MLP + occupancy maintenance) on real
+hardware, and compares the reference-exact `corner` hash layout with the
+TPU-fast `cell` layout.
+
+Usage: python benchmarks/quality_check.py [--steps 1500] [--layout cell|corner|both]
+"""
+
+import argparse
+import json
+import tempfile
+import time
+
+
+def run(layout: str, scene_dir: str, steps: int):
+    from nerfnav_tpu.data import NeRFDataset
+    from nerfnav_tpu.data.provider import DatasetOptions
+    from nerfnav_tpu.models import NetworkConfig, RenderConfig
+    from nerfnav_tpu.models.occupancy import OccupancyConfig
+    from nerfnav_tpu.ops.marching import MarchConfig
+    from nerfnav_tpu.training import Trainer, TrainerOptions
+
+    train_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "train")
+    val_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "val")
+
+    cfg = NetworkConfig(
+        bound=1.0, mlp_dtype="bfloat16", grid_layout=layout,
+        grid_log2_hashmap_size=16 if layout == "cell" else 19,
+    )
+    rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
+    opt = TrainerOptions(
+        name=f"q_{layout}", workspace=tempfile.mkdtemp(), lr=1e-2, iters=steps,
+        num_rays=4096, use_checkpoint="scratch", bg_train="white",
+    )
+    tr = Trainer(cfg, rcfg, opt,
+                 occupancy_cfg=OccupancyConfig(bound=1.0, min_near=0.05,
+                                               density_thresh=5.0),
+                 march_cfg=MarchConfig(bound=1.0, samples_per_ray=32,
+                                       min_near=0.05))
+    t0 = time.time()
+    tr.train(train_ds, max_epochs=1, steps_per_epoch=steps)
+    train_time = time.time() - t0
+    psnr = tr.evaluate(val_ds, use_ema=True)
+    return {"layout": layout, "psnr": round(psnr, 2),
+            "train_time_s": round(train_time, 1),
+            "steps_per_sec": round(steps / train_time, 2)}
+
+
+from nerfnav_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--layout", default="both")
+    p.add_argument("--res", type=int, default=128)
+    args = p.parse_args()
+
+    from nerfnav_tpu.data.synthetic import make_synthetic_scene, textured_sphere_field
+
+    scene_dir = tempfile.mkdtemp()
+    make_synthetic_scene(scene_dir, field=textured_sphere_field(),
+                         n_train=24, n_val=2, H=args.res, W=args.res,
+                         num_steps=256)
+    layouts = ["cell", "corner"] if args.layout == "both" else [args.layout]
+    for layout in layouts:
+        print(json.dumps(run(layout, scene_dir, args.steps)))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,11 @@ import time
 import numpy as np
 
 
+from nerfnav_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+
 def main(num_rays=4096, steps=50, H=800, W=800, layout="cell"):
     import jax
     import jax.numpy as jnp

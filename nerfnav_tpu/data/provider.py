@@ -175,7 +175,8 @@ class NeRFDataset:
 
         poses, images = [], []
         if mode == "colmap" and split == "test":
-            poses = self._interpolate_test_path(frames, n_test)
+            poses = self._interpolate_test_path(frames, n_test, opt.scale,
+                                                opt.offset)
             images = None
         else:
             for fr in frames:
@@ -225,7 +226,8 @@ class NeRFDataset:
             self.error_map = None
 
     @staticmethod
-    def _interpolate_test_path(frames, n_test: int):
+    def _interpolate_test_path(frames, n_test: int, scale: float = 0.33,
+                               offset=(0, 0, 0)):
         """Slerp-interpolated smooth camera path (reference provider.py:163-191)."""
         from scipy.spatial.transform import Rotation, Slerp
 
@@ -240,7 +242,7 @@ class NeRFDataset:
             pose = np.eye(4, dtype=np.float32)
             pose[:3, :3] = slerp(ratio).as_matrix()
             pose[:3, 3] = (1 - ratio) * p0[:3, 3] + ratio * p1[:3, 3]
-            poses.append(nerf_matrix_to_ngp(pose))
+            poses.append(nerf_matrix_to_ngp(pose, scale, offset))
         return np.stack(poses)
 
     def __len__(self):

@@ -113,10 +113,20 @@ def _update_partial(state, cfg: OccupancyConfig, params, net_cfg, key):
     tmp = jnp.full_like(grid, -1.0)
     for cas in range(cfg.cascades):
         key, k1, k2, k3 = jax.random.split(key, 4)
-        # half uniform random cells, half occupied-biased (renderer.py:478-494)
+        # half uniform random cells, half occupied-biased (renderer.py:478-494).
+        # Occupied sampling via inverse-CDF searchsorted over the occupancy
+        # mask cumsum — O(n log n); jax.random.categorical over 2M categories
+        # would materialize a (draws x cells) Gumbel tensor (13s/update).
         rand_cells = jax.random.randint(k1, (n_sample // 2,), 0, cfg.n_cells)
-        occ_logits = jnp.where(grid[cas] > 0, 0.0, -30.0)
-        occ_cells = jax.random.categorical(k2, occ_logits, shape=(n_sample // 2,))
+        occ_mask = (grid[cas] > 0).astype(jnp.float32)
+        cdf = jnp.cumsum(occ_mask)
+        total = cdf[-1]
+        u = jax.random.uniform(k2, (n_sample // 2,)) * jnp.maximum(total, 1.0)
+        occ_cells = jnp.clip(
+            jnp.searchsorted(cdf, u, side="right"), 0, cfg.n_cells - 1
+        )
+        # no occupied cells yet -> fall back to uniform
+        occ_cells = jnp.where(total > 0, occ_cells, rand_cells)
         cells = jnp.concatenate([rand_cells, occ_cells])
         sig = _query_cells(params, net_cfg, cfg, cells, cas, k3)
         tmp = tmp.at[cas, cells].max(sig * net_cfg.density_scale)

@@ -273,7 +273,15 @@ def render_rays_grid(
 
     n = rays_o.shape[0]
     m = march(rays_o, rays_d, occupancy, mcfg, key=key)
-    z, dt, valid = m["z"], m["dt"], m["valid"]
+    # marching runs under no-grad (reference raymarching custom_fwd
+    # cast/no-grad semantics): without this, autodiff drags a backward pass
+    # through the compaction scatters and candidate lattice for gradients
+    # nobody consumes (the nav stack differentiates the DENSE path).
+    z, dt, valid = (
+        jax.lax.stop_gradient(m["z"]),
+        jax.lax.stop_gradient(m["dt"]),
+        m["valid"],
+    )
     k = z.shape[1]
 
     pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
