@@ -58,7 +58,8 @@ class TestEncode:
         x = jnp.asarray(2 * x01 - 1)[None].astype(jnp.float32)
         out = hash_grid_encode(table, x, c, bound=1.0)
         flat = (v[0] * 5 + v[1]) * 5 + v[2]
-        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(table[flat]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(table[0][flat]),
+                                   rtol=1e-4)
 
     def test_continuity(self, cfg):
         """Encoding is continuous: tiny input perturbation -> tiny output change."""
@@ -78,15 +79,22 @@ class TestEncode:
         def loss(t):
             return jnp.sum(hash_grid_encode(t, x, cfg) * w)
 
-        g = np.asarray(jax.jit(jax.grad(loss))(table))
-        # check a handful of the touched entries by finite differences
-        touched = np.argwhere(np.abs(g) > 1e-8)[:10]
+        g = jax.jit(jax.grad(loss))(table)
+        # check a handful of the touched entries (per level) by finite diffs
         eps = 1e-3
-        for i, j in touched:
-            tp = table.at[i, j].add(eps)
-            tm = table.at[i, j].add(-eps)
-            fd = (float(loss(tp)) - float(loss(tm))) / (2 * eps)
-            np.testing.assert_allclose(g[i, j], fd, rtol=1e-2, atol=1e-5)
+        checked = 0
+        for lvl, g_l in enumerate(g):
+            g_l = np.asarray(g_l)
+            touched = np.argwhere(np.abs(g_l) > 1e-8)[:3]
+            for i, j in touched:
+                tp = [t.at[i, j].add(eps) if k == lvl else t
+                      for k, t in enumerate(table)]
+                tm = [t.at[i, j].add(-eps) if k == lvl else t
+                      for k, t in enumerate(table)]
+                fd = (float(loss(tp)) - float(loss(tm))) / (2 * eps)
+                np.testing.assert_allclose(g_l[i, j], fd, rtol=1e-2, atol=1e-5)
+                checked += 1
+        assert checked >= 4
 
     def test_grad_wrt_input(self, cfg):
         table = hash_grid_init(jax.random.PRNGKey(0), cfg)
@@ -120,7 +128,8 @@ class TestEncode:
                            desired_resolution=32, layout="cell")
         assert c.row_dim == 16
         table = hash_grid_init(jax.random.PRNGKey(0), c)
-        assert table.shape == (c.total_params, 16)
+        assert sum(t.shape[0] for t in table) == c.total_params
+        assert all(t.shape[1] == 16 for t in table)
         x = jax.random.uniform(jax.random.PRNGKey(1), (21, 3), minval=-1, maxval=1)
         out = hash_grid_encode(table, x, c, bound=1.0)
         assert out.shape == (21, c.output_dim)
@@ -131,17 +140,19 @@ class TestEncode:
             return jnp.sum(hash_grid_encode(t, x, c) ** 2)
 
         g = jax.jit(jax.grad(loss))(table)
-        assert np.all(np.isfinite(np.asarray(g)))
-        assert float(jnp.abs(g).max()) > 0
+        assert all(np.all(np.isfinite(np.asarray(gl))) for gl in g)
+        assert max(float(jnp.abs(gl).max()) for gl in g) > 0
 
     def test_cell_layout_interpolates_within_cell(self):
         """Inside one cell the encoding is trilinear in position."""
         c = HashGridConfig(input_dim=3, num_levels=1, level_dim=2,
                            base_resolution=4, log2_hashmap_size=10, layout="cell")
-        table = jnp.asarray(
-            np.random.default_rng(0).normal(size=(c.total_params, c.row_dim)),
-            jnp.float32,
-        )
+        table = [
+            jnp.asarray(
+                np.random.default_rng(0).normal(size=(s, c.row_dim)), jnp.float32
+            )
+            for s in c.level_sizes
+        ]
         # points along a line inside cell (1,1,1): x01 in (0.25, 0.5)
         ts = np.linspace(0.26, 0.49, 7)
         x = jnp.asarray(np.stack([ts, ts, ts], -1) * 2 - 1, jnp.float32)
