@@ -406,6 +406,13 @@ class Trainer:
             self._save_image(
                 os.path.join(out_dir, f"{name or self.opt.name}_{i:04d}.png"), img8
             )
+            # depth dump (reference test_step saves depth too, utils.py:626-633)
+            d = np.asarray(depth)
+            d = d / max(float(d.max()), 1e-6)
+            self._save_image(
+                os.path.join(out_dir, f"{name or self.opt.name}_{i:04d}_depth.png"),
+                d,
+            )
         if write_video and frames:
             try:
                 import imageio.v2 as imageio
