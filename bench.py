@@ -37,9 +37,11 @@ def main():
     BOUND = 2.0
     H = W = 800
     # TPU-flagship field config: cell-layout hash tables (one wide gather per
-    # level instead of 8 narrow ones) + bf16 MLP compute
+    # level instead of 8 narrow ones), 8 levels x 4 features (same 32-dim
+    # output as 16x2, half the gathers) + bf16 MLP compute
     cfg = NetworkConfig(bound=BOUND, mlp_dtype="bfloat16", grid_layout="cell",
-                        grid_log2_hashmap_size=16)
+                        grid_log2_hashmap_size=16, grid_levels=8,
+                        grid_level_dim=4)
     mcfg = MarchConfig(bound=BOUND, grid_size=128, max_steps=1024,
                       samples_per_ray=32, min_near=0.2)
     params = init_network(jax.random.PRNGKey(0), cfg)

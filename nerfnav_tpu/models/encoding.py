@@ -8,7 +8,6 @@ output_dim); encoders without parameters have init_fn = None.
 
 from functools import partial
 
-import jax.numpy as jnp
 
 from nerfnav_tpu.ops.frequency import freq_encode, freq_output_dim
 from nerfnav_tpu.ops.hashgrid import HashGridConfig, hash_grid_encode, hash_grid_init

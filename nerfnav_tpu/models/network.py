@@ -20,7 +20,7 @@ differentiate through the field in a single compiled step. Linear layers carry
 no bias (reference network.py:38,62: bias=False).
 """
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from functools import cached_property
 import math
 

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from nerfnav_tpu.nav.math_utils import rot_matrix_to_vec, skew_matrix, vec_to_rot_matrix
+from nerfnav_tpu.nav.math_utils import rot_matrix_to_vec, vec_to_rot_matrix
 
 
 @dataclass(frozen=True)

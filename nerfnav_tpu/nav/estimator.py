@@ -25,7 +25,7 @@ one compiled program.
 
 import json
 import os
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -33,12 +33,7 @@ import numpy as np
 import optax
 
 from nerfnav_tpu.nav.dynamics import DynamicsConfig, drone_dynamics
-from nerfnav_tpu.nav.math_utils import (
-    calc_se3_err,
-    mahalanobis,
-    nearest_pd,
-    vec_to_rot_matrix,
-)
+from nerfnav_tpu.nav.math_utils import calc_se3_err, nearest_pd
 
 
 def find_poi(img_uint8: np.ndarray, max_features: int = 100):

@@ -12,7 +12,6 @@ All jnp functions are jit/grad-safe (the planner and filter differentiate
 through Rodrigues and the log map thousands of times per solve).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -26,7 +26,7 @@ it testable without a trained model (reference quad_plot.py:442-443).
 
 import json
 import os
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

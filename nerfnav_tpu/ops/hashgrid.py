@@ -20,7 +20,7 @@ A Pallas fused gather+interp kernel can be slotted in behind the same
 `hash_grid_encode` signature once profiling justifies it (ops/hashgrid_pallas).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 import math
 

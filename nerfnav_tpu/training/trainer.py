@@ -18,10 +18,9 @@ bf16 (TPU-native) instead of fp16 GradScaler: params fp32, MLP compute bf16
 via NetworkConfig.mlp_dtype; no loss scaling needed for bf16.
 """
 
-import json
 import os
 import time
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional
 
