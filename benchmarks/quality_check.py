@@ -30,7 +30,7 @@ def run(layout: str, scene_dir: str, steps: int):
     )
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
     opt = TrainerOptions(
-        name=f"q_{layout}", workspace=tempfile.mkdtemp(), lr=1e-2, iters=steps,
+        name=f"q_{layout}", workspace=tempfile.mkdtemp(), lr=1e-2, iters=30000,
         num_rays=4096, use_checkpoint="scratch", bg_train="white",
     )
     tr = Trainer(cfg, rcfg, opt,

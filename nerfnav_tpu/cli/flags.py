@@ -80,6 +80,9 @@ def make_configs(opt, for_nav: bool = False):
         bound=opt.bound,
         bg_radius=opt.bg_radius,
         mlp_dtype="bfloat16" if opt.fp16 else "float32",
+        # --ff / --tcnn both map to the Pallas fused-MLP backend on TPU
+        # (reference network_ff.py / network_tcnn.py backbone selection)
+        mlp_backend="fused" if (opt.ff or opt.tcnn) else "xla",
     )
     rcfg = RenderConfig(
         num_steps=opt.num_steps,

@@ -36,7 +36,10 @@ def main(argv=None):
         trainer.state = trainer._init_state(len(val_ds))
         trainer._maybe_resume()
         trainer.evaluate(val_ds)
-        test_ds = NeRFDataset(ds_opt, split="test")
+        try:
+            test_ds = NeRFDataset(ds_opt, split="test")
+        except FileNotFoundError:
+            test_ds = val_ds  # no test split: render the val path instead
         trainer.test(test_ds, write_video=True)
         return
 

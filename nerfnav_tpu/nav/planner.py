@@ -290,22 +290,27 @@ class Planner:
         params = {"states": self.states, "initial_accel": self.initial_accel}
         opt_state = self.opt.init(params)
         losses = []
-        for ep in range(epochs):
-            if self.cfg.fade_out_epoch > 0:
-                t = self.cfg.T + 4
-                progress = min(ep / self.cfg.fade_out_epoch, 1.0) * t
-                fade = jax.nn.sigmoid(
-                    (progress - jnp.arange(t)) * self.cfg.fade_out_sharpness
+        try:
+            for ep in range(epochs):
+                if self.cfg.fade_out_epoch > 0:
+                    t = self.cfg.T + 4
+                    progress = min(ep / self.cfg.fade_out_epoch, 1.0) * t
+                    fade = jax.nn.sigmoid(
+                        (progress - jnp.arange(t)) * self.cfg.fade_out_sharpness
+                    )
+                else:
+                    fade = jnp.ones((self.cfg.T + 4,))
+                params, opt_state, loss = self._step(
+                    params, opt_state, self.start_state, self.end_state, fade
                 )
-            else:
-                fade = jnp.ones((self.cfg.T + 4,))
-            params, opt_state, loss = self._step(
-                params, opt_state, self.start_state, self.end_state, fade
-            )
-            losses.append(float(loss))
-            if self.workspace and ep % self.cfg.save_every == 0:
-                self._save_artifacts(tag, ep, params, float(loss))
-            self.epoch += 1
+                losses.append(float(loss))
+                if self.workspace and ep % self.cfg.save_every == 0:
+                    self._save_artifacts(tag, ep, params, float(loss))
+                self.epoch += 1
+        except KeyboardInterrupt:
+            # graceful early stop keeps the current solution
+            # (reference quad_plot.py:276-277)
+            pass
         self.states = params["states"]
         self.initial_accel = params["initial_accel"]
         return losses

@@ -143,23 +143,48 @@ def near_far_aabb(rays_o, rays_d, bound: float, min_near: float):
     return near, far
 
 
-def _compact_first_k(occ, z, dtv, k):
-    """Keep each ray's first k True candidates.
+def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None):
+    """Keep k of each ray's True candidates under a static budget.
 
     occ: (N, T) bool; z: (N, T); dtv: (N, T) or (T,) broadcastable.
     Returns (z_buf, dt_buf, valid) each (N, k).
 
-    Implemented with lax.top_k over the key `occ ? (T - t) : 0` — the k
-    largest keys are exactly the first k occupied candidates in ascending t
-    order. Measured 3.4x faster than the equivalent cumsum-slot scatter on
-    TPU (scatters serialize; top_k is a vectorized reduction)."""
+    spread=True (budget-adaptive stride): when a ray has more than k occupied
+    candidates, every stride-th one is kept (stride = ceil(count/k)) and its
+    dt is scaled by stride — the budget then SPANS the whole [near, far]
+    segment instead of truncating at the first k samples. Truncation starves
+    far geometry of gradient while the early occupancy grid is still dense
+    (the field behind the cutoff never trains and the grid never carves); the
+    reference never hits this because its per-ray cap is the full 1024 steps
+    (raymarching.cu:314-495). As the grid converges, count <= k and the
+    scheme reduces to exact first-k marching.
+
+    key (optional PRNGKey) randomizes the stride PHASE per ray (stratified
+    sampling): a fixed phase couples the sampled dt lattice to the density
+    field itself, which slowly biases long training runs (observed as
+    creeping density inflation); a random phase makes the thinned composite
+    an unbiased estimator of the full-resolution one.
+
+    Selection is lax.top_k over the key `kept ? (T - t) : 0` — the k largest
+    keys are the kept candidates in ascending t order. Measured 3.4x faster
+    than the equivalent cumsum-slot scatter on TPU (scatters serialize)."""
     n, t = occ.shape
+    dtv = jnp.broadcast_to(dtv, (n, t))
+    if spread:
+        cnt = jnp.sum(occ, axis=1, keepdims=True)
+        stride = jnp.maximum((cnt + k - 1) // k, 1)          # (N, 1)
+        if key is not None:
+            phase = jax.random.randint(key, (n, 1), 0, 2**30) % stride
+        else:
+            phase = jnp.zeros((n, 1), stride.dtype)
+        slot = jnp.cumsum(occ, axis=1) - 1
+        occ = occ & (slot % stride == phase)
+        dtv = dtv * stride.astype(dtv.dtype)
     tidx = jax.lax.broadcasted_iota(jnp.int32, (n, t), 1)
     key = jnp.where(occ, t - tidx, 0)
     vals, idx = jax.lax.top_k(key, k)
     valid = vals > 0
     z_buf = jnp.where(valid, jnp.take_along_axis(z, idx, axis=1), 0.0)
-    dtv = jnp.broadcast_to(dtv, (n, t))
     dt_buf = jnp.where(valid, jnp.take_along_axis(dtv, idx, axis=1), 0.0)
     return z_buf, dt_buf, valid
 
@@ -186,7 +211,9 @@ def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
     t_a = int(np.ceil(span / dt_a))
 
     near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near)
+    k_phase = None
     if key is not None:
+        key, k_phase = jax.random.split(key)
         near = near + jax.random.uniform(key, (n,)) * dt
 
     cfg_coarse = dataclasses.replace(
@@ -214,7 +241,9 @@ def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
         valid_a[:, :, None], (n, cfg.coarse_segments, cfg.coarse_step_mult)
     ).reshape(n, -1)
     occ_b = occ_b & valid_ab & (z_b < far[:, None])
-    z_buf, dt_buf, valid = _compact_first_k(occ_b, z_b, dt, cfg.samples_per_ray)
+    z_buf, dt_buf, valid = _compact_first_k(
+        occ_b, z_b, dt, cfg.samples_per_ray, key=k_phase
+    )
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
 
@@ -236,14 +265,16 @@ def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None):
     t_c = taus.shape[0]
 
     near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near)
+    k_phase = None
     if key is not None:
+        key, k_phase = jax.random.split(key)
         near = near + jax.random.uniform(key, (n,)) * cfg.dt_min
 
     z = near[:, None] + taus[None, :]                     # (N, T)
     pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
     occ = occupancy_lookup(bitfield, pos, dts, cfg)  # numpy dts: static mip
     occ = occ & (z < far[:, None])
-    z_buf, dt_buf, valid = _compact_first_k(occ, z, dts_l[None, :], k)
+    z_buf, dt_buf, valid = _compact_first_k(occ, z, dts_l[None, :], k, key=k_phase)
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
 

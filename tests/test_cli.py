@@ -1,0 +1,50 @@
+"""CLI smoke tests: flag wiring through the real entry points (tiny scale)."""
+
+import os
+
+import pytest
+
+from nerfnav_tpu.data.synthetic import make_synthetic_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_scene")
+    make_synthetic_scene(str(d), n_train=3, n_val=1, H=32, W=32, num_steps=48)
+    return str(d)
+
+
+def test_main_nerf_train_and_test(scene_dir, tmp_path):
+    from nerfnav_tpu.cli.main_nerf import main
+
+    ws = str(tmp_path / "ws")
+    args = [
+        scene_dir, "--workspace", ws, "--scale", "1.0", "--bound", "1.0",
+        "--iters", "30", "--num_rays", "64", "--num_steps", "24",
+        "--upsample_steps", "0", "--min_near", "0.05", "--ckpt", "scratch",
+        "--max_ray_batch", "512",
+    ]
+    main(args)
+    assert os.path.exists(os.path.join(ws, "checkpoints"))
+    assert any(f.endswith(".npz") for f in os.listdir(os.path.join(ws, "checkpoints")))
+    # test mode resumes from the checkpoint and renders the val split
+    main(args[:9] + ["--upsample_steps", "0", "--min_near", "0.05",
+                     "--ckpt", "latest", "--max_ray_batch", "512", "--test"])
+    assert os.path.exists(os.path.join(ws, "results"))
+
+
+@pytest.mark.slow
+def test_simulate_analytic(tmp_path):
+    from nerfnav_tpu.cli.simulate import main
+
+    ws = str(tmp_path / "sim_ws")
+    history = main([
+        ".", "--analytic", "--workspace", ws, "--steps", "4",
+        "--open_loop_steps", "2", "--obs_res", "48", "--obs_focal", "48",
+        "--epochs_init", "60", "--epochs_update", "15",
+        "--estimator_iters", "8", "--estimator_batch", "128",
+        "--start", "-0.7", "0.0", "0.1", "--goal", "0.7", "0.2", "0.1",
+        "--bound", "1.0", "--scale", "1.0",
+    ])
+    assert len(history) == 4
+    assert os.path.exists(os.path.join(ws, "estimator_data"))

@@ -89,12 +89,24 @@ class TestMarch:
         pts_z = zs - 1.5  # world z along the ray
         assert (np.abs(pts_z) < 0.5 + 2 * 2 / cfg.grid_size).all()
 
-    def test_budget_cap(self, cfg):
+    def test_budget_cap_spreads_over_segment(self, cfg):
+        """With more occupied candidates than budget, the kept samples must
+        SPAN [near, far] (stride thinning with dt scaling), not truncate at
+        the first K."""
         bf = make_bitfield(cfg, lambda c: np.ones(c.shape[0], bool))
         o = jnp.array([[0.0, 0.0, -1.5]])
         d = jnp.array([[0.0, 0.0, 1.0]])
         m = march_rays(o, d, bf, cfg)
-        assert np.asarray(m["valid"][0]).sum() == cfg.samples_per_ray
+        valid = np.asarray(m["valid"][0])
+        k = int(valid.sum())
+        assert cfg.samples_per_ray // 2 <= k <= cfg.samples_per_ray
+        z = np.asarray(m["z"][0])[valid]
+        near, far = float(m["near"][0]), float(m["far"][0])
+        assert z.min() < near + 0.1 * (far - near)
+        assert z.max() > far - 0.1 * (far - near)
+        # optical length conserved: sum(dt) ~ full segment length
+        dt_sum = float(np.asarray(m["dt"][0])[valid].sum())
+        np.testing.assert_allclose(dt_sum, far - near, rtol=0.15)
 
     def test_samples_sorted(self, cfg):
         bf = make_bitfield(cfg, lambda c: np.linalg.norm(c, axis=-1) < 0.7)
