@@ -170,6 +170,12 @@ def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None):
     than the equivalent cumsum-slot scatter on TPU (scatters serialize)."""
     n, t = occ.shape
     dtv = jnp.broadcast_to(dtv, (n, t))
+    if t < k:  # fewer candidates than budget (tiny configs): pad
+        pad = k - t
+        occ = jnp.pad(occ, ((0, 0), (0, pad)))
+        z = jnp.pad(z, ((0, 0), (0, pad)))
+        dtv = jnp.pad(dtv, ((0, 0), (0, pad)))
+        t = k
     if spread:
         cnt = jnp.sum(occ, axis=1, keepdims=True)
         stride = jnp.maximum((cnt + k - 1) // k, 1)          # (N, 1)
