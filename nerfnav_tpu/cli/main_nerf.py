@@ -20,8 +20,9 @@ def main(argv=None):
 
     ds_opt = DatasetOptions(
         path=opt.path, scale=opt.scale, offset=tuple(opt.offset),
-        downscale=opt.downscale, preload=opt.preload, fp16=opt.fp16,
-        num_rays=opt.num_rays, error_map=opt.error_map,
+        color_space=opt.color_space, downscale=opt.downscale,
+        preload=opt.preload, fp16=opt.fp16, num_rays=opt.num_rays,
+        error_map=opt.error_map,
     )
     topt = TrainerOptions(
         name="ngp", workspace=opt.workspace, lr=opt.lr, iters=opt.iters,

@@ -128,6 +128,7 @@ class DatasetOptions:
     mode: str = "colmap"  # "colmap" | "blender" (auto-detected if files allow)
     scale: float = 0.33
     offset: tuple = (0.0, 0.0, 0.0)
+    color_space: str = "srgb"  # "srgb" | "linear" (reference --color_space)
     downscale: int = 1
     preload: bool = True
     fp16: bool = False
@@ -186,7 +187,12 @@ class NeRFDataset:
                 if mode == "blender" and not os.path.splitext(fpath)[1]:
                     fpath += ".png"
                 if os.path.exists(fpath):
-                    images.append(_load_image(fpath, opt.downscale))
+                    img = _load_image(fpath, opt.downscale)
+                    if opt.color_space == "linear":
+                        from nerfnav_tpu.training.metrics import srgb_to_linear
+
+                        img[..., :3] = srgb_to_linear(img[..., :3])
+                    images.append(img)
             images = np.stack(images) if images else None
 
         self.poses = np.stack(poses) if isinstance(poses, list) else poses

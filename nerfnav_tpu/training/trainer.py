@@ -57,6 +57,13 @@ class TrainerOptions:
     update_extra_interval: int = 16
     seed: int = 0
     tensorboard: bool = False
+    # Coarse-to-fine marching-step annealing for the grid fast path:
+    # ((threshold, dt_multiplier), ...) — marching starts coarse (the static
+    # budget then spans every ray without field-dependent stride, which
+    # otherwise couples rendering opacity to the learned occupancy and
+    # inflates density over long runs) and refines on a FIXED schedule.
+    # Thresholds <= 1.0 are fractions of `iters`; > 1 are absolute steps.
+    dt_anneal: tuple = ((0.0, 8), (0.05, 4), (0.1, 2), (0.2, 1))
 
 
 class TrainState(NamedTuple):
@@ -126,7 +133,7 @@ class Trainer:
             except ImportError:
                 self.log("tensorboardX unavailable; scalars not written")
 
-        self._train_step_fn = None
+        self._train_step_fns = {}  # (H, W, C, dt_mult) -> jitted step
         self._render_chunk_fn = None
         self.state = None  # built on first train()/resume
 
@@ -159,10 +166,35 @@ class Trainer:
         )
 
     # ------------------------------------------------------------- train step
-    def _build_train_step(self, H, W, C):
+    def _step_fn(self, H, W, C):
+        """Jitted train step for the current anneal phase (cached)."""
+        key = (H, W, C, self._dt_mult())
+        if key not in self._train_step_fns:
+            self._train_step_fns[key] = self._build_train_step(*key)
+        return self._train_step_fns[key]
+
+    def _dt_mult(self) -> int:
+        """Current marching dt multiplier from the anneal schedule."""
+        if self.march_cfg is None:
+            return 1
+        mult = 1
+        for threshold, m in self.opt.dt_anneal:
+            if threshold <= 1.0:
+                threshold = threshold * self.opt.iters
+            if self.global_step >= threshold:
+                mult = m
+        return mult
+
+    def _build_train_step(self, H, W, C, dt_mult: int = 1):
         cfg, rcfg, opt = self.cfg, self.rcfg, self.opt
         optimizer = self.optimizer
         mcfg = self.march_cfg
+        if mcfg is not None and dt_mult > 1:
+            import dataclasses
+
+            mcfg = dataclasses.replace(
+                mcfg, max_steps=max(mcfg.max_steps // dt_mult, 8)
+            )
         mesh = self.mesh
 
         def train_step(state: TrainState, arrays, idx, key):
@@ -275,8 +307,6 @@ class Trainer:
         if self.state is None:
             self.state = self._init_state(len(train_ds))
             self._maybe_resume()
-        if self._train_step_fn is None:
-            self._train_step_fn = self._build_train_step(H, W, C)
         if self.state.occupancy is not None:
             from nerfnav_tpu.models.occupancy import mark_untrained_grid
 
@@ -297,7 +327,7 @@ class Trainer:
                 self._maybe_update_occupancy()
                 idx = int(rng.integers(len(train_ds)))
                 self.key, sub = jax.random.split(self.key)
-                self.state, loss = self._train_step_fn(
+                self.state, loss = self._step_fn(H, W, C)(
                     self.state, arrays, jnp.asarray(idx), sub
                 )
                 self.global_step += 1
@@ -433,8 +463,6 @@ class Trainer:
         C = arrays["images"].shape[-1]
         if self.state is None:
             self.state = self._init_state(len(train_ds))
-        if self._train_step_fn is None:
-            self._train_step_fn = self._build_train_step(H, W, C)
         rng = np.random.default_rng(self.opt.seed + self.global_step)
         t0 = time.time()
         total = 0.0
@@ -442,7 +470,7 @@ class Trainer:
             self._maybe_update_occupancy()
             idx = int(rng.integers(len(train_ds)))
             self.key, sub = jax.random.split(self.key)
-            self.state, loss = self._train_step_fn(
+            self.state, loss = self._step_fn(H, W, C)(
                 self.state, arrays, jnp.asarray(idx), sub
             )
             self.global_step += 1
