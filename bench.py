@@ -32,7 +32,7 @@ def main():
     from nerfnav_tpu.data.rays import get_all_rays
     from nerfnav_tpu.models import NetworkConfig, init_network, make_field, render_rays_grid
     from nerfnav_tpu.ops.marching import MarchConfig
-    from nerfnav_tpu.ops.morton import packbits
+    from nerfnav_tpu.ops.morton import pack_blocks, packbits
 
     BOUND = 2.0
     H = W = 800
@@ -63,7 +63,18 @@ def main():
             .astype(np.float32)))
         for o in occs
     ])
-    occupancy = {"bitfield": bitfield, "bitfield_coarse": coarse}
+    occ_all = jnp.asarray(np.stack(occs))
+    occ_coarse = jnp.asarray(np.stack([
+        o.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
+        for o in occs
+    ]))
+    occupancy = {
+        "bitfield": bitfield,
+        "bitfield_coarse": coarse,
+        # 64-bit block rows: the marcher's gather-lean fast path
+        "blocks": pack_blocks(occ_all, Hg),
+        "blocks_coarse": pack_blocks(occ_coarse, hc),
+    }
 
     intr = jnp.asarray([1000.0, 1000.0, W / 2, H / 2], jnp.float32)
     pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.8]))

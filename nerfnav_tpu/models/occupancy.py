@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from nerfnav_tpu.models import network as net
-from nerfnav_tpu.ops.morton import packbits
+from nerfnav_tpu.ops.morton import pack_blocks, packbits
 
 
 @dataclass(frozen=True)
@@ -49,9 +49,14 @@ class OccupancyConfig:
         return self.grid_size ** 3
 
 
+def _blocks_supported(cfg: OccupancyConfig) -> bool:
+    hc = cfg.grid_size // cfg.coarse_factor
+    return cfg.grid_size % 4 == 0 and hc % 4 == 0
+
+
 def init_occupancy_state(cfg: OccupancyConfig):
     hc = cfg.grid_size // cfg.coarse_factor
-    return {
+    state = {
         "density_grid": jnp.zeros((cfg.cascades, cfg.n_cells), jnp.float32),
         "bitfield": jnp.zeros((cfg.cascades, cfg.n_cells // 8), jnp.uint8),
         # maxpooled coarse mirror for the two-phase marcher
@@ -59,6 +64,15 @@ def init_occupancy_state(cfg: OccupancyConfig):
         "mean_density": jnp.asarray(0.0, jnp.float32),
         "iter_density": jnp.asarray(0, jnp.int32),
     }
+    if _blocks_supported(cfg):
+        # 64-bit block rows for the gather-lean marcher (ops/marching.py)
+        state["blocks"] = jnp.zeros(
+            (cfg.cascades, (cfg.grid_size // 4) ** 3, 2), jnp.uint32
+        )
+        state["blocks_coarse"] = jnp.zeros(
+            (cfg.cascades, (hc // 4) ** 3, 2), jnp.uint32
+        )
+    return state
 
 
 def _cell_centers(cfg: OccupancyConfig, cell_idx):
@@ -147,13 +161,17 @@ def _finish_update(state, cfg, grid, tmp, all_cells_mask):
     hc = h // f
     occ3 = occ.reshape(cfg.cascades, hc, f, hc, f, hc, f)
     occ_coarse = occ3.max(axis=(2, 4, 6)).reshape(cfg.cascades, hc**3)
-    return {
+    out = {
         "density_grid": new_grid,
         "bitfield": bitfield,
         "bitfield_coarse": packbits(occ_coarse.astype(jnp.float32)),
         "mean_density": mean_density,
         "iter_density": state["iter_density"] + 1,
     }
+    if _blocks_supported(cfg):
+        out["blocks"] = pack_blocks(occ, cfg.grid_size)
+        out["blocks_coarse"] = pack_blocks(occ_coarse, hc)
+    return out
 
 
 def update_extra_state(state, cfg: OccupancyConfig, params, net_cfg, key):

@@ -152,14 +152,25 @@ class Estimator:
             return cfg.measurement_weight * mse + prior
 
         @jax.jit
-        def opt_step(x, opt_state, pool_inds, pool_count, gt_pixels, x_pred,
-                     sig_inv, key):
-            loss, grads = jax.value_and_grad(measurement_loss)(
-                x, pool_inds, pool_count, gt_pixels, x_pred, sig_inv, key
-            )
-            updates, opt_state = opt.update(grads, opt_state)
-            x = optax.apply_updates(x, updates)
-            return x, opt_state, loss
+        def opt_run(x, opt_state, pool_inds, pool_count, gt_pixels, x_pred,
+                    sig_inv, rng):
+            """All cfg.n_iters Adam iterations in ONE jitted lax.scan: the
+            per-iteration host dispatch otherwise dominates the filter update
+            (~12 ms/iter relay overhead vs sub-ms compute) — same treatment
+            as the planner's chunked solves (nav/planner.py)."""
+
+            def body(carry, key):
+                x, opt_state = carry
+                loss, grads = jax.value_and_grad(measurement_loss)(
+                    x, pool_inds, pool_count, gt_pixels, x_pred, sig_inv, key
+                )
+                updates, opt_state = opt.update(grads, opt_state)
+                x = optax.apply_updates(x, updates)
+                return (x, opt_state), loss
+
+            keys = jax.random.split(rng, cfg.n_iters)
+            (x, opt_state), losses = jax.lax.scan(body, (x, opt_state), keys)
+            return x, opt_state, losses
 
         @jax.jit
         def hess_fn(x, pool_inds, pool_count, gt_pixels, x_pred, sig_inv, key):
@@ -167,7 +178,7 @@ class Estimator:
                 x, pool_inds, pool_count, gt_pixels, x_pred, sig_inv, key
             )
 
-        return opt_step, hess_fn
+        return opt_run, hess_fn
 
     # ------------------------------------------------------------ public API
     def estimate_state(self, obs_img, obs_pose_gt, action):
@@ -217,19 +228,18 @@ class Estimator:
         key = (H, W)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_update(H, W)
-        opt_step, hess_fn = self._jit_cache[key]
+        opt_run, hess_fn = self._jit_cache[key]
 
         sig_inv = jnp.asarray(np.linalg.inv(sig_pred), jnp.float32)
         x = jnp.asarray(x_pred)
         opt_state = self._opt.init(x)
         rng = jax.random.PRNGKey(self.iteration)
-        loss = None
-        for it in range(self.cfg.n_iters):
-            rng, sub = jax.random.split(rng)
-            x, opt_state, loss = opt_step(
-                x, opt_state, rays_pool, self.cfg.pool_size, gt_pixels,
-                jnp.asarray(x_pred), sig_inv, sub,
-            )
+        rng, sub = jax.random.split(rng)
+        x, opt_state, losses = opt_run(
+            x, opt_state, rays_pool, self.cfg.pool_size, gt_pixels,
+            jnp.asarray(x_pred), sig_inv, sub,
+        )
+        loss = losses[-1]
 
         if not np.all(np.isfinite(np.asarray(x))):
             # optimization diverged: fall back to the prior (mirrors the

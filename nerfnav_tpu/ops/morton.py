@@ -64,6 +64,43 @@ def packbits(occupied):
     return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
 
 
+def pack_blocks(occupied, grid_size: int, block: int = 4):
+    """Pack a (..., H^3) row-major occupancy grid into 64-bit block rows.
+
+    Returns (..., (H/block)^3, 2) uint32: row b holds the occupancy bits of
+    one block x block x block spatial tile of cells, local bit index
+    ((lx*block) + ly)*block + lz, word 0 = bits 0..31, word 1 = bits 32..63.
+
+    Rationale (marcher fast path): HBM gathers cost ~5 ns per ROW regardless
+    of row width on this chip, so fetching 64 occupancy bits per gather and
+    extracting per-sample bits on the VPU cuts the march's gather count ~4x
+    versus one byte-gather per sample (ops/marching.py block marcher).
+    """
+    assert block**3 == 64, "pack_blocks packs 64 bits per row (block=4)"
+    h, b = grid_size, block
+    nb = h // b
+    assert nb * b == h, "grid_size must be divisible by block"
+    occ = (occupied > 0).reshape(*occupied.shape[:-1], nb, b, nb, b, nb, b)
+    # (bx, lx, by, ly, bz, lz) -> (bx, by, bz, lx, ly, lz)
+    nd = occ.ndim
+    lead = tuple(range(nd - 6))
+    occ = jnp.transpose(
+        occ, lead + tuple(nd - 6 + i for i in (0, 2, 4, 1, 3, 5))
+    ).reshape(*occupied.shape[:-1], nb**3, 2, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(occ.astype(jnp.uint32) << shifts, axis=-1).astype(jnp.uint32)
+
+
+def block_bit_lookup(rows, local):
+    """Extract occupancy bits from gathered block rows.
+
+    rows: (..., 2) uint32 (from pack_blocks); local: (...,) int in [0, 64).
+    Returns bool (...,)."""
+    local = local.astype(jnp.uint32)
+    word = jnp.where(local < 32, rows[..., 0], rows[..., 1])
+    return ((word >> (local & 31)) & 1).astype(bool)
+
+
 def unpackbits(bitfield, n_bits=None):
     """Inverse of packbits: (..., m) uint8 -> (..., 8*m) bool."""
     b = bitfield.astype(jnp.uint32)[..., None]

@@ -173,6 +173,122 @@ class TestTwoPhase:
                                       np.asarray(m_arr["valid"]))
 
 
+class TestBlockMarch:
+    def _setup(self, cfg, bound=1.0, shape="sphere"):
+        from nerfnav_tpu.ops.morton import pack_blocks, packbits as pb
+
+        H = cfg.grid_size
+        idx = np.arange(H**3)
+        c = (np.stack([idx // (H * H), (idx // H) % H, idx % H], -1) + 0.5) / H * 2 - 1
+        occs = []
+        for cas in range(cfg.cascades):
+            cb = min(2.0**cas, bound)
+            if shape == "sphere":
+                occs.append(np.linalg.norm(c * cb, axis=-1) < 0.55 * cb)
+            else:  # random blobs
+                rng = np.random.default_rng(cas)
+                occs.append(rng.uniform(size=H**3) < 0.03)
+        occ = jnp.asarray(np.stack(occs))
+        bf = pb(occ.astype(jnp.float32))
+        f = cfg.coarse_factor
+        hc = H // f
+        occ_c = (
+            np.stack(occs)
+            .reshape(-1, hc, f, hc, f, hc, f)
+            .max(axis=(2, 4, 6))
+            .reshape(-1, hc**3)
+        )
+        bfc = pb(jnp.asarray(occ_c.astype(np.float32)))
+        blocks = pack_blocks(occ, H)
+        blocks_c = pack_blocks(jnp.asarray(occ_c), hc)
+        return bf, bfc, blocks, blocks_c
+
+    def test_block_coords_match_occupancy_lookup(self, cfg):
+        """Exact bit extraction (group=1): block tables must reproduce
+        occupancy_lookup at arbitrary positions, including cascades."""
+        from nerfnav_tpu.ops.marching import _block_coords, _grouped_block_test
+
+        c2 = MarchConfig(bound=2.0, grid_size=32, max_steps=256,
+                         samples_per_ray=32, min_near=0.05)
+        bf, _, blocks, _ = self._setup(c2, bound=2.0, shape="random")
+        rng = np.random.default_rng(1)
+        pos = jnp.asarray(rng.uniform(-1.9, 1.9, (1, 4096, 3)), jnp.float32)
+        dt = c2.dt_min
+        ref = occupancy_lookup(bf, pos, dt, c2)
+        flat, local = _block_coords(pos, dt, c2.grid_size, c2)
+        got = _grouped_block_test(
+            blocks.reshape(-1, 2), flat.reshape(1, -1), local.reshape(1, -1), 1
+        ).reshape(ref.shape)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    @pytest.mark.parametrize("bound", [1.0, 2.0])
+    def test_matches_two_phase(self, bound):
+        """Block marcher keeps (near-)identical sample sets to the byte
+        two-phase marcher; anchor fallback may only ADD samples, never drop."""
+        from nerfnav_tpu.ops.marching import march_rays_block, march_rays_two_phase
+
+        cfg = MarchConfig(bound=bound, grid_size=32, max_steps=256,
+                          samples_per_ray=48, min_near=0.05)
+        bf, bfc, blocks, blocks_c = self._setup(cfg, bound=bound)
+        rng = np.random.default_rng(0)
+        o = jnp.asarray(
+            np.concatenate([rng.uniform(-0.4, 0.4, (24, 2)),
+                            np.full((24, 1), -1.6 * bound)], -1), jnp.float32)
+        d = rng.normal(size=(24, 3))
+        d[:, 2] = np.abs(d[:, 2]) + 1.2
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+        m1 = march_rays_two_phase(o, d, bf, bfc, cfg)
+        m2 = march_rays_block(o, d, blocks, blocks_c, cfg)
+        v1, v2 = np.asarray(m1["valid"]), np.asarray(m2["valid"])
+        z1, z2 = np.asarray(m1["z"]), np.asarray(m2["z"])
+        for r in range(v1.shape[0]):
+            s1 = set(np.round(z1[r][v1[r]], 4))
+            s2 = set(np.round(z2[r][v2[r]], 4))
+            # every byte-marcher sample survives; conservative anchor
+            # fallback may add a few extras (false-positive occupancy)
+            missing = [z for z in s1 if min((abs(z - q) for q in s2), default=9) > 2e-2]
+            assert not missing, (r, missing)
+            assert len(s2) <= len(s1) + max(4, len(s1) // 4), r
+
+    def test_dispatch_prefers_blocks(self, cfg):
+        from nerfnav_tpu.ops.marching import march
+
+        bf, bfc, blocks, blocks_c = self._setup(cfg)
+        o = jnp.array([[0.0, 0.0, -1.5]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        m = march(o, d, {"bitfield": bf, "bitfield_coarse": bfc,
+                         "blocks": blocks, "blocks_coarse": blocks_c}, cfg)
+        m2 = march(o, d, {"bitfield": bf, "bitfield_coarse": bfc}, cfg)
+        v, v2 = np.asarray(m["valid"]), np.asarray(m2["valid"])
+        assert v.sum() > 0
+        np.testing.assert_allclose(
+            np.asarray(m["z"])[v].sum(), np.asarray(m2["z"])[v2].sum(), rtol=0.1
+        )
+
+    def test_render_matches_dense(self, cfg):
+        """End-to-end: block-marched grid render == dense render."""
+        bf, bfc, blocks, blocks_c = self._setup(cfg)
+
+        def density_fn(x):
+            inside = jnp.linalg.norm(x, axis=-1) < 0.5
+            return jnp.where(inside, 200.0, 0.0), jnp.zeros((x.shape[0], 1))
+
+        def color_fn(d, geo):
+            return jnp.broadcast_to(jnp.array([0.2, 0.9, 0.3]), (d.shape[0], 3))
+
+        field = Field(density_fn=density_fn, color_fn=color_fn, bound=1.0)
+        o = jnp.array([[0.0, 0.0, -1.5], [0.3, 0.1, -1.5], [0.9, 0.9, -1.5]])
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (3, 1))
+        occ = {"bitfield": bf, "bitfield_coarse": bfc,
+               "blocks": blocks, "blocks_coarse": blocks_c}
+        out_grid = render_rays_grid(field, occ, cfg, o, d, bg_color=0.0)
+        rcfg = RenderConfig(num_steps=256, upsample_steps=0, min_near=0.05)
+        out_dense = render_rays(field, rcfg, o, d, bg_color=0.0)
+        np.testing.assert_allclose(
+            np.asarray(out_grid["image"]), np.asarray(out_dense["image"]), atol=0.05
+        )
+
+
 class TestGridRenderer:
     def _field(self, radius=0.5):
         def density_fn(x):
