@@ -13,7 +13,8 @@ import tempfile
 import time
 
 
-def run(layout: str, scene_dir: str, steps: int):
+def run(layout: str, scene_dir: str, steps: int, levels: int = 16,
+        level_dim: int = 2, log2_hashmap: int | None = None):
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
     from nerfnav_tpu.models import NetworkConfig, RenderConfig
@@ -26,7 +27,11 @@ def run(layout: str, scene_dir: str, steps: int):
 
     cfg = NetworkConfig(
         bound=1.0, mlp_dtype="bfloat16", grid_layout=layout,
-        grid_log2_hashmap_size=16 if layout == "cell" else 19,
+        grid_log2_hashmap_size=(
+            log2_hashmap if log2_hashmap is not None
+            else 16 if layout == "cell" else 19
+        ),
+        grid_levels=levels, grid_level_dim=level_dim,
     )
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
     opt = TrainerOptions(
@@ -42,7 +47,8 @@ def run(layout: str, scene_dir: str, steps: int):
     tr.train(train_ds, max_epochs=1, steps_per_epoch=steps)
     train_time = time.time() - t0
     psnr = tr.evaluate(val_ds, use_ema=True)
-    return {"layout": layout, "psnr": round(psnr, 2),
+    return {"layout": layout, "levels": levels, "level_dim": level_dim,
+            "psnr": round(psnr, 2),
             "train_time_s": round(train_time, 1),
             "steps_per_sec": round(steps / train_time, 2)}
 
@@ -57,6 +63,9 @@ def main():
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--layout", default="both")
     p.add_argument("--res", type=int, default=128)
+    p.add_argument("--levels", type=int, default=16)
+    p.add_argument("--level_dim", type=int, default=2)
+    p.add_argument("--log2_hashmap", type=int, default=None)
     args = p.parse_args()
 
     from nerfnav_tpu.data.synthetic import make_synthetic_scene, textured_sphere_field
@@ -67,7 +76,8 @@ def main():
                          num_steps=256)
     layouts = ["cell", "corner"] if args.layout == "both" else [args.layout]
     for layout in layouts:
-        print(json.dumps(run(layout, scene_dir, args.steps)))
+        print(json.dumps(run(layout, scene_dir, args.steps, args.levels,
+                              args.level_dim, args.log2_hashmap)))
 
 
 if __name__ == "__main__":

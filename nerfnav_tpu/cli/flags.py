@@ -46,6 +46,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--dt_gamma", type=float, default=1 / 128)
     p.add_argument("--min_near", type=float, default=0.2)
     p.add_argument("--density_thresh", type=float, default=10.0)
+    p.add_argument("--grid_size", type=int, default=128,
+                   help="occupancy grid resolution per cascade "
+                   "(reference renderer.py:73)")
     p.add_argument("--bg_radius", type=float, default=-1.0)
     p.add_argument("--downscale", type=int, default=1)
     # experimental / gui / clip (parity)
@@ -94,11 +97,11 @@ def make_configs(opt, for_nav: bool = False):
     if opt.cuda_ray:
         occ_cfg = OccupancyConfig(
             bound=opt.bound, density_thresh=opt.density_thresh,
-            min_near=opt.min_near,
+            min_near=opt.min_near, grid_size=opt.grid_size,
         )
         march_cfg = MarchConfig(
             bound=opt.bound, max_steps=opt.max_steps,
             samples_per_ray=opt.samples_per_ray, dt_gamma=opt.dt_gamma,
-            min_near=opt.min_near,
+            min_near=opt.min_near, grid_size=opt.grid_size,
         )
     return cfg, rcfg, occ_cfg, march_cfg

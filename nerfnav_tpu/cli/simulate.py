@@ -69,6 +69,9 @@ def main(argv=None):
     parser.add_argument("--start", type=float, nargs=3, default=[0.39, -0.67, 0.2])
     parser.add_argument("--goal", type=float, nargs=3, default=[-0.4, 0.55, 0.16])
     parser.add_argument("--planner_lr", type=float, default=1e-3)
+    parser.add_argument("--astar_thresh", type=float, default=0.3,
+                        help="A* occupancy threshold on maxpooled density "
+                        "(reference quad_plot.py:70-76)")
     parser.add_argument("--epochs_init", type=int, default=2500)
     parser.add_argument("--epochs_update", type=int, default=250)
     parser.add_argument("--estimator_lr", type=float, default=1e-3)
@@ -78,6 +81,16 @@ def main(argv=None):
     parser.add_argument("--obs_focal", type=float, default=800.0)
     parser.add_argument("--analytic", action="store_true",
                         help="run against the built-in analytic scene (no ckpt)")
+    parser.add_argument("--filter_render", type=str, default="dense",
+                        choices=["dense", "grid"],
+                        help="pose-filter render path: 'dense' = the "
+                        "reference's differentiable run() (simulate.py:163-"
+                        "166 sets cuda_ray=False for exactly this); 'grid' = "
+                        "the occupancy fast path, which here IS pose-"
+                        "differentiable (sample positions are stop-gradded "
+                        "but o + d*z keeps ray grads) — ~K/num_steps of the "
+                        "dense cost. Needs a full checkpoint with occupancy "
+                        "state (falls back to dense with a warning).")
     opt = parser.parse_args(argv)
     opt.cuda_ray = False
     cfg, rcfg, _, _ = make_configs(opt, for_nav=True)
@@ -97,12 +110,14 @@ def main(argv=None):
     from nerfnav_tpu.nav.planner import Planner, PlannerConfig
 
     # ---- field: trained checkpoint or analytic demo scene
+    occupancy_state = None
     if opt.analytic:
         from nerfnav_tpu.data.synthetic import textured_sphere_field
 
         field = textured_sphere_field()
     else:
         from nerfnav_tpu.models import init_network
+        from nerfnav_tpu.models.occupancy import OccupancyConfig, init_occupancy_state
         from nerfnav_tpu.training import checkpoint as ckpt_lib
         import jax
 
@@ -118,15 +133,44 @@ def main(argv=None):
             raise FileNotFoundError(
                 f"no checkpoint at {ckpt_path}; train first or pass --analytic"
             )
-        params, _, _ = ckpt_lib.load_checkpoint(ckpt_path, params_tmpl)
+        if "best" in os.path.basename(ckpt_path):
+            params, _, _ = ckpt_lib.load_checkpoint(ckpt_path, params_tmpl)
+        else:
+            # full trainer checkpoint: take the EMA params (what the
+            # reference evaluates with) + occupancy state for the fast path
+            occ_tmpl = init_occupancy_state(
+                OccupancyConfig(bound=opt.bound, min_near=opt.min_near,
+                                grid_size=opt.grid_size)
+            )
+            tmpl = {"ema_params": params_tmpl, "occupancy": occ_tmpl}
+            tree, _, report = ckpt_lib.load_checkpoint(ckpt_path, tmpl)
+            params = tree["ema_params"]
+            if not any("occupancy" in r for r in report):
+                occupancy_state = tree["occupancy"]
         field = make_field(params, cfg)
 
     # ---- the three closures (reference simulate.py:336-347)
     def density_fn(x):
         return field.density_fn(x)[0]
 
-    def render_fn(ro, rd):
-        return render_rays(field, rcfg, ro, rd, bg_color=1.0)
+    if opt.filter_render == "grid" and occupancy_state is not None:
+        from nerfnav_tpu.models import render_rays_grid
+        from nerfnav_tpu.ops.marching import MarchConfig
+
+        nav_mcfg = MarchConfig(bound=opt.bound, max_steps=opt.max_steps,
+                               samples_per_ray=64, min_near=opt.min_near,
+                               grid_size=opt.grid_size)
+
+        def render_fn(ro, rd):
+            return render_rays_grid(field, occupancy_state, nav_mcfg, ro, rd,
+                                    bg_color=1.0)
+    else:
+        if opt.filter_render == "grid":
+            print("[simulate] WARNING: --filter_render grid needs a full "
+                  "checkpoint with occupancy state; using dense path")
+
+        def render_fn(ro, rd):
+            return render_rays(field, rcfg, ro, rd, bg_color=1.0)
 
     H = W = opt.obs_res
     intr = jnp.asarray([opt.obs_focal, opt.obs_focal, W / 2, H / 2])
@@ -139,7 +183,7 @@ def main(argv=None):
     pcfg = PlannerConfig(
         T=opt.steps, dt=dyn.dt, lr=opt.planner_lr,
         epochs_init=opt.epochs_init, epochs_update=opt.epochs_update,
-        bound=min(opt.bound, 1.0),
+        bound=min(opt.bound, 1.0), astar_thresh=opt.astar_thresh,
     )
     start18 = np.zeros(18, np.float32)
     start18[0:3] = opt.start

@@ -21,37 +21,43 @@ import jax
 import numpy as np
 
 
-def _flatten(tree):
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    return leaves, str(treedef)
-
-
 def save_checkpoint(path: str, tree, meta: dict | None = None):
-    leaves, treedef = _flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    # Path-keyed leaves: loading with a PARTIAL template (e.g. just
+    # ema_params, or ema_params + occupancy for the nav stack) picks the
+    # right arrays by name instead of positional index — positional matching
+    # silently misassigns same-shaped leaves when template and file trees
+    # differ (reference's torch load_state_dict is name-keyed for the same
+    # reason, utils.py:1017-1022).
+    arrays = {f"k:{jax.tree_util.keystr(kp)}": np.asarray(x) for kp, x in leaves}
     arrays["__meta__"] = np.frombuffer(
-        json.dumps({"treedef": treedef, "meta": meta or {}}).encode(), dtype=np.uint8
+        json.dumps({"treedef": str(treedef), "meta": meta or {}}).encode(),
+        dtype=np.uint8,
     )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
 
 
 def load_checkpoint(path: str, like):
-    """Load into the structure of `like` (loose: shape-mismatched leaves keep
-    the template value and are reported). Returns (tree, meta, report)."""
+    """Load into the structure of `like` (loose: missing/shape-mismatched
+    leaves keep the template value and are reported). Returns
+    (tree, meta, report). Reads both the path-keyed format and the legacy
+    positional `leaf_i` format."""
     if not path.endswith(".npz"):
         path = path + ".npz"
     data = np.load(path, allow_pickle=False)
     info = json.loads(bytes(data["__meta__"].tobytes()).decode())
-    like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    keyed = any(k.startswith("k:") for k in data.files)
     report = []
     leaves = []
-    for i, tmpl in enumerate(like_leaves):
-        k = f"leaf_{i}"
+    flat = jax.tree_util.tree_flatten_with_path(like)[0]
+    treedef = jax.tree_util.tree_structure(like)
+    for i, (kp, tmpl) in enumerate(flat):
+        k = f"k:{jax.tree_util.keystr(kp)}" if keyed else f"leaf_{i}"
         if k in data and data[k].shape == np.shape(tmpl):
             leaves.append(jax.numpy.asarray(data[k]))
         else:
-            report.append(f"leaf {i}: missing or shape mismatch, kept template")
+            report.append(f"{k}: missing or shape mismatch, kept template")
             leaves.append(tmpl)
     return jax.tree_util.tree_unflatten(treedef, leaves), info["meta"], report
 

@@ -48,3 +48,33 @@ def test_simulate_analytic(tmp_path):
     ])
     assert len(history) == 4
     assert os.path.exists(os.path.join(ws, "estimator_data"))
+
+
+@pytest.mark.slow
+def test_simulate_grid_filter_from_trained_ckpt(scene_dir, tmp_path):
+    """Train with the occupancy fast path, then run the nav loop with the
+    pose filter rendering through the grid path (--filter_render grid):
+    the full checkpoint's EMA params + occupancy state are recovered by
+    name (path-keyed checkpoint), no fallback warning path taken."""
+    from nerfnav_tpu.cli.main_nerf import main as train_main
+    from nerfnav_tpu.cli.simulate import main as sim_main
+
+    ws = str(tmp_path / "ws")
+    train_main([
+        scene_dir, "--workspace", ws, "--scale", "1.0", "--bound", "1.0",
+        "--iters", "40", "--num_rays", "64", "--num_steps", "24",
+        "--upsample_steps", "0", "--min_near", "0.05", "--ckpt", "scratch",
+        "--max_ray_batch", "512", "--cuda_ray", "--grid_size", "16",
+        "--max_steps", "64", "--samples_per_ray", "16",
+        "--update_extra_interval", "8",
+    ])
+    history = sim_main([
+        scene_dir, "--workspace", ws, "--steps", "3", "--open_loop_steps", "1",
+        "--obs_res", "40", "--obs_focal", "40", "--epochs_init", "40",
+        "--epochs_update", "10", "--estimator_iters", "6",
+        "--estimator_batch", "128", "--start", "-0.7", "0.0", "0.1",
+        "--goal", "0.7", "0.2", "0.1", "--bound", "1.0", "--scale", "1.0",
+        "--ckpt", "latest", "--filter_render", "grid", "--grid_size", "16",
+        "--max_steps", "64", "--astar_thresh", "1e9",
+    ])
+    assert len(history) == 3

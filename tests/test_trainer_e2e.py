@@ -130,3 +130,59 @@ def test_test_renders_frames(scene_dir, cfg, tmp_path):
     assert len(frames) == 1
     assert frames[0].shape == (40, 40, 3)
     assert os.path.exists(os.path.join(tr.workspace, "results", "test_0000.png"))
+
+
+def test_checkpoint_partial_template_by_path(tmp_path):
+    """Path-keyed leaves: a PARTIAL template (ema_params + occupancy) picks
+    the right arrays by name even though the file holds a larger tree —
+    positional matching would silently read same-shaped wrong leaves
+    (simulate.py loads exactly this way)."""
+    import jax.numpy as jnp
+
+    from nerfnav_tpu.training import checkpoint as ckpt_lib
+
+    params = {"w": jnp.arange(4.0), "b": jnp.ones(2)}
+    ema = {"w": jnp.arange(4.0) * 10, "b": jnp.full(2, 7.0)}
+    occ = {"bitfield": jnp.arange(8, dtype=jnp.uint8)}
+    tree = {"params": params, "ema_params": ema, "opt_state": (jnp.zeros(4),),
+            "occupancy": occ}
+    p = str(tmp_path / "ck")
+    ckpt_lib.save_checkpoint(p, tree, {"epoch": 3})
+
+    tmpl = {"ema_params": {"w": jnp.zeros(4), "b": jnp.zeros(2)},
+            "occupancy": {"bitfield": jnp.zeros(8, jnp.uint8)}}
+    got, meta, report = ckpt_lib.load_checkpoint(p, tmpl)
+    assert meta["epoch"] == 3 and not report
+    np.testing.assert_array_equal(np.asarray(got["ema_params"]["w"]),
+                                  np.arange(4.0) * 10)
+    np.testing.assert_array_equal(np.asarray(got["occupancy"]["bitfield"]),
+                                  np.arange(8))
+    # missing keys are reported, template kept
+    tmpl2 = {"ema_params": {"w": jnp.zeros(4), "extra": jnp.zeros(3)}}
+    got2, _, report2 = ckpt_lib.load_checkpoint(p, tmpl2)
+    assert len(report2) == 1 and "extra" in report2[0]
+    np.testing.assert_array_equal(np.asarray(got2["ema_params"]["extra"]),
+                                  np.zeros(3))
+
+
+def test_checkpoint_legacy_positional_format(tmp_path):
+    """Files written by the old positional writer still load."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfnav_tpu.training import checkpoint as ckpt_lib
+
+    tree = {"a": jnp.arange(3.0), "b": jnp.ones((2, 2))}
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps({"treedef": str(treedef), "meta": {"v": 1}}).encode(),
+        dtype=np.uint8)
+    p = str(tmp_path / "legacy.npz")
+    np.savez(p, **arrays)
+    got, meta, report = ckpt_lib.load_checkpoint(p, jax.tree_util.tree_map(
+        jnp.zeros_like, tree))
+    assert meta["v"] == 1 and not report
+    np.testing.assert_array_equal(np.asarray(got["a"]), np.arange(3.0))
