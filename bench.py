@@ -37,11 +37,13 @@ def main():
     BOUND = 2.0
     H = W = 800
     # TPU-flagship field config: cell-layout hash tables (one wide gather per
-    # level instead of 8 narrow ones), 8 levels x 4 features (same 32-dim
-    # output as 16x2, half the gathers) + bf16 MLP compute
+    # level instead of 8 narrow ones), 4 levels x 8 features (quarter the
+    # gathers of 16x2; measured BEST quality of the three at scale —
+    # 27.43 vs 26.47 (8x4) vs 26.26 (16x2) dB, benchmarks/RESULTS.md) + bf16
+    # MLP compute
     cfg = NetworkConfig(bound=BOUND, mlp_dtype="bfloat16", grid_layout="cell",
-                        grid_log2_hashmap_size=16, grid_levels=8,
-                        grid_level_dim=4)
+                        grid_log2_hashmap_size=17, grid_levels=4,
+                        grid_level_dim=8)
     mcfg = MarchConfig(bound=BOUND, grid_size=128, max_steps=1024,
                       samples_per_ray=32, min_near=0.2)
     params = init_network(jax.random.PRNGKey(0), cfg)
@@ -80,7 +82,10 @@ def main():
     pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.8]))
     rays = get_all_rays(pose, intr, H, W)
 
-    CHUNK = 16384
+    # smaller chunks keep more programs in flight through the dispatch
+    # pipeline — latency-bound gathers overlap (measured sweep 2k..128k:
+    # 4096 is the knee)
+    CHUNK = 4096
 
     @jax.jit
     def render_chunk(ro, rd):

@@ -269,7 +269,7 @@ def _block_coords(pos, dt_static, grid_size: int, cfg: MarchConfig):
     block-packed occupancy table of `grid_size`^3 cells (ops/morton.py
     pack_blocks layout: 4^3-cell blocks, 64 bits/row)."""
     nb = grid_size // 4
-    cas = mip_level(pos, dt_static, dataclasses_replace_grid(cfg, grid_size))
+    cas = mip_level(pos, dt_static, _with_grid_size(cfg, grid_size))
     cas_bound = jnp.minimum(2.0 ** cas.astype(jnp.float32), cfg.bound)
     u = jnp.clip(pos / cas_bound[..., None] * 0.5 + 0.5, 0.0, 1.0 - 1e-6)
     cell = (u * grid_size).astype(jnp.int32)
@@ -280,7 +280,7 @@ def _block_coords(pos, dt_static, grid_size: int, cfg: MarchConfig):
     return flat, local
 
 
-def dataclasses_replace_grid(cfg: MarchConfig, grid_size: int) -> MarchConfig:
+def _with_grid_size(cfg: MarchConfig, grid_size: int) -> MarchConfig:
     if cfg.grid_size == grid_size:
         return cfg
     import dataclasses
