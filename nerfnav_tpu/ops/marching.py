@@ -165,9 +165,12 @@ def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None):
     creeping density inflation); a random phase makes the thinned composite
     an unbiased estimator of the full-resolution one.
 
-    Selection is lax.top_k over the key `kept ? (T - t) : 0` — the k largest
-    keys are the kept candidates in ascending t order. Measured 3.4x faster
-    than the equivalent cumsum-slot scatter on TPU (scatters serialize)."""
+    Selection is rank-counting: after the stride mask at most k candidates
+    remain, so the j-th kept candidate's column is `sum_t(cumsum(occ)[t] <
+    j+1)` — an (N, T, k) compare + reduce, pure VPU. Replaced the earlier
+    lax.top_k selection (which itself replaced cumsum-slot scatter, 3.4x):
+    top_k lowers to a full sort and was costing more than the march's
+    occupancy GATHERS (chip-measured ~2 ms per 4096 x 261 phase)."""
     n, t = occ.shape
     dtv = jnp.broadcast_to(dtv, (n, t))
     if t < k:  # fewer candidates than budget (tiny configs): pad
@@ -176,20 +179,23 @@ def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None):
         z = jnp.pad(z, ((0, 0), (0, pad)))
         dtv = jnp.pad(dtv, ((0, 0), (0, pad)))
         t = k
+    cs = jnp.cumsum(occ.astype(jnp.int32), axis=1)           # (N, T)
     if spread:
-        cnt = jnp.sum(occ, axis=1, keepdims=True)
+        cnt = cs[:, -1:]
         stride = jnp.maximum((cnt + k - 1) // k, 1)          # (N, 1)
         if key is not None:
             phase = jax.random.randint(key, (n, 1), 0, 2**30) % stride
         else:
             phase = jnp.zeros((n, 1), stride.dtype)
-        slot = jnp.cumsum(occ, axis=1) - 1
-        occ = occ & (slot % stride == phase)
+        occ = occ & ((cs - 1) % stride == phase)
         dtv = dtv * stride.astype(dtv.dtype)
-    tidx = jax.lax.broadcasted_iota(jnp.int32, (n, t), 1)
-    key = jnp.where(occ, t - tidx, 0)
-    vals, idx = jax.lax.top_k(key, k)
-    valid = vals > 0
+        cs = jnp.cumsum(occ.astype(jnp.int32), axis=1)
+    targets = jnp.arange(1, k + 1, dtype=jnp.int32)          # (k,)
+    idx = jnp.sum(
+        (cs[:, :, None] < targets[None, None, :]).astype(jnp.int32), axis=1
+    )                                                        # (N, k)
+    valid = targets[None, :] <= cs[:, -1:]
+    idx = jnp.minimum(idx, t - 1)
     z_buf = jnp.where(valid, jnp.take_along_axis(z, idx, axis=1), 0.0)
     dt_buf = jnp.where(valid, jnp.take_along_axis(dtv, idx, axis=1), 0.0)
     return z_buf, dt_buf, valid
