@@ -73,9 +73,9 @@ def main():
     occupancy = {
         "bitfield": bitfield,
         "bitfield_coarse": coarse,
-        # 64-bit block rows: the marcher's gather-lean fast path
+        # block rows: the marcher's gather-lean fast path (coarse at 512-bit)
         "blocks": pack_blocks(occ_all, Hg),
-        "blocks_coarse": pack_blocks(occ_coarse, hc),
+        "blocks_coarse": pack_blocks(occ_coarse, hc, block=8),
     }
 
     intr = jnp.asarray([1000.0, 1000.0, W / 2, H / 2], jnp.float32)

@@ -65,12 +65,15 @@ def init_occupancy_state(cfg: OccupancyConfig):
         "iter_density": jnp.asarray(0, jnp.int32),
     }
     if _blocks_supported(cfg):
-        # 64-bit block rows for the gather-lean marcher (ops/marching.py)
+        # block rows for the gather-lean marcher (ops/marching.py); the
+        # coarse mirror uses the widest block the grid admits (512-bit rows
+        # double the anchor-run span at identical test resolution)
+        bc = 8 if hc % 8 == 0 else 4
         state["blocks"] = jnp.zeros(
             (cfg.cascades, (cfg.grid_size // 4) ** 3, 2), jnp.uint32
         )
         state["blocks_coarse"] = jnp.zeros(
-            (cfg.cascades, (hc // 4) ** 3, 2), jnp.uint32
+            (cfg.cascades, (hc // bc) ** 3, bc**3 // 32), jnp.uint32
         )
     return state
 
@@ -170,7 +173,9 @@ def _finish_update(state, cfg, grid, tmp, all_cells_mask):
     }
     if _blocks_supported(cfg):
         out["blocks"] = pack_blocks(occ, cfg.grid_size)
-        out["blocks_coarse"] = pack_blocks(occ_coarse, hc)
+        out["blocks_coarse"] = pack_blocks(
+            occ_coarse, hc, block=8 if hc % 8 == 0 else 4
+        )
     return out
 
 

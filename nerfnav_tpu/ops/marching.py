@@ -179,7 +179,25 @@ def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None):
         z = jnp.pad(z, ((0, 0), (0, pad)))
         dtv = jnp.pad(dtv, ((0, 0), (0, pad)))
         t = k
+    idx, valid, stride = _compact_idx(occ, k, spread, key)
+    if spread:
+        dtv = dtv * stride.astype(dtv.dtype)
+    z_buf = jnp.where(valid, jnp.take_along_axis(z, idx, axis=1), 0.0)
+    dt_buf = jnp.where(valid, jnp.take_along_axis(dtv, idx, axis=1), 0.0)
+    return z_buf, dt_buf, valid
+
+
+def _compact_idx(occ, k, spread: bool = True, key=None):
+    """Index form of _compact_first_k: returns (idx (N,k) int32 positions of
+    the kept candidates, valid (N,k) bool, stride (N,1) int32 dt scale).
+
+    Callers whose z/dt are affine in the candidate index should reconstruct
+    them arithmetically from idx instead of take_along_axis: XLA lowers
+    take_along_axis to one gather row PER ELEMENT (~10 ns each), which
+    chip-profiled as HALF the entire render time (fusion.9-12)."""
+    n, t = occ.shape
     cs = jnp.cumsum(occ.astype(jnp.int32), axis=1)           # (N, T)
+    stride = jnp.ones((n, 1), jnp.int32)
     if spread:
         cnt = cs[:, -1:]
         stride = jnp.maximum((cnt + k - 1) // k, 1)          # (N, 1)
@@ -188,7 +206,6 @@ def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None):
         else:
             phase = jnp.zeros((n, 1), stride.dtype)
         occ = occ & ((cs - 1) % stride == phase)
-        dtv = dtv * stride.astype(dtv.dtype)
         cs = jnp.cumsum(occ.astype(jnp.int32), axis=1)
     targets = jnp.arange(1, k + 1, dtype=jnp.int32)          # (k,)
     idx = jnp.sum(
@@ -196,9 +213,17 @@ def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None):
     )                                                        # (N, k)
     valid = targets[None, :] <= cs[:, -1:]
     idx = jnp.minimum(idx, t - 1)
-    z_buf = jnp.where(valid, jnp.take_along_axis(z, idx, axis=1), 0.0)
-    dt_buf = jnp.where(valid, jnp.take_along_axis(dtv, idx, axis=1), 0.0)
-    return z_buf, dt_buf, valid
+    return idx, valid, stride
+
+
+def _select_minor(values, sel, width: int):
+    """values (N, W), sel (N, k) ints in [0, W) -> (N, k): masked-sum select
+    over the minor axis (pure VPU; take_along_axis would gather per element).
+    """
+    out = jnp.zeros(sel.shape, values.dtype)
+    for s in range(width):
+        out = out + jnp.where(sel == s, values[:, s : s + 1], 0)
+    return out
 
 
 def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
@@ -270,19 +295,22 @@ def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
 
-def _block_coords(pos, dt_static, grid_size: int, cfg: MarchConfig):
+def _block_coords(pos, dt_static, grid_size: int, cfg: MarchConfig,
+                  block: int = 4):
     """Per-position (flat block row id incl. cascade, local bit) for a
     block-packed occupancy table of `grid_size`^3 cells (ops/morton.py
-    pack_blocks layout: 4^3-cell blocks, 64 bits/row)."""
-    nb = grid_size // 4
+    pack_blocks layout: block^3-cell tiles)."""
+    nb = grid_size // block
+    shift = block.bit_length() - 1          # log2(block), block power of 2
+    mask = block - 1
     cas = mip_level(pos, dt_static, _with_grid_size(cfg, grid_size))
     cas_bound = jnp.minimum(2.0 ** cas.astype(jnp.float32), cfg.bound)
     u = jnp.clip(pos / cas_bound[..., None] * 0.5 + 0.5, 0.0, 1.0 - 1e-6)
     cell = (u * grid_size).astype(jnp.int32)
-    bx, by, bz = cell[..., 0] >> 2, cell[..., 1] >> 2, cell[..., 2] >> 2
-    lx, ly, lz = cell[..., 0] & 3, cell[..., 1] & 3, cell[..., 2] & 3
+    bx, by, bz = cell[..., 0] >> shift, cell[..., 1] >> shift, cell[..., 2] >> shift
+    lx, ly, lz = cell[..., 0] & mask, cell[..., 1] & mask, cell[..., 2] & mask
     flat = (cas * (nb**3)) + ((bx * nb) + by) * nb + bz
-    local = ((lx * 4) + ly) * 4 + lz
+    local = ((lx * block) + ly) * block + lz
     return flat, local
 
 
@@ -294,37 +322,37 @@ def _with_grid_size(cfg: MarchConfig, grid_size: int) -> MarchConfig:
     return dataclasses.replace(cfg, grid_size=grid_size)
 
 
-def _grouped_block_test(table, flat, local, group: int):
+def _grouped_block_test(table, flat, local, group: int, anchors=None):
     """Occupancy bits for (N, T) positions from a block-packed table with
     anchor-row reuse: positions are grouped in runs of `group` along T; only
-    2-3 anchor rows per run are gathered (ends + middle when group > 4) and
-    every position extracts its bit from whichever anchor shares its block
-    row. Unmatched positions (the run crossed 2+ block planes between
-    anchors — rare by construction, the caller sizes `group` so a run spans
-    less than one block) are conservatively occupied: a false positive only
-    spends sample budget, never drops real geometry.
+    the anchor rows per run are gathered (2-3: ends + middle when group > 4;
+    measured 1.6x faster end-to-end than 4) and every position extracts its
+    bit from whichever anchor shares its block row. Unmatched positions (the
+    run crossed 2+ block planes between anchors — rare by construction, the
+    caller sizes `group` so a run spans less than one block) are
+    conservatively occupied: a false positive only spends sample budget,
+    never drops real geometry.
 
-    table: (R, 2) uint32 rows; flat, local: (N, T) int32, T % group == 0.
+    table: (R, W) uint32 rows; flat, local: (N, T) int32, T % group == 0.
+    anchors: optional in-run anchor offsets (default by group size).
     """
     from nerfnav_tpu.ops.morton import block_bit_lookup
 
     n, t = flat.shape
     g = group
+    w = table.shape[-1]
     if g <= 1:
-        rows = jnp.take(table, flat.reshape(-1), axis=0).reshape(n, t, 2)
+        rows = jnp.take(table, flat.reshape(-1), axis=0).reshape(n, t, w)
         return block_bit_lookup(rows, local)
     f = flat.reshape(n, t // g, g)
     l = local.reshape(n, t // g, g)
-    # 3 anchors measured 1.6x faster end-to-end than 4 (the marginal
-    # exactness of a 4th is covered by the conservative fallback, which can
-    # only add samples and never leaves gaps since phase B subdivides the
-    # stride-scaled segment length)
-    anchor_ids = [0, g - 1] if g <= 4 else [0, g // 2, g - 1]
+    if anchors is None:
+        anchors = [0, g - 1] if g <= 4 else [0, g // 2, g - 1]
     occ = jnp.ones(f.shape, bool)
     matched = jnp.zeros(f.shape, bool)
-    for a in anchor_ids:
+    for a in anchors:
         fa = f[:, :, a]
-        rows = jnp.take(table, fa.reshape(-1), axis=0).reshape(n, t // g, 2)
+        rows = jnp.take(table, fa.reshape(-1), axis=0).reshape(n, t // g, w)
         hit = f == fa[:, :, None]
         bit = block_bit_lookup(rows[:, :, None, :], l)
         occ = jnp.where(hit & ~matched, bit, occ)
@@ -346,12 +374,18 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     VPU bit extraction are the idiomatic replacement.
 
     blocks: (cascades, (H/4)^3, 2) uint32; blocks_coarse:
-    (cascades, (H/cf/4)^3, 2) uint32 (ops/morton.py pack_blocks).
+    (cascades, (H/cf/bc)^3, bc^3/32) uint32 (ops/morton.py pack_blocks;
+    the coarse table is packed with the widest block the grid admits —
+    8^3 = 512-bit rows double the anchor-run span at identical test
+    resolution and misprediction geometry).
     """
+    from nerfnav_tpu.ops.morton import block_size_of
+
     assert cfg.dt_gamma == 0.0, "block march requires dt_gamma == 0"
     n = rays_o.shape[0]
     h = cfg.grid_size
     hc = h // cfg.coarse_factor
+    bc = block_size_of(blocks_coarse)   # coarse table block edge (cells)
     dt = cfg.dt_min
     mult = cfg.coarse_step_mult
     dt_a = dt * mult
@@ -359,9 +393,9 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     c0 = min(1.0, cfg.bound)
 
     # run lengths: a run must span less than one block of the table it tests
-    sb_world = 8.0 * c0 / hc            # coarse super-block edge (cascade 0)
+    sb_world = bc * 2.0 * c0 / hc       # coarse block edge, world units
     fb_world = 8.0 * c0 / h             # fine block edge (cascade 0)
-    g_a = max(1, min(int(sb_world / dt_a), 16))
+    g_a = max(1, min(int(sb_world / dt_a), 32))
     g_b = 1
     for d in (2, 4, 8):
         if mult % d == 0 and (d - 1) * dt < fb_world:
@@ -379,17 +413,23 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     taus_a = jnp.arange(t_a, dtype=jnp.float32) * dt_a
     z_a = near[:, None] + taus_a[None, :]
     pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
-    flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg)
+    flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg, block=bc)
     occ_a = _grouped_block_test(
-        blocks_coarse.reshape(-1, 2), flat_a, local_a, g_a
+        blocks_coarse.reshape(-1, blocks_coarse.shape[-1]), flat_a, local_a,
+        g_a,
     )
     occ_next = jnp.concatenate(
         [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1
     )
     occ_a = (occ_a | occ_next) & (z_a < far[:, None])
-    za_buf, dta_buf, valid_a = _compact_first_k(
-        occ_a, z_a, dt_a, cfg.coarse_segments
-    )
+    # z along the phase-A ladder is affine in the candidate index, so the
+    # compaction returns INDICES and z/dt are reconstructed arithmetically —
+    # take_along_axis here lowers to one gather row per element and
+    # chip-profiled as half the whole render (see _compact_idx).
+    k_a = cfg.coarse_segments
+    idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
+    za_buf = jnp.where(valid_a, near[:, None] + idx_a * dt_a, 0.0)
+    dta_buf = jnp.where(valid_a, dt_a * stride_a.astype(jnp.float32), 0.0)
 
     # ---- phase B: fine subdivision over each kept segment's (possibly
     # stride-scaled) length — see march_rays_two_phase on overflow gaps.
@@ -398,19 +438,25 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     sub = dta_buf[:, :, None] / mult                        # (N, K_A, 1)
     offs = jnp.arange(mult, dtype=jnp.float32)
     z_b = (za_buf[:, :, None] + offs[None, None, :] * sub).reshape(n, -1)
-    dt_fine = jnp.broadcast_to(
-        sub, (n, cfg.coarse_segments, mult)
-    ).reshape(n, -1)
     pos_b = rays_o[:, None, :] + rays_d[:, None, :] * z_b[..., None]
     flat_b, local_b = _block_coords(pos_b, dt, h, cfg)
-    occ_b = _grouped_block_test(blocks.reshape(-1, 2), flat_b, local_b, g_b)
+    # fine runs span < 40% of a fine block: 2 end anchors suffice
+    occ_b = _grouped_block_test(blocks.reshape(-1, 2), flat_b, local_b, g_b,
+                                anchors=[0, g_b - 1] if g_b > 1 else None)
     valid_ab = jnp.broadcast_to(
-        valid_a[:, :, None], (n, cfg.coarse_segments, mult)
+        valid_a[:, :, None], (n, k_a, mult)
     ).reshape(n, -1)
     occ_b = occ_b & valid_ab & (z_b < far[:, None])
-    z_buf, dt_buf, valid = _compact_first_k(
-        occ_b, z_b, dt_fine, cfg.samples_per_ray, key=k_phase
-    )
+    # reconstruct kept z/dt from indices: seg = idx // mult selects among
+    # K_A per-ray segment scalars (masked-sum select, no gathers)
+    idx_b, valid, stride_b = _compact_idx(occ_b, cfg.samples_per_ray,
+                                          key=k_phase)
+    seg = idx_b // mult
+    off = (idx_b % mult).astype(jnp.float32)
+    za_sel = _select_minor(za_buf, seg, k_a)
+    sub_sel = _select_minor(sub[:, :, 0], seg, k_a)
+    z_buf = jnp.where(valid, za_sel + off * sub_sel, 0.0)
+    dt_buf = jnp.where(valid, sub_sel * stride_b.astype(jnp.float32), 0.0)
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
 

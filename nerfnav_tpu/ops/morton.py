@@ -65,18 +65,21 @@ def packbits(occupied):
 
 
 def pack_blocks(occupied, grid_size: int, block: int = 4):
-    """Pack a (..., H^3) row-major occupancy grid into 64-bit block rows.
+    """Pack a (..., H^3) row-major occupancy grid into wide block rows.
 
-    Returns (..., (H/block)^3, 2) uint32: row b holds the occupancy bits of
-    one block x block x block spatial tile of cells, local bit index
-    ((lx*block) + ly)*block + lz, word 0 = bits 0..31, word 1 = bits 32..63.
+    Returns (..., (H/block)^3, block^3/32) uint32: row b holds the occupancy
+    bits of one block x block x block spatial tile of cells, local bit index
+    ((lx*block) + ly)*block + lz, stored LSB-first across consecutive words.
 
     Rationale (marcher fast path): HBM gathers cost ~5 ns per ROW regardless
-    of row width on this chip, so fetching 64 occupancy bits per gather and
-    extracting per-sample bits on the VPU cuts the march's gather count ~4x
+    of row width on this chip, so fetching 64-512 occupancy bits per gather
+    and extracting per-sample bits on the VPU cuts the march's gather count
     versus one byte-gather per sample (ops/marching.py block marcher).
+    Wider blocks (8 -> 512 bits) let anchor runs span twice the distance for
+    the same misprediction geometry.
     """
-    assert block**3 == 64, "pack_blocks packs 64 bits per row (block=4)"
+    words = block**3 // 32
+    assert words * 32 == block**3, "block^3 must be a multiple of 32"
     h, b = grid_size, block
     nb = h // b
     assert nb * b == h, "grid_size must be divisible by block"
@@ -86,18 +89,27 @@ def pack_blocks(occupied, grid_size: int, block: int = 4):
     lead = tuple(range(nd - 6))
     occ = jnp.transpose(
         occ, lead + tuple(nd - 6 + i for i in (0, 2, 4, 1, 3, 5))
-    ).reshape(*occupied.shape[:-1], nb**3, 2, 32)
+    ).reshape(*occupied.shape[:-1], nb**3, words, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(occ.astype(jnp.uint32) << shifts, axis=-1).astype(jnp.uint32)
+
+
+def block_size_of(rows) -> int:
+    """Cells-per-axis of the block a pack_blocks table was packed with."""
+    return round((rows.shape[-1] * 32) ** (1.0 / 3.0))
 
 
 def block_bit_lookup(rows, local):
     """Extract occupancy bits from gathered block rows.
 
-    rows: (..., 2) uint32 (from pack_blocks); local: (...,) int in [0, 64).
-    Returns bool (...,)."""
+    rows: (..., W) uint32 (from pack_blocks); local: (...,) int in
+    [0, 32*W). Returns bool (...,). Word selection is a masked sum (pure
+    VPU) — take_along_axis here would lower to a per-element gather."""
     local = local.astype(jnp.uint32)
-    word = jnp.where(local < 32, rows[..., 0], rows[..., 1])
+    w_idx = local >> 5
+    word = jnp.zeros(local.shape, jnp.uint32)
+    for w in range(rows.shape[-1]):
+        word = word | jnp.where(w_idx == w, rows[..., w], 0)
     return ((word >> (local & 31)) & 1).astype(bool)
 
 

@@ -174,7 +174,7 @@ class TestTwoPhase:
 
 
 class TestBlockMarch:
-    def _setup(self, cfg, bound=1.0, shape="sphere"):
+    def _setup(self, cfg, bound=1.0, shape="sphere", coarse_block=4):
         from nerfnav_tpu.ops.morton import pack_blocks, packbits as pb
 
         H = cfg.grid_size
@@ -200,7 +200,7 @@ class TestBlockMarch:
         )
         bfc = pb(jnp.asarray(occ_c.astype(np.float32)))
         blocks = pack_blocks(occ, H)
-        blocks_c = pack_blocks(jnp.asarray(occ_c), hc)
+        blocks_c = pack_blocks(jnp.asarray(occ_c), hc, block=coarse_block)
         return bf, bfc, blocks, blocks_c
 
     def test_block_coords_match_occupancy_lookup(self, cfg):
@@ -221,15 +221,16 @@ class TestBlockMarch:
         ).reshape(ref.shape)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
-    @pytest.mark.parametrize("bound", [1.0, 2.0])
-    def test_matches_two_phase(self, bound):
+    @pytest.mark.parametrize("bound,coarse_block", [(1.0, 4), (2.0, 4), (2.0, 8)])
+    def test_matches_two_phase(self, bound, coarse_block):
         """Block marcher keeps (near-)identical sample sets to the byte
         two-phase marcher; anchor fallback may only ADD samples, never drop."""
         from nerfnav_tpu.ops.marching import march_rays_block, march_rays_two_phase
 
         cfg = MarchConfig(bound=bound, grid_size=32, max_steps=256,
                           samples_per_ray=48, min_near=0.05)
-        bf, bfc, blocks, blocks_c = self._setup(cfg, bound=bound)
+        bf, bfc, blocks, blocks_c = self._setup(cfg, bound=bound,
+                                                coarse_block=coarse_block)
         rng = np.random.default_rng(0)
         o = jnp.asarray(
             np.concatenate([rng.uniform(-0.4, 0.4, (24, 2)),
