@@ -59,9 +59,13 @@ def main():
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
     render_fn = lambda ro, rd: render_rays(field, rcfg, ro, rd, bg_color=1.0)  # noqa: E731
     get_rays_fn = lambda pose: get_all_rays(pose, intr, H, W)  # noqa: E731
+    from nerfnav_tpu.data.rays import get_rays_at
+
+    get_rays_at_fn = lambda pose, inds: get_rays_at(pose, intr, W, inds)  # noqa: E731
     dyn = DynamicsConfig(dt=0.1)
     ecfg = EstimatorConfig(n_iters=300, batch_size=1024)
-    est = Estimator(ecfg, dyn, render_fn, get_rays_fn, body_state_to_camera_pose)
+    est = Estimator(ecfg, dyn, render_fn, get_rays_fn, body_state_to_camera_pose,
+                    get_rays_at_fn=get_rays_at_fn)
     x0 = np.zeros(12, np.float32)
     x0[0:3] = [0.0, -1.6, 0.0]
     x0[6:9] = [0.0, 0.0, np.pi / 2]

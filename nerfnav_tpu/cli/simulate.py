@@ -178,6 +178,11 @@ def main(argv=None):
     def get_rays_fn(pose):
         return get_all_rays(pose, intr, H, W)
 
+    def get_rays_at_fn(pose, inds):
+        from nerfnav_tpu.data.rays import get_rays_at
+
+        return get_rays_at(pose, intr, W, inds)
+
     # ---- configs (reference simulate.py:200-334)
     dyn = DynamicsConfig(dt=2.0 / opt.steps)
     pcfg = PlannerConfig(
@@ -206,7 +211,8 @@ def main(argv=None):
     ecfg = EstimatorConfig(lr=opt.estimator_lr, n_iters=opt.estimator_iters,
                            batch_size=opt.estimator_batch)
     filt = Estimator(ecfg, dyn, render_fn, get_rays_fn,
-                     body_state_to_camera_pose, workspace=ws)
+                     body_state_to_camera_pose, workspace=ws,
+                     get_rays_at_fn=get_rays_at_fn)
     filt.set_initial_state(start12)
 
     def on_step(it, pair):

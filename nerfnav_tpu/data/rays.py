@@ -51,6 +51,20 @@ def get_rays(pose, intrinsics, H, W, n_rays, key, error_map=None):
     return {"rays_o": rays_o, "rays_d": rays_d, "inds": inds}
 
 
+def get_rays_at(pose, intrinsics, W, inds):
+    """Rays for given flat row-major pixel indices (n,) — the pose filter's
+    per-iteration path: building all H*W rays to then gather a few hundred
+    (reference estimator_helpers.py:302-314 renders full get_rays output)
+    wastes H*W/n of the work; directions here are computed only at the
+    sampled pixels and stay differentiable w.r.t. pose."""
+    j, i = inds // W, inds % W
+    dirs = _pixel_dirs(i.astype(jnp.float32), j.astype(jnp.float32), intrinsics)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays_d = dirs @ pose[:3, :3].T
+    rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
+    return {"rays_o": rays_o, "rays_d": rays_d, "inds": inds}
+
+
 def get_all_rays(pose, intrinsics, H, W):
     """Full-image rays, row-major flat (H*W, 3) — eval/test path
     (reference get_rays with N=-1, utils.py:100-110)."""

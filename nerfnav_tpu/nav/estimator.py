@@ -99,15 +99,20 @@ class Estimator:
         get_rays_fn,
         state_to_pose,
         workspace: str | None = None,
+        get_rays_at_fn=None,
     ):
         """render_fn(rays_o, rays_d) -> {"image": (N,3)};
         get_rays_fn(pose 4x4) -> {"rays_o": (H*W,3), "rays_d": (H*W,3)};
         state_to_pose(x12) -> (4,4) camera-to-world — the three closures the
-        reference injects (simulate.py:343-347)."""
+        reference injects (simulate.py:343-347).
+        get_rays_at_fn (optional): (pose, flat pixel inds) -> rays for just
+        those pixels; skips building all H*W ray directions per optimizer
+        iteration (data/rays.get_rays_at)."""
         self.cfg = cfg
         self.dyn_cfg = dyn_cfg
         self.render_fn = render_fn
         self.get_rays_fn = get_rays_fn
+        self.get_rays_at_fn = get_rays_at_fn
         self.state_to_pose = state_to_pose
         self.workspace = workspace
         if workspace:
@@ -138,13 +143,19 @@ class Estimator:
         state_to_pose = self.state_to_pose
         opt = self._opt
 
+        get_rays_at_fn = self.get_rays_at_fn
+
         def measurement_loss(x, pool_inds, pool_count, gt_pixels, x_pred, sig_inv, key):
             pose = state_to_pose(x)
-            rays = get_rays_fn(pose)
             sel = jax.random.randint(key, (cfg.batch_size,), 0, pool_count)
             inds = pool_inds[sel]
-            ro = rays["rays_o"][inds]
-            rd = rays["rays_d"][inds]
+            if get_rays_at_fn is not None:
+                rays = get_rays_at_fn(pose, inds)
+                ro, rd = rays["rays_o"], rays["rays_d"]
+            else:
+                rays = get_rays_fn(pose)
+                ro = rays["rays_o"][inds]
+                rd = rays["rays_d"][inds]
             out = render_fn(ro, rd)
             mse = jnp.mean((out["image"] - gt_pixels[sel]) ** 2)
             d = x - x_pred

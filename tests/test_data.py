@@ -121,3 +121,30 @@ class TestSyntheticScene(object):
         stored = ds.images[0]
         composited = stored[..., :3] * stored[..., 3:]
         assert np.abs(rendered - composited).mean() < 0.02
+
+
+def test_get_rays_at_matches_full_image():
+    """Index-based ray gen (the pose filter's per-iteration path) must equal
+    gathering the same pixels from the full-image rays, and stay
+    differentiable w.r.t. pose."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfnav_tpu.data.rays import get_all_rays, get_rays_at
+
+    H = W = 24
+    intr = jnp.asarray([30.0, 30.0, W / 2, H / 2])
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.1, -0.2, -1.3]))
+    inds = jnp.asarray([0, 5, 100, W * H - 1, 311])
+    full = get_all_rays(pose, intr, H, W)
+    at = get_rays_at(pose, intr, W, inds)
+    np.testing.assert_allclose(np.asarray(at["rays_o"]),
+                               np.asarray(full["rays_o"][inds]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(at["rays_d"]),
+                               np.asarray(full["rays_d"][inds]), atol=1e-6)
+
+    def f(p):
+        return jnp.sum(get_rays_at(p, intr, W, inds)["rays_d"])
+
+    g = np.asarray(jax.grad(f)(pose))
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
