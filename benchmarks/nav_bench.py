@@ -20,7 +20,6 @@ enable_compilation_cache()
 def main():
     import jax
     import jax.numpy as jnp
-    import optax
 
     from nerfnav_tpu.data.rays import get_all_rays
     from nerfnav_tpu.data.synthetic import textured_sphere_field

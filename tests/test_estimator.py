@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from nerfnav_tpu.data.rays import get_all_rays
-from nerfnav_tpu.models import Field, RenderConfig, render_rays
+from nerfnav_tpu.models import RenderConfig, render_rays
 from nerfnav_tpu.nav.agent import (
     Agent,
     AgentConfig,

@@ -3,7 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from nerfnav_tpu.models import NetworkConfig, init_network, density, color, forward
+from nerfnav_tpu.models import NetworkConfig, init_network, density, forward
 
 
 @pytest.fixture(scope="module")

@@ -10,7 +10,6 @@ from nerfnav_tpu.nav.astar import astar_python
 from nerfnav_tpu.nav.planner import (
     Planner,
     PlannerConfig,
-    body_points,
     calc_everything,
 )
 
