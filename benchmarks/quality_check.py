@@ -14,7 +14,8 @@ import time
 
 
 def run(layout: str, scene_dir: str, steps: int, levels: int = 16,
-        level_dim: int = 2, log2_hashmap: int | None = None):
+        level_dim: int = 2, log2_hashmap: int | None = None,
+        render_path: str = "grid"):
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
     from nerfnav_tpu.models import NetworkConfig, RenderConfig
@@ -38,17 +39,20 @@ def run(layout: str, scene_dir: str, steps: int, levels: int = 16,
         name=f"q_{layout}", workspace=tempfile.mkdtemp(), lr=1e-2, iters=30000,
         num_rays=4096, use_checkpoint="scratch", bg_train="white",
     )
-    tr = Trainer(cfg, rcfg, opt,
-                 occupancy_cfg=OccupancyConfig(bound=1.0, min_near=0.05,
-                                               density_thresh=5.0),
-                 march_cfg=MarchConfig(bound=1.0, samples_per_ray=32,
-                                       min_near=0.05))
+    if render_path == "grid":
+        tr = Trainer(cfg, rcfg, opt,
+                     occupancy_cfg=OccupancyConfig(bound=1.0, min_near=0.05,
+                                                   density_thresh=5.0),
+                     march_cfg=MarchConfig(bound=1.0, samples_per_ray=32,
+                                           min_near=0.05))
+    else:
+        tr = Trainer(cfg, rcfg, opt)
     t0 = time.time()
     tr.train(train_ds, max_epochs=1, steps_per_epoch=steps)
     train_time = time.time() - t0
     psnr = tr.evaluate(val_ds, use_ema=True)
     return {"layout": layout, "levels": levels, "level_dim": level_dim,
-            "psnr": round(psnr, 2),
+            "render_path": render_path, "psnr": round(psnr, 2),
             "train_time_s": round(train_time, 1),
             "steps_per_sec": round(steps / train_time, 2)}
 
@@ -66,6 +70,7 @@ def main():
     p.add_argument("--levels", type=int, default=16)
     p.add_argument("--level_dim", type=int, default=2)
     p.add_argument("--log2_hashmap", type=int, default=None)
+    p.add_argument("--render_path", default="grid", choices=["grid", "dense"])
     args = p.parse_args()
 
     from nerfnav_tpu.data.synthetic import make_synthetic_scene, textured_sphere_field
@@ -77,7 +82,8 @@ def main():
     layouts = ["cell", "corner"] if args.layout == "both" else [args.layout]
     for layout in layouts:
         print(json.dumps(run(layout, scene_dir, args.steps, args.levels,
-                              args.level_dim, args.log2_hashmap)))
+                              args.level_dim, args.log2_hashmap,
+                              args.render_path)))
 
 
 if __name__ == "__main__":
