@@ -34,6 +34,17 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="static per-ray sample budget of the grid fast path")
     # model
     p.add_argument("--fp16", action="store_true", help="bf16 MLP compute on TPU")
+    p.add_argument("--grid_levels", type=int, default=16,
+                   help="hash-grid levels (reference fixes 16, grid.py:94; "
+                   "fewer x wider measured better on TPU: see RESULTS.md)")
+    p.add_argument("--grid_level_dim", type=int, default=2,
+                   help="features per level (reference fixes 2)")
+    p.add_argument("--grid_hashmap_log2", type=int, default=19,
+                   help="log2 max table rows per level (reference 19)")
+    p.add_argument("--grid_layout", type=str, default="corner",
+                   choices=["corner", "cell"],
+                   help="table layout: corner = reference-exact vertex "
+                   "hashing; cell = TPU-fast one-wide-gather-per-level")
     p.add_argument("--ff", action="store_true", help="fused-MLP backend")
     p.add_argument("--tcnn", action="store_true",
                    help="parity flag; maps to the fused backend on TPU")
@@ -86,6 +97,10 @@ def make_configs(opt, for_nav: bool = False):
         # --ff / --tcnn both map to the Pallas fused-MLP backend on TPU
         # (reference network_ff.py / network_tcnn.py backbone selection)
         mlp_backend="fused" if (opt.ff or opt.tcnn) else "xla",
+        grid_levels=opt.grid_levels,
+        grid_level_dim=opt.grid_level_dim,
+        grid_log2_hashmap_size=opt.grid_hashmap_log2,
+        grid_layout=opt.grid_layout,
     )
     rcfg = RenderConfig(
         num_steps=opt.num_steps,
