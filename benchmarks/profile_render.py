@@ -1,0 +1,144 @@
+"""Stage breakdown of the grid-path render on the real chip.
+
+Times each pipeline stage as its own jitted program over the same ray chunks
+as bench.py: block march (phase A only / full), field encode+MLP on the
+marched samples, compositing, and the full fused render. Stage sums exceed
+the fused time (XLA overlaps stages inside one program); the point is the
+RATIO — which stage to attack next.
+
+Run: python benchmarks/profile_render.py [--chunk 4096] [--iters 5]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+from nerfnav_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nerfnav_tpu.data.rays import get_all_rays
+    from nerfnav_tpu.models import (
+        NetworkConfig, init_network, make_field, render_rays_grid,
+    )
+    from nerfnav_tpu.models import network as net
+    from nerfnav_tpu.ops import marching as M
+    from nerfnav_tpu.ops.morton import pack_blocks, packbits
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--res", type=int, default=800)
+    args = ap.parse_args()
+
+    BOUND = 2.0
+    H = W = args.res
+    cfg = NetworkConfig(bound=BOUND, mlp_dtype="bfloat16", grid_layout="cell",
+                        grid_log2_hashmap_size=17, grid_levels=4,
+                        grid_level_dim=8)
+    mcfg = M.MarchConfig(bound=BOUND, grid_size=128, max_steps=1024,
+                         samples_per_ray=32, min_near=0.2)
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    field = make_field(params, cfg)
+
+    Hg = mcfg.grid_size
+    idx = np.arange(Hg**3)
+    c = (np.stack([idx // (Hg * Hg), (idx // Hg) % Hg, idx % Hg], -1) + 0.5) / Hg * 2 - 1
+    r = np.linalg.norm(c, axis=-1)
+    occ0 = ((r > 0.35) & (r < 0.5)) | (np.abs(c[:, 2] + 0.8) < 0.05)
+    occs = [occ0] + [(r < 0.3) for _ in range(1, mcfg.cascades)]
+    bitfield = jnp.stack([packbits(jnp.asarray(o.astype(np.float32))) for o in occs])
+    f = mcfg.coarse_factor
+    hc = Hg // f
+    coarse = jnp.stack([
+        packbits(jnp.asarray(
+            o.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
+            .astype(np.float32)))
+        for o in occs
+    ])
+    occ_all = jnp.asarray(np.stack(occs))
+    occ_coarse = jnp.asarray(np.stack([
+        o.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
+        for o in occs
+    ]))
+    occupancy = {
+        "bitfield": bitfield,
+        "bitfield_coarse": coarse,
+        "blocks": pack_blocks(occ_all, Hg),
+        "blocks_coarse": pack_blocks(occ_coarse, hc, block=8),
+    }
+
+    intr = jnp.asarray([1000.0, 1000.0, W / 2, H / 2], jnp.float32)
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.8]))
+    rays = get_all_rays(pose, intr, H, W)
+    CHUNK = args.chunk
+    n = H * W
+    pad = (-n) % CHUNK
+    ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
+    rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0)), constant_values=1.0)
+    chunks = [(ro[i:i + CHUNK], rd[i:i + CHUNK]) for i in range(0, n + pad, CHUNK)]
+
+    # ---- stage programs
+    @jax.jit
+    def full(a, b):
+        return render_rays_grid(field, occupancy, mcfg, a, b, bg_color=1.0)["image"]
+
+    @jax.jit
+    def march_only(a, b):
+        m = M.march(a, b, occupancy, mcfg)
+        return m["z"] + m["dt"] + m["valid"]
+
+    @jax.jit
+    def field_on_marched(a, b):
+        m = M.march(a, b, occupancy, mcfg)
+        z, valid = m["z"], m["valid"]
+        pos = a[:, None, :] + b[:, None, :] * z[..., None]
+        sig, geo = field.density_fn(pos.reshape(-1, 3))
+        dirs = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+        k = z.shape[1]
+        dirs = jnp.broadcast_to(dirs[:, None, :], (a.shape[0], k, 3)).reshape(-1, 3)
+        rgb = field.color_fn(dirs, geo)
+        return sig.sum() + rgb.sum()
+
+    @jax.jit
+    def density_on_marched(a, b):
+        m = M.march(a, b, occupancy, mcfg)
+        pos = a[:, None, :] + b[:, None, :] * m["z"][..., None]
+        sig, _ = field.density_fn(pos.reshape(-1, 3))
+        return sig.sum()
+
+    @jax.jit
+    def density_on_fixed(a, b):
+        # same point count, no march: lattice along each ray
+        k = mcfg.samples_per_ray
+        z = jnp.linspace(0.5, 3.0, k)[None, :]
+        pos = a[:, None, :] + b[:, None, :] * z[..., None]
+        sig, _ = field.density_fn(pos.reshape(-1, 3))
+        return sig.sum()
+
+    def bench(fn, name):
+        fn(*chunks[0]).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            outs = [fn(a, b) for a, b in chunks]
+            jax.block_until_ready(outs[-1])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:24s} {dt * 1e3:8.1f} ms/frame  "
+              f"{n / dt / 1e3:8.0f} krays/s")
+        return dt
+
+    bench(full, "full render")
+    bench(march_only, "march only")
+    bench(field_on_marched, "march+encode+mlp")
+    bench(density_on_marched, "march+density")
+    bench(density_on_fixed, "density (no march)")
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,8 @@ class EstimatorConfig:
     measurement_weight: float = 1e3
     sig_max_eig: float = 1e3    # covariance conditioning cap
     hess_reg: float = 1e-6      # Tikhonov term before Hessian inversion
+    render_viz: bool = False    # gt/features/render triptych per update
+                                # (reference render_viz, estimator_helpers.py:263-283)
 
 
 class Estimator:
@@ -191,6 +193,24 @@ class Estimator:
 
         return opt_run, hess_fn
 
+    def render_from_pose(self, pose, H, W, chunk=4096):
+        """Full-frame render at a candidate pose (debug / triptych)
+        (reference estimator_helpers.py:329-345)."""
+        rays = self.get_rays_fn(jnp.asarray(pose, jnp.float32))
+        ro = np.asarray(rays["rays_o"])
+        rd = np.asarray(rays["rays_d"])
+        outs = []
+        for i in range(0, ro.shape[0], chunk):
+            outs.append(
+                np.asarray(
+                    self.render_fn(
+                        jnp.asarray(ro[i : i + chunk]),
+                        jnp.asarray(rd[i : i + chunk]),
+                    )["image"]
+                )
+            )
+        return np.concatenate(outs).reshape(H, W, 3)
+
     # ------------------------------------------------------------ public API
     def estimate_state(self, obs_img, obs_pose_gt, action):
         """One filter step (reference estimator_helpers.py:347-419).
@@ -277,6 +297,22 @@ class Estimator:
             rot_err, trans_err = (None, None)
             if obs_pose_gt is not None:
                 rot_err, trans_err = calc_se3_err(pose_est, np.asarray(obs_pose_gt))
+            if self.workspace and self.cfg.render_viz:
+                from nerfnav_tpu.nav.viz import estimator_triptych
+
+                render = self.render_from_pose(self.state_to_pose(x), H, W)
+                estimator_triptych(
+                    img_f, render, poi,
+                    title=(
+                        f"Time step: {self.iteration}. "
+                        f"Trans. error: {trans_err} m. "
+                        f"Rotate. error: {rot_err} deg."
+                    ),
+                    path=os.path.join(
+                        self.workspace, "estimator_data",
+                        f"viz_{self.iteration:04d}.png",
+                    ),
+                )
             if self.workspace:
                 with open(
                     os.path.join(self.workspace, "estimator_data",
