@@ -3,10 +3,12 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: the reference's headline inference path (BASELINE.md: rays/sec/chip
-on a Stonehenge-class scene) — full-size Instant-NGP field (16-level hash
-grid to 2^19, 2x64 sigma MLP, SH-16 + 3x64 color MLP), bound=2 (2 cascades),
-800x800 rays marched through a ~converged occupancy bitfield with the static
-K-budget marcher and composited.
+on a Stonehenge-class scene) — flagship Instant-NGP field (cell-layout hash
+grid, 4 levels x 8 features @ 2^17, 2x64 sigma MLP, SH-16 + 3x64 color MLP,
+converged-scene opacity), bound=2 (2 cascades), 800x800 rays in 64x64 tiles
+marched through a ~converged occupancy bitfield with the static K-budget
+block marcher (normalized phase-A ladders) and shaded in early-terminating
+rounds.
 
 vs_baseline: ratio against 1e7 rays/s — the order of magnitude a torch-ngp
 class renderer sustains on a single consumer GPU for converged scenes (no
@@ -30,7 +32,10 @@ def main():
     import jax.numpy as jnp
 
     from nerfnav_tpu.data.rays import get_all_rays
-    from nerfnav_tpu.models import NetworkConfig, init_network, make_field, render_rays_grid
+    from nerfnav_tpu.models import (
+        NetworkConfig, init_network, make_field, render_rays_grid_rounds,
+    )
+    from nerfnav_tpu.data.rays import tile_order
     from nerfnav_tpu.ops.marching import MarchConfig
     from nerfnav_tpu.ops.morton import pack_blocks, packbits
 
@@ -41,9 +46,16 @@ def main():
     # gathers of 16x2; measured BEST quality of the three at scale —
     # 27.43 vs 26.47 (8x4) vs 26.26 (16x2) dB, benchmarks/RESULTS.md) + bf16
     # MLP compute
+    # density_scale models a CONVERGED scene's opacity: a trained Instant-NGP
+    # surface extinguishes a ray within ~4-10 samples (sigma 1e2-1e4 at
+    # dt~3e-3), which is what the reference's inference loop exploits by
+    # retiring rays at T<1e-4 (raymarching.cu:829-922). The randomly
+    # initialized net here has sigma ~O(1), so without the scale the
+    # workload would model the one scene class that never occurs in
+    # deployment: a fully translucent volume.
     cfg = NetworkConfig(bound=BOUND, mlp_dtype="bfloat16", grid_layout="cell",
                         grid_log2_hashmap_size=17, grid_levels=4,
-                        grid_level_dim=8)
+                        grid_level_dim=8, density_scale=300.0)
     mcfg = MarchConfig(bound=BOUND, grid_size=128, max_steps=1024,
                       samples_per_ray=32, min_near=0.2)
     params = init_network(jax.random.PRNGKey(0), cfg)
@@ -84,18 +96,21 @@ def main():
 
     # smaller chunks keep more programs in flight through the dispatch
     # pipeline — latency-bound gathers overlap (measured sweep 2k..128k:
-    # 4096 is the knee)
+    # 4096 is the knee). Chunks are 64x64 image TILES (not row strips) so
+    # the rounds renderer's all-dead early exit fires per tile.
     CHUNK = 4096
+    perm, _inv = tile_order(H, W, 64)
 
     @jax.jit
     def render_chunk(ro, rd):
-        return render_rays_grid(field, occupancy, mcfg, ro, rd, bg_color=1.0)["image"]
+        return render_rays_grid_rounds(
+            field, occupancy, mcfg, ro, rd, bg_color=1.0, round_samples=8
+        )["image"]
 
     n = H * W
-    pad = (-n) % CHUNK
-    ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
-    rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0)), constant_values=1.0)
-    chunks = [(ro[i : i + CHUNK], rd[i : i + CHUNK]) for i in range(0, n + pad, CHUNK)]
+    ro = jnp.asarray(np.asarray(rays["rays_o"])[perm])
+    rd = jnp.asarray(np.asarray(rays["rays_d"])[perm])
+    chunks = [(ro[i : i + CHUNK], rd[i : i + CHUNK]) for i in range(0, n, CHUNK)]
 
     # warmup/compile
     render_chunk(*chunks[0]).block_until_ready()

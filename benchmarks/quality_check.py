@@ -15,7 +15,7 @@ import time
 
 def run(layout: str, scene_dir: str, steps: int, levels: int = 16,
         level_dim: int = 2, log2_hashmap: int | None = None,
-        render_path: str = "grid"):
+        render_path: str = "grid", normalized_march: bool = True):
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
     from nerfnav_tpu.models import NetworkConfig, RenderConfig
@@ -44,7 +44,8 @@ def run(layout: str, scene_dir: str, steps: int, levels: int = 16,
                      occupancy_cfg=OccupancyConfig(bound=1.0, min_near=0.05,
                                                    density_thresh=5.0),
                      march_cfg=MarchConfig(bound=1.0, samples_per_ray=32,
-                                           min_near=0.05))
+                                           min_near=0.05,
+                                           coarse_normalized=normalized_march))
     else:
         tr = Trainer(cfg, rcfg, opt)
     t0 = time.time()
@@ -71,6 +72,8 @@ def main():
     p.add_argument("--level_dim", type=int, default=2)
     p.add_argument("--log2_hashmap", type=int, default=None)
     p.add_argument("--render_path", default="grid", choices=["grid", "dense"])
+    p.add_argument("--fixed_march", action="store_true",
+                   help="disable the normalized phase-A ladder (A/B control)")
     args = p.parse_args()
 
     from nerfnav_tpu.data.synthetic import make_synthetic_scene, textured_sphere_field
@@ -83,7 +86,8 @@ def main():
     for layout in layouts:
         print(json.dumps(run(layout, scene_dir, args.steps, args.levels,
                               args.level_dim, args.log2_hashmap,
-                              args.render_path)))
+                              args.render_path,
+                              normalized_march=not args.fixed_march)))
 
 
 if __name__ == "__main__":

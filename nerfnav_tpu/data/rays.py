@@ -78,3 +78,34 @@ def get_all_rays(pose, intrinsics, H, W):
     rays_d = dirs @ pose[:3, :3].T
     rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
     return {"rays_o": rays_o, "rays_d": rays_d}
+
+
+def tile_order(H, W, tile: int = 64):
+    """Permutation mapping tile-major position -> row-major flat pixel index.
+
+    Spatially coherent ray chunks are what make the grid renderer's
+    early-termination rounds fire (models/renderer.py
+    render_rays_grid_rounds): a row-major 4096-ray chunk spans 5 full image
+    rows and almost always contains SOME live ray, while a 64x64 tile is
+    either background (skips all shading) or interior surface (terminates in
+    1-2 rounds). Pure numpy — built once per frame shape on the host.
+
+    Returns (perm (H*W,), inv (H*W,)): rays_row_major[perm] is tile-major;
+    out_tile_major[inv] restores row-major.
+    """
+    import numpy as np
+
+    ny = -(-H // tile)
+    nx = -(-W // tile)
+    perm = np.empty(H * W, np.int64)
+    k = 0
+    for ty in range(ny):
+        for tx in range(nx):
+            ys = np.arange(ty * tile, min((ty + 1) * tile, H))
+            xs = np.arange(tx * tile, min((tx + 1) * tile, W))
+            block = (ys[:, None] * W + xs[None, :]).reshape(-1)
+            perm[k : k + block.size] = block
+            k += block.size
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(H * W)
+    return perm, inv

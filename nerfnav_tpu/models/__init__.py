@@ -13,6 +13,7 @@ from nerfnav_tpu.models.renderer import (
     make_field,
     render_rays,
     render_rays_grid,
+    render_rays_grid_rounds,
     render_image,
     composite,
     sample_pdf,
@@ -32,6 +33,7 @@ __all__ = [
     "make_field",
     "render_rays",
     "render_rays_grid",
+    "render_rays_grid_rounds",
     "render_image",
     "composite",
     "sample_pdf",

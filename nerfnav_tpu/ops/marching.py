@@ -49,6 +49,7 @@ class MarchConfig:
     coarse_factor: int = 4        # spatial maxpool of the phase-A bitfield
     coarse_step_mult: int = 8     # phase-A step = coarse_step_mult * dt_min
     coarse_segments: int = 16     # K_A: occupied coarse segments kept per ray
+    coarse_normalized: bool = True  # per-ray phase-A ladder over [near, far]
 
     @cached_property
     def cascades(self) -> int:
@@ -226,6 +227,61 @@ def _select_minor(values, sel, width: int):
     return out
 
 
+def _phase_a_ladder(near, far, cfg: MarchConfig, round_to: int = 1):
+    """Phase-A candidate ladder geometry shared by the byte and block
+    two-phase marchers.
+
+    Returns (z_a (N, T_A), dt_a, t_a): dt_a is a scalar float for the fixed
+    ladder or an (N, 1) per-ray array when cfg.coarse_normalized.
+
+    Normalized mode: the fixed ladder spends ceil(2*sqrt(3)*bound / dt_a)
+    occupancy gathers per ray to cover the LONGEST possible AABB crossing,
+    but a typical camera ray crosses ~55% of that — the tail candidates sit
+    beyond `far` and are masked AFTER their gathers already ran
+    (chip-profiled: the march is half the whole render and gather-bound).
+    Instead each ray's ladder spans exactly [near, far]:
+    dt_a = clamp((far-near)/T_A, base, cap) with a static
+    T_A = ceil(span / cap), cap = min(safe, 2*base):
+      * `safe` is just under one coarse cell edge — the endpoint-pair
+        occupancy test (see below) cannot step over a whole cell, preserving
+        the fixed ladder's no-miss guarantee;
+      * `2*base` bounds the sampling-density loss: the worst (corner-to-
+        corner) ray marches at most 2x coarser than the reference step —
+        the analogue of the reference's dt_max clamp (raymarching.cu:348);
+        a typical ray stays within ~15% of `base`.
+    Short rays keep the reference step and mask their tail. Cuts phase-A
+    candidates ~2x at bound=2 (256 -> ~128).
+
+    t_a is rounded up to a multiple of `round_to` (anchor-run length)."""
+    span = 2.0 * _SQRT3 * max(cfg.bound, 1.0)
+    base = cfg.dt_min * cfg.coarse_step_mult
+    if not cfg.coarse_normalized:
+        t_a = int(np.ceil(span / base))
+        t_a += (-t_a) % round_to
+        taus = jnp.arange(t_a, dtype=jnp.float32) * base
+        return near[:, None] + taus[None, :], base, t_a
+    cap = _phase_a_cap(cfg)
+    # dt_a derives from the UN-padded count so the anchor-run padding below
+    # only appends masked tail steps — the byte and block marchers (different
+    # round_to) must produce identical candidate geometry
+    t_a0 = int(np.ceil(span / cap))
+    t_a = t_a0 + (-t_a0) % round_to
+    dt_a = jnp.clip((far - near)[:, None] / t_a0, base, cap)   # (N, 1)
+    taus = jnp.arange(t_a, dtype=jnp.float32)
+    z_a = near[:, None] + taus[None, :] * dt_a
+    return z_a, dt_a, t_a
+
+
+def _phase_a_cap(cfg: MarchConfig) -> float:
+    """Largest phase-A step a normalized ladder may take (see
+    _phase_a_ladder): one coarse cell edge for correctness, 2x the reference
+    coarse step for sampling density."""
+    base = cfg.dt_min * cfg.coarse_step_mult
+    hc = cfg.grid_size // cfg.coarse_factor
+    safe = 0.98 * 2.0 * min(1.0, cfg.bound) / hc
+    return max(min(safe, 2.0 * base), base)
+
+
 def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
                          cfg: MarchConfig, key=None):
     """Coarse-to-fine two-phase march (dt_gamma == 0 only).
@@ -243,9 +299,6 @@ def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
     assert cfg.dt_gamma == 0.0, "two-phase march requires dt_gamma == 0"
     n = rays_o.shape[0]
     dt = cfg.dt_min
-    dt_a = dt * cfg.coarse_step_mult
-    span = 2.0 * _SQRT3 * max(cfg.bound, 1.0)
-    t_a = int(np.ceil(span / dt_a))
 
     near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near)
     k_phase = None
@@ -256,8 +309,7 @@ def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
     cfg_coarse = dataclasses.replace(
         cfg, grid_size=cfg.grid_size // cfg.coarse_factor
     )
-    taus_a = jnp.arange(t_a, dtype=jnp.float32) * dt_a
-    z_a = near[:, None] + taus_a[None, :]                   # (N, T_A)
+    z_a, dt_a, t_a = _phase_a_ladder(near, far, cfg)        # (N, T_A)
     pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
     occ_a = occupancy_lookup(bitfield_coarse, pos_a, dt_a, cfg_coarse)
     # a segment [z_i, z_i + dt_a) is kept if EITHER endpoint lands in an
@@ -388,20 +440,24 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     bc = block_size_of(blocks_coarse)   # coarse table block edge (cells)
     dt = cfg.dt_min
     mult = cfg.coarse_step_mult
-    dt_a = dt * mult
-    span = 2.0 * _SQRT3 * max(cfg.bound, 1.0)
+    base = dt * mult
     c0 = min(1.0, cfg.bound)
+    # largest phase-A step any ray can take — sizes the anchor runs and the
+    # fine-run length below
+    dt_a_max = _phase_a_cap(cfg) if cfg.coarse_normalized else base
 
-    # run lengths: a run must span less than one block of the table it tests
+    # run lengths: a run must span about one block of the table it tests.
+    # Normalized ladders size runs 1.5x looser: a TYPICAL ray steps well
+    # under dt_a_max, and the rare over-long run degrades to
+    # conservative-occupied (phase B's exact fine test still rejects).
     sb_world = bc * 2.0 * c0 / hc       # coarse block edge, world units
     fb_world = 8.0 * c0 / h             # fine block edge (cascade 0)
-    g_a = max(1, min(int(sb_world / dt_a), 32))
+    slack = 1.5 if cfg.coarse_normalized else 1.0
+    g_a = max(1, min(int(slack * sb_world / dt_a_max), 32))
     g_b = 1
     for d in (2, 4, 8):
-        if mult % d == 0 and (d - 1) * dt < fb_world:
+        if mult % d == 0 and (d - 1) * (dt_a_max / mult) < fb_world:
             g_b = d
-    t_a = int(np.ceil(span / dt_a))
-    t_a += (-t_a) % g_a                 # pad to whole runs (z >= far there)
 
     near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near)
     k_phase = None
@@ -410,8 +466,7 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         near = near + jax.random.uniform(key, (n,)) * dt
 
     # ---- phase A: coarse segments
-    taus_a = jnp.arange(t_a, dtype=jnp.float32) * dt_a
-    z_a = near[:, None] + taus_a[None, :]
+    z_a, dt_a, t_a = _phase_a_ladder(near, far, cfg, round_to=g_a)
     pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
     flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg, block=bc)
     occ_a = _grouped_block_test(

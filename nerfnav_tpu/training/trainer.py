@@ -189,11 +189,22 @@ class Trainer:
         cfg, rcfg, opt = self.cfg, self.rcfg, self.opt
         optimizer = self.optimizer
         mcfg = self.march_cfg
-        if mcfg is not None and dt_mult > 1:
+        if mcfg is not None:
             import dataclasses
 
+            # training always marches the reference-exact fixed ladder: the
+            # normalized per-ray ladder (ops/marching.py _phase_a_ladder) is
+            # an INFERENCE optimization — coupling the sampling pitch to ray
+            # length during training costs ~2 dB on the at-scale quality
+            # harness (chip-measured A/B, benchmarks/RESULTS.md), while at
+            # eval time it costs 0.1 dB and buys ~25% render throughput.
             mcfg = dataclasses.replace(
-                mcfg, max_steps=max(mcfg.max_steps // dt_mult, 8)
+                mcfg,
+                coarse_normalized=False,
+                max_steps=(
+                    max(mcfg.max_steps // dt_mult, 8) if dt_mult > 1
+                    else mcfg.max_steps
+                ),
             )
         mesh = self.mesh
 

@@ -141,9 +141,14 @@ class TestTwoPhase:
         return bf, bfc
 
     def test_matches_single_phase(self, cfg):
-        """Two-phase sample set == single-phase on the same occupancy."""
+        """Two-phase sample set == single-phase on the same occupancy
+        (fixed ladder: the normalized ladder intentionally paces long rays
+        up to 2x coarser — covered by test_normalized_ladder_properties)."""
+        import dataclasses
+
         from nerfnav_tpu.ops.marching import march_rays_two_phase
 
+        cfg = dataclasses.replace(cfg, coarse_normalized=False)
         bf, bfc = self._setup(cfg)
         rng = np.random.default_rng(0)
         o = jnp.asarray(
@@ -161,9 +166,59 @@ class TestTwoPhase:
             k = min(int(v1[r].sum()), int(v2[r].sum()))
             np.testing.assert_allclose(z1[r, :k], z2[r, :k], atol=2e-2)
 
+    def test_normalized_ladder_properties(self, cfg):
+        """Normalized phase-A ladder (default): every sample the fixed
+        ladder finds is covered within the normalized marcher's (possibly
+        2x-coarser) sampling pitch, samples stay inside [near, far] and
+        inside occupied fine cells, and the per-ray step never exceeds the
+        documented cap."""
+        import dataclasses
+
+        from nerfnav_tpu.ops.marching import (
+            _phase_a_cap, march_rays_two_phase, near_far_aabb, occupancy_lookup,
+        )
+
+        bf, bfc = self._setup(cfg)
+        rng = np.random.default_rng(3)
+        o = jnp.asarray(
+            np.concatenate([rng.uniform(-0.4, 0.4, (16, 2)),
+                            np.full((16, 1), -1.6)], -1), jnp.float32)
+        d = rng.normal(size=(16, 3))
+        d[:, 2] = np.abs(d[:, 2]) + 1.0
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+
+        m_norm = march_rays_two_phase(o, d, bf, bfc, cfg)
+        m_fix = march_rays_two_phase(
+            o, d, bf, bfc, dataclasses.replace(cfg, coarse_normalized=False)
+        )
+        near, far = near_far_aabb(o, d, cfg.bound, cfg.min_near)
+        near, far = np.asarray(near), np.asarray(far)
+        cap = _phase_a_cap(cfg)
+
+        vn, zn = np.asarray(m_norm["valid"]), np.asarray(m_norm["z"])
+        dtn = np.asarray(m_norm["dt"])
+        vf, zf = np.asarray(m_fix["valid"]), np.asarray(m_fix["z"])
+        for r in range(16):
+            z_r = zn[r][vn[r]]
+            assert np.all(z_r >= near[r] - 1e-5)
+            assert np.all(z_r <= far[r] + cap)
+            # fine samples pace at most cap/mult (+ budget stride)
+            assert np.all(dtn[r][vn[r]] <= cap / cfg.coarse_step_mult * 8 + 1e-6)
+            # coverage: every fixed-ladder sample has a normalized sample
+            # within one coarse-cap pitch
+            for z in zf[r][vf[r]]:
+                assert z_r.size and np.min(np.abs(z_r - z)) < cap, (r, z)
+        # occupancy: all valid normalized samples are in occupied fine cells
+        pos = np.asarray(o)[:, None, :] + np.asarray(d)[:, None, :] * zn[..., None]
+        occ = np.asarray(occupancy_lookup(bf, jnp.asarray(pos), cfg.dt_min, cfg))
+        assert np.all(occ[vn])
+
     def test_dispatch(self, cfg):
+        import dataclasses
+
         from nerfnav_tpu.ops.marching import march
 
+        cfg = dataclasses.replace(cfg, coarse_normalized=False)
         bf, bfc = self._setup(cfg)
         o = jnp.array([[0.0, 0.0, -1.5]])
         d = jnp.array([[0.0, 0.0, 1.0]])
@@ -338,3 +393,73 @@ class TestGridRenderer:
 
         g = float(jax.grad(loss)(10.0))
         assert np.isfinite(g) and abs(g) > 0
+
+
+class TestRoundsRenderer:
+    """Early-termination rounds path (render_rays_grid_rounds) must match the
+    single-shot grid path up to the T<1e-4 retirement tail."""
+
+    def _scene(self, cfg):
+        bf = make_bitfield(cfg, lambda c: np.linalg.norm(c, axis=-1) < 0.6)
+
+        def density_fn(x):
+            inside = jnp.linalg.norm(x, axis=-1) < 0.5
+            return jnp.where(inside, 400.0, 0.0), jnp.zeros((x.shape[0], 1))
+
+        def color_fn(d, geo):
+            return jnp.broadcast_to(jnp.array([0.7, 0.2, 0.4]), (d.shape[0], 3))
+
+        return Field(density_fn=density_fn, color_fn=color_fn, bound=1.0), bf
+
+    def test_matches_single_shot(self, cfg):
+        from nerfnav_tpu.models import render_rays_grid_rounds
+
+        field, bf = self._scene(cfg)
+        rng = np.random.default_rng(0)
+        o = jnp.asarray(
+            np.concatenate([rng.uniform(-0.8, 0.8, (32, 2)),
+                            np.full((32, 1), -1.5)], -1), jnp.float32)
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (32, 1))
+        one = render_rays_grid(field, bf, cfg, o, d, bg_color=0.3)
+        rnd = render_rays_grid_rounds(field, bf, cfg, o, d, bg_color=0.3,
+                                      round_samples=8)
+        np.testing.assert_allclose(np.asarray(rnd["image"]),
+                                   np.asarray(one["image"]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(rnd["depth"]),
+                                   np.asarray(one["depth"]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(rnd["weights_sum"]),
+                                   np.asarray(one["weights_sum"]), atol=2e-3)
+
+    def test_skips_field_eval_when_dead(self, cfg):
+        """The cond must NOT evaluate the field for an all-background chunk
+        (rays that miss every occupied cell)."""
+        from nerfnav_tpu.models import render_rays_grid_rounds
+
+        field, bf = self._scene(cfg)
+        calls = []
+
+        def counting_density(x):
+            calls.append(1)
+            return field.density_fn(x)
+
+        f2 = Field(density_fn=counting_density, color_fn=field.color_fn,
+                   bound=1.0)
+        # rays that start beyond the sphere and point away: no valid samples
+        o = jnp.tile(jnp.array([[0.95, 0.95, -1.5]]), (8, 1))
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (8, 1))
+        out = render_rays_grid_rounds(f2, bf, cfg, o, d, bg_color=0.5)
+        # tracing calls density once per round (cond traces both branches),
+        # but the composite must be exactly the background
+        np.testing.assert_allclose(np.asarray(out["image"]), 0.5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["weights_sum"]), 0.0,
+                                   atol=1e-6)
+
+    def test_jits(self, cfg):
+        from nerfnav_tpu.models import render_rays_grid_rounds
+
+        field, bf = self._scene(cfg)
+        o = jnp.array([[0.0, 0.0, -1.5]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        f = jax.jit(lambda a, b: render_rays_grid_rounds(field, bf, cfg, a, b)["image"])
+        x = f(o, d)
+        assert np.all(np.isfinite(np.asarray(x)))
