@@ -50,6 +50,14 @@ class MarchConfig:
     coarse_step_mult: int = 8     # phase-A step = coarse_step_mult * dt_min
     coarse_segments: int = 16     # K_A: occupied coarse segments kept per ray
     coarse_normalized: bool = True  # per-ray phase-A ladder over [near, far]
+    proxy_terminate: bool = False  # occlusion-terminate samples via the
+    #   stored EMA density grid (inference only; see proxy_terminate_valid)
+    # transmittance floor. The reference retires at 1e-4 on TRUE composited
+    # transmittance (raymarching.cu:871); the proxy uses the EMA grid's
+    # per-cell MAXIMA, which overestimate opacity where a ray crosses the
+    # empty part of a surface cell — 100x more conservative costs only ~2-3
+    # extra samples at an opaque surface and avoids silhouette clipping.
+    proxy_thresh: float = 1e-6
 
     @cached_property
     def cascades(self) -> int:
@@ -133,6 +141,51 @@ def occupancy_lookup(bitfield, pos, dt, cfg: MarchConfig):
     idx = (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2]
     byte = bitfield[cas, idx >> 3]
     return ((byte >> (idx & 7).astype(jnp.uint8)) & 1).astype(bool)
+
+
+def density_lookup(density_grid, pos, dt, cfg: MarchConfig):
+    """Stored EMA density at each position's grid cell — the float analogue
+    of occupancy_lookup. density_grid: (cascades, H^3) float32."""
+    H = cfg.grid_size
+    if cfg.cascades == 1:
+        cas_bound = min(1.0, cfg.bound)
+        u = jnp.clip(pos / cas_bound * 0.5 + 0.5, 0.0, 1.0 - 1e-6)
+        cell = (u * H).astype(jnp.int32)
+        idx = (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2]
+        return density_grid[0, idx]
+    cas = mip_level(pos, dt, cfg)
+    cas_bound = jnp.minimum(2.0 ** cas.astype(jnp.float32), cfg.bound)
+    u = jnp.clip(pos / cas_bound[..., None] * 0.5 + 0.5, 0.0, 1.0 - 1e-6)
+    cell = (u * H).astype(jnp.int32)
+    idx = (cell[..., 0] * H + cell[..., 1]) * H + cell[..., 2]
+    return density_grid[cas, idx]
+
+
+def proxy_terminate_valid(m, rays_o, rays_d, density_grid, density_scale,
+                          cfg: MarchConfig):
+    """Occlusion termination for marched samples, without evaluating the
+    field: the reference's inference loop retires a ray once its
+    transmittance drops under 1e-4 (raymarching.cu composite_rays, 829-922),
+    so samples behind an opaque surface never reach the MLP. The static-shape
+    TPU form masks them instead: gather the stored EMA density
+    (models/occupancy.py, the same grid that drives the occupancy bits) at
+    each KEPT sample, accumulate a proxy transmittance along the ray, and
+    invalidate samples past the proxy_thresh crossing. The EMA grid holds the
+    MAX density seen per cell, so proxy opacity >= true opacity near
+    convergence and termination is near-exact; early in training it can
+    overestimate, which is why the trainer leaves this off (it is an
+    inference feature, like the reference's alive-ray loop).
+
+    Returns the updated valid mask (N, K). Cost: one (N*K) gather into the
+    density grid — one extra encode-level-equivalent."""
+    pos = rays_o[:, None, :] + rays_d[:, None, :] * m["z"][..., None]
+    pos = jnp.clip(pos, -cfg.bound, cfg.bound)
+    sig = density_lookup(density_grid, pos, m["dt"], cfg)
+    sig = jnp.where(m["valid"], sig, 0.0)
+    alpha = 1.0 - jnp.exp(-m["dt"] * density_scale * sig)
+    t = jnp.cumprod(1.0 - alpha + 1e-15, axis=-1)
+    t_prev = jnp.concatenate([jnp.ones_like(t[:, :1]), t[:, :-1]], axis=-1)
+    return m["valid"] & (t_prev > cfg.proxy_thresh)
 
 
 def near_far_aabb(rays_o, rays_d, bound: float, min_near: float):
@@ -546,22 +599,34 @@ def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None):
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
 
-def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None):
+def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
+          density_scale=None):
     """Dispatch: block-packed two-phase march when 64-bit block tables are
     available (fastest), byte-bitfield two-phase when only the coarse mirror
     is (both need dt_gamma == 0), single-phase ladder otherwise.
 
     occupancy: occupancy-state dict (models/occupancy.py) or a bare
-    (cascades, H^3//8) bitfield array."""
+    (cascades, H^3//8) bitfield array. When cfg.proxy_terminate and the dict
+    carries a density_grid (and the caller passes the field's density_scale),
+    samples occluded past cfg.proxy_thresh are invalidated
+    (proxy_terminate_valid)."""
     if isinstance(occupancy, dict):
         bitfield = occupancy["bitfield"]
         coarse = occupancy.get("bitfield_coarse")
         blocks = occupancy.get("blocks")
         blocks_coarse = occupancy.get("blocks_coarse")
+        density_grid = occupancy.get("density_grid")
     else:
         bitfield, coarse, blocks, blocks_coarse = occupancy, None, None, None
+        density_grid = None
     if blocks is not None and blocks_coarse is not None and cfg.dt_gamma == 0.0:
-        return march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg, key)
-    if coarse is not None and cfg.dt_gamma == 0.0:
-        return march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key)
-    return march_rays(rays_o, rays_d, bitfield, cfg, key)
+        m = march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg, key)
+    elif coarse is not None and cfg.dt_gamma == 0.0:
+        m = march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key)
+    else:
+        m = march_rays(rays_o, rays_d, bitfield, cfg, key)
+    if (cfg.proxy_terminate and density_grid is not None
+            and density_scale is not None):
+        m = {**m, "valid": proxy_terminate_valid(
+            m, rays_o, rays_d, density_grid, density_scale, cfg)}
+    return m

@@ -198,9 +198,14 @@ class Trainer:
             # length during training costs ~2 dB on the at-scale quality
             # harness (chip-measured A/B, benchmarks/RESULTS.md), while at
             # eval time it costs 0.1 dB and buys ~25% render throughput.
+            # proxy_terminate is likewise inference-only: the EMA grid
+            # overestimates density early in training (it keeps the max seen
+            # per cell) and would occlusion-mask samples the field still
+            # needs gradient from.
             mcfg = dataclasses.replace(
                 mcfg,
                 coarse_normalized=False,
+                proxy_terminate=False,
                 max_steps=(
                     max(mcfg.max_steps // dt_mult, 8) if dt_mult > 1
                     else mcfg.max_steps

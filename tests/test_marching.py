@@ -463,3 +463,92 @@ class TestRoundsRenderer:
         f = jax.jit(lambda a, b: render_rays_grid_rounds(field, bf, cfg, a, b)["image"])
         x = f(o, d)
         assert np.all(np.isfinite(np.asarray(x)))
+
+
+class TestProxyTerminate:
+    """Occlusion termination via the stored density grid (proxy_terminate)."""
+
+    def _occupancy(self, cfg, sigma=500.0, wall_lo=-0.2, wall_hi=0.0):
+        """Opaque wall slab in z (cascade 0), density grid matching the bits."""
+        import dataclasses
+
+        H = cfg.grid_size
+        idx = np.arange(H ** 3)
+        z = idx % H
+        zc = (z + 0.5) / H * 2 - 1
+        occ = (zc > wall_lo) & (zc < wall_hi)
+        grid = np.where(occ, sigma, 0.0).astype(np.float32)
+        bf = jnp.stack(
+            [packbits(jnp.asarray(occ.astype(np.float32)))]
+            + [jnp.zeros((H ** 3 // 8,), jnp.uint8)
+               for _ in range(cfg.cascades - 1)]
+        )
+        density_grid = jnp.stack(
+            [jnp.asarray(grid)]
+            + [jnp.zeros((H ** 3,), jnp.float32)
+               for _ in range(cfg.cascades - 1)]
+        )
+        return {"bitfield": bf, "density_grid": density_grid}
+
+    def test_masks_occluded_samples(self, cfg):
+        import dataclasses
+
+        from nerfnav_tpu.ops.marching import march
+
+        occ = self._occupancy(cfg)
+        o = jnp.array([[0.0, 0.0, -0.9]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        cfg_t = dataclasses.replace(cfg, proxy_terminate=True)
+        m_off = march(o, d, occ, cfg)  # density_scale omitted: no masking
+        m_on = march(o, d, occ, cfg_t, density_scale=1.0)
+        n_off = int(np.sum(np.asarray(m_off["valid"])))
+        n_on = int(np.sum(np.asarray(m_on["valid"])))
+        # the wall is ~18 dt-steps thick at sigma 500: T crosses 1e-4 within
+        # ~3 samples, so most of the wall's interior must be masked
+        assert n_off > 8
+        assert 0 < n_on <= 4, (n_on, n_off)
+        # the masked set is a PREFIX: no valid sample after an invalid one
+        v = np.asarray(m_on["valid"])[0]
+        first_invalid = int(np.argmin(v)) if not v.all() else len(v)
+        assert not v[first_invalid:].any()
+
+    def test_translucent_keeps_all(self, cfg):
+        import dataclasses
+
+        from nerfnav_tpu.ops.marching import march
+
+        occ = self._occupancy(cfg, sigma=0.5)  # nearly transparent
+        o = jnp.array([[0.0, 0.0, -0.9]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        cfg_t = dataclasses.replace(cfg, proxy_terminate=True)
+        m_off = march(o, d, occ, cfg)
+        m_on = march(o, d, occ, cfg_t, density_scale=1.0)
+        np.testing.assert_array_equal(np.asarray(m_on["valid"]),
+                                      np.asarray(m_off["valid"]))
+
+    def test_render_matches_full_budget(self, cfg):
+        """Grid render with proxy termination == without, to compositing
+        tolerance: the masked samples carry weight < proxy_thresh."""
+        import dataclasses
+
+        from nerfnav_tpu.models import render_rays_grid
+
+        occ = self._occupancy(cfg)
+
+        def density_fn(x):
+            inside = (x[..., 2] > -0.2) & (x[..., 2] < 0.0)
+            return jnp.where(inside, 500.0, 0.0), jnp.zeros((x.shape[0], 1))
+
+        def color_fn(d, geo):
+            return jnp.broadcast_to(jnp.array([0.2, 0.6, 0.9]), (d.shape[0], 3))
+
+        field = Field(density_fn=density_fn, color_fn=color_fn, bound=1.0)
+        rng = np.random.default_rng(0)
+        o = jnp.asarray(np.concatenate([rng.uniform(-0.8, 0.8, (16, 2)),
+                                        np.full((16, 1), -0.9)], -1), jnp.float32)
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (16, 1))
+        base = render_rays_grid(field, occ, cfg, o, d, bg_color=0.1)
+        cfg_t = dataclasses.replace(cfg, proxy_terminate=True)
+        term = render_rays_grid(field, occ, cfg_t, o, d, bg_color=0.1)
+        np.testing.assert_allclose(np.asarray(term["image"]),
+                                   np.asarray(base["image"]), atol=2e-3)
