@@ -7,8 +7,7 @@ on a Stonehenge-class scene) — flagship Instant-NGP field (cell-layout hash
 grid, 4 levels x 8 features @ 2^17, 2x64 sigma MLP, SH-16 + 3x64 color MLP,
 converged-scene opacity), bound=2 (2 cascades), 800x800 rays in 64x64 tiles
 marched through a ~converged occupancy bitfield with the static K-budget
-block marcher (normalized phase-A ladders) and shaded in early-terminating
-rounds.
+block marcher (normalized phase-A ladders) and composited.
 
 vs_baseline: ratio against 1e7 rays/s — the order of magnitude a torch-ngp
 class renderer sustains on a single consumer GPU for converged scenes (no
@@ -31,11 +30,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from nerfnav_tpu.data.rays import get_all_rays
+    from nerfnav_tpu.data.rays import get_all_rays, tile_order
     from nerfnav_tpu.models import (
-        NetworkConfig, init_network, make_field, render_rays_grid_rounds,
+        NetworkConfig, init_network, make_field, render_rays_grid,
     )
-    from nerfnav_tpu.data.rays import tile_order
     from nerfnav_tpu.ops.marching import MarchConfig
     from nerfnav_tpu.ops.morton import pack_blocks, packbits
 
@@ -101,10 +99,13 @@ def main():
     CHUNK = 4096
     perm, _inv = tile_order(H, W, 64)
 
+    # single-shot shade: the rounds renderer (render_rays_grid_rounds) is
+    # kept opt-in until a clean chip A/B shows its per-chunk lax.conds do
+    # not serialize the 157-chunk dispatch pipeline this throughput rides on
     @jax.jit
     def render_chunk(ro, rd):
-        return render_rays_grid_rounds(
-            field, occupancy, mcfg, ro, rd, bg_color=1.0, round_samples=8
+        return render_rays_grid(
+            field, occupancy, mcfg, ro, rd, bg_color=1.0
         )["image"]
 
     n = H * W
