@@ -466,7 +466,7 @@ def _grouped_block_test(table, flat, local, group: int, anchors=None):
 
 
 def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
-                     key=None):
+                     key=None, density_grid=None, density_scale=None):
     """Two-phase march against 64-bit block-packed occupancy rows.
 
     Same candidate geometry as march_rays_two_phase (phase A: dt_a ladder vs
@@ -555,6 +555,24 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         valid_a[:, :, None], (n, k_a, mult)
     ).reshape(n, -1)
     occ_b = occ_b & valid_ab & (z_b < far[:, None])
+    if (cfg.proxy_terminate and density_grid is not None
+            and density_scale is not None):
+        # CANDIDATE-level occlusion termination (see proxy_terminate_valid
+        # for the rationale and the conservative threshold): masking BEFORE
+        # the compaction concentrates the whole K budget on the candidates
+        # in front of the surface — post-compaction masking only zeroes
+        # slots the stride-spread already diluted (measured: K16 post-mask
+        # loses the same 0.6 dB as no mask; candidate-level holds quality
+        # at half the budget). Costs one density gather per phase-B
+        # candidate.
+        dt_cand = jnp.broadcast_to(sub, (n, k_a, mult)).reshape(n, -1)
+        sig = density_lookup(density_grid, pos_b, dt, cfg)
+        sig = jnp.where(occ_b, sig, 0.0)
+        a_cand = 1.0 - jnp.exp(-dt_cand * density_scale * sig)
+        t = jnp.cumprod(1.0 - a_cand + 1e-15, axis=-1)
+        t_prev = jnp.concatenate([jnp.ones_like(t[:, :1]), t[:, :-1]],
+                                 axis=-1)
+        occ_b = occ_b & (t_prev > cfg.proxy_thresh)
     # reconstruct kept z/dt from indices: seg = idx // mult selects among
     # K_A per-ray segment scalars (masked-sum select, no gathers)
     idx_b, valid, stride_b = _compact_idx(occ_b, cfg.samples_per_ray,
@@ -620,11 +638,17 @@ def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
         bitfield, coarse, blocks, blocks_coarse = occupancy, None, None, None
         density_grid = None
     if blocks is not None and blocks_coarse is not None and cfg.dt_gamma == 0.0:
-        m = march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg, key)
-    elif coarse is not None and cfg.dt_gamma == 0.0:
+        # the block marcher terminates at CANDIDATE level (pre-compaction,
+        # which concentrates the sample budget in front of the surface)
+        return march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg,
+                                key, density_grid=density_grid,
+                                density_scale=density_scale)
+    if coarse is not None and cfg.dt_gamma == 0.0:
         m = march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key)
     else:
         m = march_rays(rays_o, rays_d, bitfield, cfg, key)
+    # non-block marchers: post-compaction masking (weaker: zeroes occluded
+    # slots but cannot re-concentrate the budget)
     if (cfg.proxy_terminate and density_grid is not None
             and density_scale is not None):
         m = {**m, "valid": proxy_terminate_valid(

@@ -552,3 +552,57 @@ class TestProxyTerminate:
         term = render_rays_grid(field, occ, cfg_t, o, d, bg_color=0.1)
         np.testing.assert_allclose(np.asarray(term["image"]),
                                    np.asarray(base["image"]), atol=2e-3)
+
+    def test_candidate_level_concentrates_budget(self, cfg):
+        """Block-marcher candidate termination: with a tight budget, the
+        samples land on the FRONT surface instead of being stride-spread
+        through the occluded interior."""
+        import dataclasses
+
+        from nerfnav_tpu.ops.marching import march
+        from nerfnav_tpu.ops.morton import pack_blocks
+
+        H = cfg.grid_size
+        idx = np.arange(H ** 3)
+        z = idx % H
+        zc = (z + 0.5) / H * 2 - 1
+        occ = (zc > -0.2) & (zc < 0.6)  # thick opaque slab
+        sigma = 500.0
+        grid = np.where(occ, sigma, 0.0).astype(np.float32)
+        hc = H // cfg.coarse_factor
+        f = cfg.coarse_factor
+        occ3 = occ.reshape(H, H, H)
+        occ_c = occ3.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
+
+        def cascades_stack(x, fill):
+            return jnp.stack([jnp.asarray(x)] + [fill] * (cfg.cascades - 1))
+
+        occupancy = {
+            "bitfield": cascades_stack(
+                packbits(jnp.asarray(occ.astype(np.float32))),
+                jnp.zeros((H ** 3 // 8,), jnp.uint8)),
+            "blocks": pack_blocks(
+                jnp.concatenate([jnp.asarray(occ[None])]
+                                + [jnp.zeros((1, H ** 3), bool)] * (cfg.cascades - 1)), H),
+            "blocks_coarse": pack_blocks(
+                jnp.concatenate([jnp.asarray(occ_c[None])]
+                                + [jnp.zeros((1, hc ** 3), bool)] * (cfg.cascades - 1)),
+                hc, block=8 if hc % 8 == 0 else 4),
+            "density_grid": cascades_stack(grid, jnp.zeros((H ** 3,), jnp.float32)),
+        }
+        o = jnp.array([[0.0, 0.0, -0.9]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        tight = dataclasses.replace(cfg, samples_per_ray=8)
+        m_off = march(o, d, occupancy, tight)
+        m_on = march(o, d, occupancy,
+                     dataclasses.replace(tight, proxy_terminate=True),
+                     density_scale=1.0)
+        z_off = np.asarray(m_off["z"])[0][np.asarray(m_off["valid"])[0]]
+        z_on = np.asarray(m_on["z"])[0][np.asarray(m_on["valid"])[0]]
+        # wall front face at z=-0.2 -> ray enters at t=0.7. With sigma 500,
+        # T<1e-6 within ~0.03 world units. Untruncated marching spreads the
+        # 8-slot budget over the whole 0.8-thick slab; terminated marching
+        # keeps every sample near the entry face.
+        assert z_on.size > 0
+        assert np.max(z_on) < 0.78, z_on
+        assert np.max(z_off) > 1.0, z_off
