@@ -15,6 +15,7 @@ number is published in-repo; BASELINE.md records the north star as >=10x
 that, i.e. vs_baseline >= 10 is the target).
 """
 
+import argparse
 import json
 import time
 
@@ -27,12 +28,26 @@ enable_compilation_cache()
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--path", default="rounds", choices=["single", "rounds"],
+                   help="shading: early-terminating rounds (default; chip "
+                        "A/B +21%% over single-shot) or single-shot")
+    p.add_argument("--fixed_march", action="store_true",
+                   help="A/B control: fixed phase-A ladder")
+    p.add_argument("--row_major", action="store_true",
+                   help="A/B control: row-strip chunks instead of 64x64 tiles")
+    p.add_argument("--k", type=int, default=32, help="per-ray sample budget")
+    p.add_argument("--proxy", action="store_true",
+                   help="proxy occlusion termination in the march")
+    p.add_argument("--density_scale", type=float, default=300.0)
+    args = p.parse_args()
     import jax
     import jax.numpy as jnp
 
     from nerfnav_tpu.data.rays import get_all_rays, tile_order
     from nerfnav_tpu.models import (
         NetworkConfig, init_network, make_field, render_rays_grid,
+        render_rays_grid_rounds,
     )
     from nerfnav_tpu.ops.marching import MarchConfig
     from nerfnav_tpu.ops.morton import pack_blocks, packbits
@@ -53,9 +68,11 @@ def main():
     # deployment: a fully translucent volume.
     cfg = NetworkConfig(bound=BOUND, mlp_dtype="bfloat16", grid_layout="cell",
                         grid_log2_hashmap_size=17, grid_levels=4,
-                        grid_level_dim=8, density_scale=300.0)
+                        grid_level_dim=8, density_scale=args.density_scale)
     mcfg = MarchConfig(bound=BOUND, grid_size=128, max_steps=1024,
-                      samples_per_ray=32, min_near=0.2)
+                      samples_per_ray=args.k, min_near=0.2,
+                      coarse_normalized=not args.fixed_march,
+                      proxy_terminate=args.proxy)
     params = init_network(jax.random.PRNGKey(0), cfg)
     field = make_field(params, cfg)
 
@@ -87,6 +104,12 @@ def main():
         "blocks": pack_blocks(occ_all, Hg),
         "blocks_coarse": pack_blocks(occ_coarse, hc, block=8),
     }
+    if args.proxy:
+        # EMA-density stand-in consistent with the random field's sigma ~O(1)
+        # in occupied cells: at density_scale 300 a ray extinguishes within
+        # ~4-5 samples, the converged-scene behavior the termination exploits
+        occupancy["density_grid"] = jnp.asarray(
+            np.stack(occs).astype(np.float32))
 
     intr = jnp.asarray([1000.0, 1000.0, W / 2, H / 2], jnp.float32)
     pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.8]))
@@ -99,19 +122,42 @@ def main():
     CHUNK = 4096
     perm, _inv = tile_order(H, W, 64)
 
-    # single-shot shade: the rounds renderer (render_rays_grid_rounds) is
-    # kept opt-in until a clean chip A/B shows its per-chunk lax.conds do
-    # not serialize the 157-chunk dispatch pipeline this throughput rides on
-    @jax.jit
-    def render_chunk(ro, rd):
-        return render_rays_grid(
-            field, occupancy, mcfg, ro, rd, bg_color=1.0
-        )["image"]
+    # rounds is the flagship: chip A/B 1310k vs 1087k rays/s (the lax.conds
+    # stay on-device and do NOT serialize the 157-chunk dispatch pipeline;
+    # an earlier contrary measurement was contaminated by a concurrent
+    # process plus a second program shape compiling inside the timed loop)
+    if args.path == "rounds":
+        @jax.jit
+        def render_chunk(ro, rd):
+            return render_rays_grid_rounds(
+                field, occupancy, mcfg, ro, rd, bg_color=1.0, round_samples=8
+            )["image"]
+    else:
+        @jax.jit
+        def render_chunk(ro, rd):
+            return render_rays_grid(
+                field, occupancy, mcfg, ro, rd, bg_color=1.0
+            )["image"]
 
     n = H * W
-    ro = jnp.asarray(np.asarray(rays["rays_o"])[perm])
-    rd = jnp.asarray(np.asarray(rays["rays_d"])[perm])
-    chunks = [(ro[i : i + CHUNK], rd[i : i + CHUNK]) for i in range(0, n, CHUNK)]
+    if args.row_major:
+        pad = (-n) % CHUNK
+        ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
+        rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0)), constant_values=1.0)
+        chunks = [(ro[i : i + CHUNK], rd[i : i + CHUNK])
+                  for i in range(0, n + pad, CHUNK)]
+    else:
+        # pad to whole chunks: a second (short) chunk shape would compile a
+        # second program — through the remote-compile relay that lands
+        # MINUTES inside the first timed frame
+        pad = (-n) % CHUNK
+        ro = np.concatenate([np.asarray(rays["rays_o"])[perm],
+                             np.zeros((pad, 3), np.float32)])
+        rd = np.concatenate([np.asarray(rays["rays_d"])[perm],
+                             np.ones((pad, 3), np.float32)])
+        ro, rd = jnp.asarray(ro), jnp.asarray(rd)
+        chunks = [(ro[i : i + CHUNK], rd[i : i + CHUNK])
+                  for i in range(0, n + pad, CHUNK)]
 
     # warmup/compile
     render_chunk(*chunks[0]).block_until_ready()
