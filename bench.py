@@ -105,11 +105,13 @@ def main():
         "blocks_coarse": pack_blocks(occ_coarse, hc, block=8),
     }
     if args.proxy:
-        # EMA-density stand-in consistent with the random field's sigma ~O(1)
-        # in occupied cells: at density_scale 300 a ray extinguishes within
-        # ~4-5 samples, the converged-scene behavior the termination exploits
-        occupancy["density_grid"] = jnp.asarray(
-            np.stack(occs).astype(np.float32))
+        # segment-termination table: min-pooled SCALED density (sigma ~O(1)
+        # x density_scale in occupied cells — a ray extinguishes within ~4-5
+        # samples, the converged-scene behavior the termination exploits)
+        dens = np.stack(occs).astype(np.float32) * args.density_scale
+        occupancy["density_coarse_min"] = jnp.asarray(
+            dens.reshape(-1, hc, f, hc, f, hc, f).min(axis=(2, 4, 6))
+            .reshape(len(occs), -1))
 
     intr = jnp.asarray([1000.0, 1000.0, W / 2, H / 2], jnp.float32)
     pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.8]))

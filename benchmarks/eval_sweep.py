@@ -65,11 +65,9 @@ def main():
 
     sweeps = [
         ("K32", dict(samples_per_ray=32)),
-        ("K32+proxy", dict(samples_per_ray=32, proxy_terminate=True)),
         ("K16", dict(samples_per_ray=16)),
         ("K16+proxy", dict(samples_per_ray=16, proxy_terminate=True)),
         ("K8+proxy", dict(samples_per_ray=8, proxy_terminate=True)),
-        ("K32+fixed_ladder", dict(samples_per_ray=32, coarse_normalized=False)),
     ]
     for name, kw in sweeps:
         tr.march_cfg = dataclasses.replace(base_mcfg, **kw)

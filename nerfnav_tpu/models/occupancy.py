@@ -176,6 +176,18 @@ def _finish_update(state, cfg, grid, tmp, all_cells_mask):
         out["blocks_coarse"] = pack_blocks(
             occ_coarse, hc, block=8 if hc % 8 == 0 else 4
         )
+    # min-pooled coarse density for segment-level occlusion termination
+    # (ops/marching.py march_rays_block): the min over an f^3 tile
+    # underestimates the density along ANY path through it, so the proxy
+    # transmittance OVERestimates and termination is conservative (late).
+    # Values are SCALED density (sigma * density_scale), like density_grid.
+    # Untrained (-1) cells clamp to 0 and never terminate.
+    dens3 = jnp.clip(new_grid, 0.0, None).reshape(
+        cfg.cascades, hc, f, hc, f, hc, f
+    )
+    out["density_coarse_min"] = dens3.min(axis=(2, 4, 6)).reshape(
+        cfg.cascades, hc**3
+    )
     return out
 
 

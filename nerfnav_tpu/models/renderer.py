@@ -272,8 +272,7 @@ def render_rays_grid(
     from nerfnav_tpu.ops.marching import march
 
     n = rays_o.shape[0]
-    m = march(rays_o, rays_d, occupancy, mcfg, key=key,
-              density_scale=field.density_scale)
+    m = march(rays_o, rays_d, occupancy, mcfg, key=key)
     # marching runs under no-grad (reference raymarching custom_fwd
     # cast/no-grad semantics): without this, autodiff drags a backward pass
     # through the compaction scatters and candidate lattice for gradients
@@ -342,8 +341,7 @@ def render_rays_grid_rounds(
     from nerfnav_tpu.ops.marching import march
 
     n = rays_o.shape[0]
-    m = march(rays_o, rays_d, occupancy, mcfg, key=key,
-              density_scale=field.density_scale)
+    m = march(rays_o, rays_d, occupancy, mcfg, key=key)
     z, dt, valid = (
         jax.lax.stop_gradient(m["z"]),
         jax.lax.stop_gradient(m["dt"]),

@@ -161,28 +161,28 @@ def density_lookup(density_grid, pos, dt, cfg: MarchConfig):
     return density_grid[cas, idx]
 
 
-def proxy_terminate_valid(m, rays_o, rays_d, density_grid, density_scale,
-                          cfg: MarchConfig):
+def proxy_terminate_valid(m, rays_o, rays_d, density_grid, cfg: MarchConfig):
     """Occlusion termination for marched samples, without evaluating the
     field: the reference's inference loop retires a ray once its
     transmittance drops under 1e-4 (raymarching.cu composite_rays, 829-922),
     so samples behind an opaque surface never reach the MLP. The static-shape
     TPU form masks them instead: gather the stored EMA density
-    (models/occupancy.py, the same grid that drives the occupancy bits) at
-    each KEPT sample, accumulate a proxy transmittance along the ray, and
-    invalidate samples past the proxy_thresh crossing. The EMA grid holds the
-    MAX density seen per cell, so proxy opacity >= true opacity near
-    convergence and termination is near-exact; early in training it can
-    overestimate, which is why the trainer leaves this off (it is an
-    inference feature, like the reference's alive-ray loop).
+    (models/occupancy.py, the same grid that drives the occupancy bits —
+    values are SCALED density, sigma * density_scale) at each KEPT sample,
+    accumulate a proxy transmittance along the ray, and invalidate samples
+    past the proxy_thresh crossing. The EMA grid holds the MAX density seen
+    per cell, so proxy opacity >= true opacity near convergence and
+    termination is near-exact; early in training it can overestimate, which
+    is why the trainer leaves this off (it is an inference feature, like the
+    reference's alive-ray loop).
 
     Returns the updated valid mask (N, K). Cost: one (N*K) gather into the
     density grid — one extra encode-level-equivalent."""
     pos = rays_o[:, None, :] + rays_d[:, None, :] * m["z"][..., None]
     pos = jnp.clip(pos, -cfg.bound, cfg.bound)
     sig = density_lookup(density_grid, pos, m["dt"], cfg)
-    sig = jnp.where(m["valid"], sig, 0.0)
-    alpha = 1.0 - jnp.exp(-m["dt"] * density_scale * sig)
+    sig = jnp.where(m["valid"], jnp.maximum(sig, 0.0), 0.0)
+    alpha = 1.0 - jnp.exp(-m["dt"] * sig)
     t = jnp.cumprod(1.0 - alpha + 1e-15, axis=-1)
     t_prev = jnp.concatenate([jnp.ones_like(t[:, :1]), t[:, :-1]], axis=-1)
     return m["valid"] & (t_prev > cfg.proxy_thresh)
@@ -466,7 +466,7 @@ def _grouped_block_test(table, flat, local, group: int, anchors=None):
 
 
 def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
-                     key=None, density_grid=None, density_scale=None):
+                     key=None, density_coarse_min=None):
     """Two-phase march against 64-bit block-packed occupancy rows.
 
     Same candidate geometry as march_rays_two_phase (phase A: dt_a ladder vs
@@ -539,6 +539,26 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     za_buf = jnp.where(valid_a, near[:, None] + idx_a * dt_a, 0.0)
     dta_buf = jnp.where(valid_a, dt_a * stride_a.astype(jnp.float32), 0.0)
 
+    if cfg.proxy_terminate and density_coarse_min is not None:
+        # SEGMENT-level occlusion termination (see proxy_terminate_valid for
+        # the transmittance rationale): one gather per kept segment (K_A/ray,
+        # into the small hc^3 min-pooled table) instead of one per phase-B
+        # candidate (chip-measured 3x SLOWER via the 2M-row fine grid).
+        # Masking segments BEFORE phase B concentrates the whole K budget in
+        # front of the surface. The min-pool underestimates the density along
+        # any path through a coarse tile, so termination is conservative —
+        # it only fires behind tiles that are dense THROUGHOUT.
+        z_mid = za_buf + 0.5 * dta_buf
+        pos_seg = rays_o[:, None, :] + rays_d[:, None, :] * z_mid[..., None]
+        cfg_c = _with_grid_size(cfg, hc)
+        sig = density_lookup(density_coarse_min, pos_seg, dt_a_max, cfg_c)
+        sig = jnp.where(valid_a, jnp.maximum(sig, 0.0), 0.0)
+        a_seg = 1.0 - jnp.exp(-dta_buf * sig)
+        t = jnp.cumprod(1.0 - a_seg + 1e-15, axis=-1)
+        t_prev = jnp.concatenate([jnp.ones_like(t[:, :1]), t[:, :-1]],
+                                 axis=-1)
+        valid_a = valid_a & (t_prev > cfg.proxy_thresh)
+
     # ---- phase B: fine subdivision over each kept segment's (possibly
     # stride-scaled) length — see march_rays_two_phase on overflow gaps.
     # Stride-widened runs may exceed the anchor reach; those positions fall
@@ -555,24 +575,6 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         valid_a[:, :, None], (n, k_a, mult)
     ).reshape(n, -1)
     occ_b = occ_b & valid_ab & (z_b < far[:, None])
-    if (cfg.proxy_terminate and density_grid is not None
-            and density_scale is not None):
-        # CANDIDATE-level occlusion termination (see proxy_terminate_valid
-        # for the rationale and the conservative threshold): masking BEFORE
-        # the compaction concentrates the whole K budget on the candidates
-        # in front of the surface — post-compaction masking only zeroes
-        # slots the stride-spread already diluted (measured: K16 post-mask
-        # loses the same 0.6 dB as no mask; candidate-level holds quality
-        # at half the budget). Costs one density gather per phase-B
-        # candidate.
-        dt_cand = jnp.broadcast_to(sub, (n, k_a, mult)).reshape(n, -1)
-        sig = density_lookup(density_grid, pos_b, dt, cfg)
-        sig = jnp.where(occ_b, sig, 0.0)
-        a_cand = 1.0 - jnp.exp(-dt_cand * density_scale * sig)
-        t = jnp.cumprod(1.0 - a_cand + 1e-15, axis=-1)
-        t_prev = jnp.concatenate([jnp.ones_like(t[:, :1]), t[:, :-1]],
-                                 axis=-1)
-        occ_b = occ_b & (t_prev > cfg.proxy_thresh)
     # reconstruct kept z/dt from indices: seg = idx // mult selects among
     # K_A per-ray segment scalars (masked-sum select, no gathers)
     idx_b, valid, stride_b = _compact_idx(occ_b, cfg.samples_per_ray,
@@ -617,40 +619,36 @@ def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None):
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
 
-def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
-          density_scale=None):
+def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None):
     """Dispatch: block-packed two-phase march when 64-bit block tables are
     available (fastest), byte-bitfield two-phase when only the coarse mirror
     is (both need dt_gamma == 0), single-phase ladder otherwise.
 
     occupancy: occupancy-state dict (models/occupancy.py) or a bare
-    (cascades, H^3//8) bitfield array. When cfg.proxy_terminate and the dict
-    carries a density_grid (and the caller passes the field's density_scale),
-    samples occluded past cfg.proxy_thresh are invalidated
-    (proxy_terminate_valid)."""
+    (cascades, H^3//8) bitfield array. When cfg.proxy_terminate, samples
+    occluded past cfg.proxy_thresh are invalidated: the block marcher
+    terminates at SEGMENT level pre-compaction via the dict's
+    density_coarse_min table (concentrating the K budget in front of the
+    surface); the other marchers mask post-compaction via density_grid.
+    Density tables hold SCALED density (sigma * density_scale)."""
     if isinstance(occupancy, dict):
         bitfield = occupancy["bitfield"]
         coarse = occupancy.get("bitfield_coarse")
         blocks = occupancy.get("blocks")
         blocks_coarse = occupancy.get("blocks_coarse")
         density_grid = occupancy.get("density_grid")
+        density_coarse_min = occupancy.get("density_coarse_min")
     else:
         bitfield, coarse, blocks, blocks_coarse = occupancy, None, None, None
-        density_grid = None
+        density_grid = density_coarse_min = None
     if blocks is not None and blocks_coarse is not None and cfg.dt_gamma == 0.0:
-        # the block marcher terminates at CANDIDATE level (pre-compaction,
-        # which concentrates the sample budget in front of the surface)
         return march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg,
-                                key, density_grid=density_grid,
-                                density_scale=density_scale)
+                                key, density_coarse_min=density_coarse_min)
     if coarse is not None and cfg.dt_gamma == 0.0:
         m = march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key)
     else:
         m = march_rays(rays_o, rays_d, bitfield, cfg, key)
-    # non-block marchers: post-compaction masking (weaker: zeroes occluded
-    # slots but cannot re-concentrate the budget)
-    if (cfg.proxy_terminate and density_grid is not None
-            and density_scale is not None):
+    if cfg.proxy_terminate and density_grid is not None:
         m = {**m, "valid": proxy_terminate_valid(
-            m, rays_o, rays_d, density_grid, density_scale, cfg)}
+            m, rays_o, rays_d, density_grid, cfg)}
     return m

@@ -499,8 +499,8 @@ class TestProxyTerminate:
         o = jnp.array([[0.0, 0.0, -0.9]])
         d = jnp.array([[0.0, 0.0, 1.0]])
         cfg_t = dataclasses.replace(cfg, proxy_terminate=True)
-        m_off = march(o, d, occ, cfg)  # density_scale omitted: no masking
-        m_on = march(o, d, occ, cfg_t, density_scale=1.0)
+        m_off = march(o, d, occ, cfg)  # proxy off: no masking
+        m_on = march(o, d, occ, cfg_t)
         n_off = int(np.sum(np.asarray(m_off["valid"])))
         n_on = int(np.sum(np.asarray(m_on["valid"])))
         # the wall is ~18 dt-steps thick at sigma 500: T crosses 1e-4 within
@@ -522,7 +522,7 @@ class TestProxyTerminate:
         d = jnp.array([[0.0, 0.0, 1.0]])
         cfg_t = dataclasses.replace(cfg, proxy_terminate=True)
         m_off = march(o, d, occ, cfg)
-        m_on = march(o, d, occ, cfg_t, density_scale=1.0)
+        m_on = march(o, d, occ, cfg_t)
         np.testing.assert_array_equal(np.asarray(m_on["valid"]),
                                       np.asarray(m_off["valid"]))
 
@@ -577,6 +577,9 @@ class TestProxyTerminate:
         def cascades_stack(x, fill):
             return jnp.stack([jnp.asarray(x)] + [fill] * (cfg.cascades - 1))
 
+        # segment-level termination table: min-pooled scaled density
+        dens_min = (grid.reshape(hc, f, hc, f, hc, f)
+                    .min(axis=(1, 3, 5)).reshape(-1))
         occupancy = {
             "bitfield": cascades_stack(
                 packbits(jnp.asarray(occ.astype(np.float32))),
@@ -588,21 +591,23 @@ class TestProxyTerminate:
                 jnp.concatenate([jnp.asarray(occ_c[None])]
                                 + [jnp.zeros((1, hc ** 3), bool)] * (cfg.cascades - 1)),
                 hc, block=8 if hc % 8 == 0 else 4),
-            "density_grid": cascades_stack(grid, jnp.zeros((H ** 3,), jnp.float32)),
+            "density_coarse_min": cascades_stack(
+                dens_min, jnp.zeros((hc ** 3,), jnp.float32)),
         }
         o = jnp.array([[0.0, 0.0, -0.9]])
         d = jnp.array([[0.0, 0.0, 1.0]])
         tight = dataclasses.replace(cfg, samples_per_ray=8)
         m_off = march(o, d, occupancy, tight)
         m_on = march(o, d, occupancy,
-                     dataclasses.replace(tight, proxy_terminate=True),
-                     density_scale=1.0)
+                     dataclasses.replace(tight, proxy_terminate=True))
         z_off = np.asarray(m_off["z"])[0][np.asarray(m_off["valid"])[0]]
         z_on = np.asarray(m_on["z"])[0][np.asarray(m_on["valid"])[0]]
-        # wall front face at z=-0.2 -> ray enters at t=0.7. With sigma 500,
-        # T<1e-6 within ~0.03 world units. Untruncated marching spreads the
-        # 8-slot budget over the whole 0.8-thick slab; terminated marching
-        # keeps every sample near the entry face.
+        # wall front face at z=-0.2 -> ray enters at t=0.7. Termination
+        # granularity is one fully-dense COARSE tile (0.25 world units
+        # here): the min-pool zeroes the boundary tile, the first interior
+        # tile extinguishes the ray. Untruncated marching spreads the 8-slot
+        # budget over the whole 0.8-thick slab.
         assert z_on.size > 0
-        assert np.max(z_on) < 0.78, z_on
-        assert np.max(z_off) > 1.0, z_off
+        assert np.max(z_on) < 1.25, z_on
+        assert np.max(z_off) > 1.3, z_off
+        assert np.max(z_on) < np.max(z_off) - 0.2
