@@ -40,6 +40,15 @@ def main():
     p.add_argument("--proxy", action="store_true",
                    help="proxy occlusion termination in the march")
     p.add_argument("--density_scale", type=float, default=300.0)
+    p.add_argument("--levels", type=int, default=4)
+    p.add_argument("--level_dim", type=int, default=8)
+    p.add_argument("--log2", type=int, default=17)
+    p.add_argument("--round_samples", type=int, default=8,
+                   help="samples shaded per early-termination round")
+    p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--tile", type=int, default=64)
+    p.add_argument("--coarse_factor", type=int, default=4)
+    p.add_argument("--coarse_step_mult", type=int, default=8)
     args = p.parse_args()
     import jax
     import jax.numpy as jnp
@@ -67,12 +76,15 @@ def main():
     # workload would model the one scene class that never occurs in
     # deployment: a fully translucent volume.
     cfg = NetworkConfig(bound=BOUND, mlp_dtype="bfloat16", grid_layout="cell",
-                        grid_log2_hashmap_size=17, grid_levels=4,
-                        grid_level_dim=8, density_scale=args.density_scale)
+                        grid_log2_hashmap_size=args.log2,
+                        grid_levels=args.levels, grid_level_dim=args.level_dim,
+                        density_scale=args.density_scale)
     mcfg = MarchConfig(bound=BOUND, grid_size=128, max_steps=1024,
                       samples_per_ray=args.k, min_near=0.2,
                       coarse_normalized=not args.fixed_march,
-                      proxy_terminate=args.proxy)
+                      proxy_terminate=args.proxy,
+                      coarse_factor=args.coarse_factor,
+                      coarse_step_mult=args.coarse_step_mult)
     params = init_network(jax.random.PRNGKey(0), cfg)
     field = make_field(params, cfg)
 
@@ -121,8 +133,8 @@ def main():
     # pipeline — latency-bound gathers overlap (measured sweep 2k..128k:
     # 4096 is the knee). Chunks are 64x64 image TILES (not row strips) so
     # the rounds renderer's all-dead early exit fires per tile.
-    CHUNK = 4096
-    perm, _inv = tile_order(H, W, 64)
+    CHUNK = args.chunk
+    perm, _inv = tile_order(H, W, args.tile)
 
     # rounds is the flagship: chip A/B 1310k vs 1087k rays/s (the lax.conds
     # stay on-device and do NOT serialize the 157-chunk dispatch pipeline;
@@ -132,7 +144,8 @@ def main():
         @jax.jit
         def render_chunk(ro, rd):
             return render_rays_grid_rounds(
-                field, occupancy, mcfg, ro, rd, bg_color=1.0, round_samples=8
+                field, occupancy, mcfg, ro, rd, bg_color=1.0,
+                round_samples=args.round_samples,
             )["image"]
     else:
         @jax.jit

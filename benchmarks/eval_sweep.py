@@ -24,6 +24,9 @@ def main():
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--res", type=int, default=96)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--levels", type=int, default=8)
+    p.add_argument("--level_dim", type=int, default=4)
+    p.add_argument("--log2", type=int, default=16)
     args = p.parse_args()
 
     if args.cpu:
@@ -47,8 +50,8 @@ def main():
     val_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "val")
 
     cfg = NetworkConfig(bound=1.0, mlp_dtype="bfloat16", grid_layout="cell",
-                        grid_log2_hashmap_size=16, grid_levels=8,
-                        grid_level_dim=4)
+                        grid_log2_hashmap_size=args.log2,
+                        grid_levels=args.levels, grid_level_dim=args.level_dim)
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
     base_mcfg = MarchConfig(bound=1.0, samples_per_ray=32, min_near=0.05)
     opt = TrainerOptions(name="sweep", workspace=tempfile.mkdtemp(), lr=1e-2,
