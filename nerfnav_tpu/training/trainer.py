@@ -57,6 +57,11 @@ class TrainerOptions:
     update_extra_interval: int = 16
     seed: int = 0
     tensorboard: bool = False
+    # eval/test/GUI rendering uses the early-termination rounds renderer
+    # over tile-ordered chunks (the reference inference loop's alive-ray
+    # retirement, renderer.py:325-374; chip A/B +21% over single-shot).
+    # Training steps are untouched (gradients want the single-shot shade).
+    eval_rounds: bool = True
     # Coarse-to-fine marching-step annealing for the grid fast path:
     # ((threshold, dt_multiplier), ...) — marching starts coarse (the static
     # budget then spans every ray without field-dependent stride, which
@@ -294,7 +299,16 @@ class Trainer:
     def _build_render_chunk(self):
         cfg, rcfg, mcfg = self.cfg, self.rcfg, self.march_cfg
 
-        if mcfg is not None:
+        if mcfg is not None and self.opt.eval_rounds:
+            from nerfnav_tpu.models import render_rays_grid_rounds
+
+            @partial(jax.jit, static_argnums=(4,))
+            def render_chunk(params, occupancy, rays_o, rays_d, bg_color: float):
+                return render_rays_grid_rounds(
+                    make_field(params, cfg), occupancy, mcfg, rays_o, rays_d,
+                    bg_color=bg_color,
+                )
+        elif mcfg is not None:
             from nerfnav_tpu.models import render_rays_grid
 
             @partial(jax.jit, static_argnums=(4,))
@@ -384,8 +398,23 @@ class Trainer:
         n = H * W
         chunk = self.rcfg.max_ray_batch
         pad = (-n) % chunk
-        ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
-        rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0)), constant_values=1.0)
+        # spatially coherent 64x64-tile chunks let the rounds renderer's
+        # all-dead early exit fire per chunk (background tiles skip all
+        # shading); single-shot results are order-invariant, so the permute
+        # is unconditionally safe
+        use_tiles = self.march_cfg is not None and self.opt.eval_rounds
+        if use_tiles:
+            from nerfnav_tpu.data.rays import tile_order
+
+            perm, inv = tile_order(H, W, 64)
+            ro = np.concatenate([np.asarray(rays["rays_o"])[perm],
+                                 np.zeros((pad, 3), np.float32)])
+            rd = np.concatenate([np.asarray(rays["rays_d"])[perm],
+                                 np.ones((pad, 3), np.float32)])
+            ro, rd = jnp.asarray(ro), jnp.asarray(rd)
+        else:
+            ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
+            rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0)), constant_values=1.0)
         occupancy = (
             self.state.occupancy
             if (self.march_cfg is not None and self.state is not None
@@ -400,9 +429,11 @@ class Trainer:
             )
             imgs.append(out["image"])
             depths.append(out["depth"])
-        image = jnp.concatenate(imgs)[:n].reshape(H, W, 3)
-        depth = jnp.concatenate(depths)[:n].reshape(H, W)
-        return image, depth
+        image = jnp.concatenate(imgs)[:n]
+        depth = jnp.concatenate(depths)[:n]
+        if use_tiles:
+            image, depth = image[jnp.asarray(inv)], depth[jnp.asarray(inv)]
+        return image.reshape(H, W, 3), depth.reshape(H, W)
 
     def evaluate(self, ds, name: str | None = None, use_ema: bool = True):
         """Reference evaluate_one_epoch (utils.py:838-930): render the split,
