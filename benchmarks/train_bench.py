@@ -16,7 +16,8 @@ from nerfnav_tpu.utils.jax_setup import enable_compilation_cache
 enable_compilation_cache()
 
 
-def main(num_rays=4096, steps=50, H=800, W=800, layout="cell"):
+def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
+         levels=16, level_dim=2, log2=None):
     import jax
     import jax.numpy as jnp
 
@@ -26,7 +27,11 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell"):
     from nerfnav_tpu.training import Trainer, TrainerOptions
 
     cfg = NetworkConfig(bound=1.0, mlp_dtype="bfloat16", grid_layout=layout,
-                        grid_log2_hashmap_size=16 if layout == "cell" else 19)
+                        grid_levels=levels, grid_level_dim=level_dim,
+                        grid_log2_hashmap_size=(
+                            log2 if log2 is not None
+                            else 16 if layout == "cell" else 19
+                        ))
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.2)
     opt = TrainerOptions(name="bench", workspace="/tmp/nerfnav_train_bench",
                          num_rays=num_rays, use_checkpoint="scratch",
@@ -65,8 +70,19 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell"):
         "unit": "steps/s",
         "rays_per_step": num_rays,
         "train_rays_per_sec": round(num_rays / dt),
+        "grid": f"{layout} {levels}x{level_dim}",
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num_rays", type=int, default=4096)
+    ap.add_argument("--layout", default="cell")
+    ap.add_argument("--levels", type=int, default=16)
+    ap.add_argument("--level_dim", type=int, default=2)
+    ap.add_argument("--log2", type=int, default=None)
+    a = ap.parse_args()
+    main(num_rays=a.num_rays, layout=a.layout, levels=a.levels,
+         level_dim=a.level_dim, log2=a.log2)

@@ -34,17 +34,20 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="static per-ray sample budget of the grid fast path")
     # model
     p.add_argument("--fp16", action="store_true", help="bf16 MLP compute on TPU")
-    p.add_argument("--grid_levels", type=int, default=16,
-                   help="hash-grid levels (reference fixes 16, grid.py:94; "
-                   "fewer x wider measured better on TPU: see RESULTS.md)")
-    p.add_argument("--grid_level_dim", type=int, default=2,
-                   help="features per level (reference fixes 2)")
-    p.add_argument("--grid_hashmap_log2", type=int, default=19,
-                   help="log2 max table rows per level (reference 19)")
-    p.add_argument("--grid_layout", type=str, default="corner",
+    p.add_argument("--grid_levels", type=int, default=None,
+                   help="hash-grid levels (default: 16 reference-exact, or "
+                   "4 under -O — fewer x wider measured faster AND higher "
+                   "PSNR on TPU, benchmarks/RESULTS.md)")
+    p.add_argument("--grid_level_dim", type=int, default=None,
+                   help="features per level (default: 2, or 8 under -O)")
+    p.add_argument("--grid_hashmap_log2", type=int, default=None,
+                   help="log2 max table rows per level (default: 19, or 17 "
+                   "under -O)")
+    p.add_argument("--grid_layout", type=str, default=None,
                    choices=["corner", "cell"],
                    help="table layout: corner = reference-exact vertex "
-                   "hashing; cell = TPU-fast one-wide-gather-per-level")
+                   "hashing (default); cell = TPU-fast one-wide-gather-per-"
+                   "level (default under -O)")
     p.add_argument("--ff", action="store_true", help="fused-MLP backend")
     p.add_argument("--tcnn", action="store_true",
                    help="parity flag; maps to the fused backend on TPU")
@@ -89,6 +92,20 @@ def make_configs(opt, for_nav: bool = False):
         else:
             opt.cuda_ray = True
             opt.preload = True
+    # grid architecture: reference-exact unless -O picks the TPU flagship
+    # (cell 4x8 @ 2^17 — trains ~3x faster AND scores higher at scale than
+    # the reference-exact corner 16x2 @ 2^19; chip-measured, RESULTS.md).
+    # Explicit --grid_* flags always win; train and simulate must agree so
+    # checkpoints load (both entry points share this resolution).
+    flagship = bool(opt.O)
+    if opt.grid_levels is None:
+        opt.grid_levels = 4 if flagship else 16
+    if opt.grid_level_dim is None:
+        opt.grid_level_dim = 8 if flagship else 2
+    if opt.grid_hashmap_log2 is None:
+        opt.grid_hashmap_log2 = 17 if flagship else 19
+    if opt.grid_layout is None:
+        opt.grid_layout = "cell" if flagship else "corner"
 
     cfg = NetworkConfig(
         bound=opt.bound,
