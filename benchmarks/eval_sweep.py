@@ -27,6 +27,8 @@ def main():
     p.add_argument("--levels", type=int, default=8)
     p.add_argument("--level_dim", type=int, default=4)
     p.add_argument("--log2", type=int, default=16)
+    p.add_argument("--scene", default="sphere", choices=["sphere", "clutter"])
+    p.add_argument("--layout", default="cell", choices=["cell", "corner"])
     args = p.parse_args()
 
     if args.cpu:
@@ -36,20 +38,24 @@ def main():
 
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
-    from nerfnav_tpu.data.synthetic import make_synthetic_scene, textured_sphere_field
+    from nerfnav_tpu.data.synthetic import (
+        cluttered_field, make_synthetic_scene, textured_sphere_field,
+    )
     from nerfnav_tpu.models import NetworkConfig, RenderConfig
     from nerfnav_tpu.models.occupancy import OccupancyConfig
     from nerfnav_tpu.ops.marching import MarchConfig
     from nerfnav_tpu.training import Trainer, TrainerOptions
 
     scene_dir = tempfile.mkdtemp()
-    make_synthetic_scene(scene_dir, field=textured_sphere_field(),
+    scene_field = (cluttered_field() if args.scene == "clutter"
+                   else textured_sphere_field())
+    make_synthetic_scene(scene_dir, field=scene_field,
                          n_train=24, n_val=2, H=args.res, W=args.res,
                          num_steps=256)
     train_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "train")
     val_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "val")
 
-    cfg = NetworkConfig(bound=1.0, mlp_dtype="bfloat16", grid_layout="cell",
+    cfg = NetworkConfig(bound=1.0, mlp_dtype="bfloat16", grid_layout=args.layout,
                         grid_log2_hashmap_size=args.log2,
                         grid_levels=args.levels, grid_level_dim=args.level_dim)
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)

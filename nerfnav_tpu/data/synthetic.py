@@ -68,6 +68,53 @@ def textured_sphere_field(radius=0.5, sigma=300.0, bound=1.0):
     return Field(density_fn=density_fn, color_fn=color_fn, bound=bound)
 
 
+def cluttered_field(sigma=300.0, bound=1.0):
+    """Multi-object analytic scene: a textured floor slab, three spheres at
+    different scales, and two axis-aligned boxes — structure across spatial
+    frequencies, for validating hash-grid architectures beyond the
+    single-sphere harness (a single blob under-tests the multiresolution
+    claim that fixes level count / level width)."""
+    import jax
+
+    spheres = jnp.asarray([  # x, y, z, r
+        [-0.35, -0.30, -0.28, 0.22],
+        [0.40, 0.25, -0.30, 0.14],
+        [0.05, 0.45, -0.42, 0.08],
+    ])
+    boxes = jnp.asarray([  # cx, cy, cz, hx, hy, hz
+        [0.30, -0.40, -0.38, 0.15, 0.10, 0.12],
+        [-0.30, 0.35, -0.44, 0.08, 0.18, 0.06],
+    ])
+
+    def sdf(x):
+        d_floor = x[:, 2] + 0.55  # slab below z = -0.55
+        ds = [d_floor]
+        for i in range(spheres.shape[0]):
+            c, r = spheres[i, :3], spheres[i, 3]
+            ds.append(jnp.sqrt(jnp.sum((x - c) ** 2, -1) + 1e-12) - r)
+        for i in range(boxes.shape[0]):
+            c, h = boxes[i, :3], boxes[i, 3:]
+            q = jnp.abs(x - c) - h
+            outside = jnp.sqrt(jnp.sum(jnp.maximum(q, 0.0) ** 2, -1) + 1e-12)
+            inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+            ds.append(outside + inside)
+        return jnp.min(jnp.stack(ds, -1), -1)
+
+    def density_fn(x):
+        import jax as _jax
+
+        return sigma * _jax.nn.sigmoid(-sdf(x) * 60.0), x
+
+    def color_fn(d, geo):
+        hf = jnp.sin(25.0 * geo[:, 0]) * jnp.sin(25.0 * geo[:, 1])
+        r = 0.5 + 0.5 * jnp.sin(11.0 * geo[:, 0] + 5.0 * geo[:, 2])
+        g = 0.5 + 0.4 * hf + 0.1 * jnp.sin(7.0 * geo[:, 1])
+        b = 0.5 + 0.5 * jnp.cos(9.0 * (geo[:, 1] + geo[:, 2]))
+        return jnp.clip(jnp.stack([r, g, b], -1), 0.0, 1.0)
+
+    return Field(density_fn=density_fn, color_fn=color_fn, bound=bound)
+
+
 def make_synthetic_scene(
     out_dir: str,
     field: Field = None,
