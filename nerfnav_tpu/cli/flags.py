@@ -57,7 +57,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--bound", type=float, default=2.0)
     p.add_argument("--scale", type=float, default=0.33)
     p.add_argument("--offset", type=float, nargs=3, default=[0.0, 0.0, 0.0])
-    p.add_argument("--dt_gamma", type=float, default=1 / 128)
+    p.add_argument("--dt_gamma", type=float, default=None,
+                   help="adaptive stepping dt = clamp(t*dt_gamma, ...); "
+                   "default 1/128 (reference main_nerf.py:47), or 0 under "
+                   "-O (the fast two-phase/block marchers require "
+                   "dt_gamma == 0; nonzero falls back to the slow "
+                   "single-phase ladder)")
     p.add_argument("--min_near", type=float, default=0.2)
     p.add_argument("--density_thresh", type=float, default=10.0)
     p.add_argument("--grid_size", type=int, default=128,
@@ -125,6 +130,21 @@ def make_configs(opt, for_nav: bool = False):
         min_near=opt.min_near,
         max_ray_batch=opt.max_ray_batch,
     )
+    # -O means "recommended fast settings": that includes dt_gamma=0 so the
+    # grid path hits the two-phase/block marchers. An explicit nonzero
+    # --dt_gamma is honored but WARNS that it drops the march to the slow
+    # single-phase ladder (reference semantics, raymarching.cu:347-369).
+    if opt.dt_gamma is None:
+        opt.dt_gamma = 0.0 if opt.O else 1 / 128
+    if opt.cuda_ray and opt.dt_gamma != 0.0:
+        import warnings
+
+        warnings.warn(
+            f"dt_gamma={opt.dt_gamma} disables the fast two-phase/block "
+            "marchers (they require dt_gamma == 0); the grid path will use "
+            "the slow single-phase ladder. Pass --dt_gamma 0 (or -O) for "
+            "full throughput.", stacklevel=2,
+        )
     occ_cfg = march_cfg = None
     if opt.cuda_ray:
         occ_cfg = OccupancyConfig(

@@ -63,6 +63,10 @@ def init_occupancy_state(cfg: OccupancyConfig):
         "bitfield_coarse": jnp.zeros((cfg.cascades, hc**3 // 8), jnp.uint8),
         "mean_density": jnp.asarray(0.0, jnp.float32),
         "iter_density": jnp.asarray(0, jnp.int32),
+        # min-pooled coarse density (filled by _finish_update); present from
+        # init so the state pytree structure never changes — update and
+        # checkpoint-resume templates must match (no retrace, no silent drop)
+        "density_coarse_min": jnp.zeros((cfg.cascades, hc**3), jnp.float32),
     }
     if _blocks_supported(cfg):
         # block rows for the gather-lean marcher (ops/marching.py); the
@@ -126,19 +130,20 @@ def _update_full(state, cfg: OccupancyConfig, params, net_cfg, key):
 @partial(jax.jit, static_argnums=(1, 3))
 def _update_partial(state, cfg: OccupancyConfig, params, net_cfg, key):
     grid = state["density_grid"]
+    # N/4 uniform cells PLUS N/4 occupied-biased cells per cascade —
+    # reference renderer.py:478-494 draws H^3/4 of each, not half of each.
     n_sample = cfg.n_cells // 4
     tmp = jnp.full_like(grid, -1.0)
     for cas in range(cfg.cascades):
         key, k1, k2, k3 = jax.random.split(key, 4)
-        # half uniform random cells, half occupied-biased (renderer.py:478-494).
         # Occupied sampling via inverse-CDF searchsorted over the occupancy
         # mask cumsum — O(n log n); jax.random.categorical over 2M categories
         # would materialize a (draws x cells) Gumbel tensor (13s/update).
-        rand_cells = jax.random.randint(k1, (n_sample // 2,), 0, cfg.n_cells)
+        rand_cells = jax.random.randint(k1, (n_sample,), 0, cfg.n_cells)
         occ_mask = (grid[cas] > 0).astype(jnp.float32)
         cdf = jnp.cumsum(occ_mask)
         total = cdf[-1]
-        u = jax.random.uniform(k2, (n_sample // 2,)) * jnp.maximum(total, 1.0)
+        u = jax.random.uniform(k2, (n_sample,)) * jnp.maximum(total, 1.0)
         occ_cells = jnp.clip(
             jnp.searchsorted(cdf, u, side="right"), 0, cfg.n_cells - 1
         )

@@ -161,7 +161,8 @@ def density_lookup(density_grid, pos, dt, cfg: MarchConfig):
     return density_grid[cas, idx]
 
 
-def proxy_terminate_valid(m, rays_o, rays_d, density_grid, cfg: MarchConfig):
+def proxy_terminate_valid(m, rays_o, rays_d, density_grid, cfg: MarchConfig,
+                          grid_size: int | None = None):
     """Occlusion termination for marched samples, without evaluating the
     field: the reference's inference loop retires a ray once its
     transmittance drops under 1e-4 (raymarching.cu composite_rays, 829-922),
@@ -176,11 +177,21 @@ def proxy_terminate_valid(m, rays_o, rays_d, density_grid, cfg: MarchConfig):
     is why the trainer leaves this off (it is an inference feature, like the
     reference's alive-ray loop).
 
+    CAVEAT (EMA-max grids): because the stored value is the MAX density seen
+    anywhere in a cell, proxy opacity overestimates wherever a ray crosses
+    the empty part of a partially-occupied cell — near silhouettes this can
+    mask genuinely visible samples (unlike the reference's true composited-T
+    retirement, raymarching.cu:829-922). `march()` therefore prefers the
+    MIN-pooled coarse table (density_coarse_min; pass its grid_size here),
+    which underestimates and is strictly conservative, matching
+    march_rays_block's segment-level termination.
+
     Returns the updated valid mask (N, K). Cost: one (N*K) gather into the
-    density grid — one extra encode-level-equivalent."""
+    density table — one extra encode-level-equivalent."""
+    cfg_l = cfg if grid_size is None else _with_grid_size(cfg, grid_size)
     pos = rays_o[:, None, :] + rays_d[:, None, :] * m["z"][..., None]
     pos = jnp.clip(pos, -cfg.bound, cfg.bound)
-    sig = density_lookup(density_grid, pos, m["dt"], cfg)
+    sig = density_lookup(density_grid, pos, m["dt"], cfg_l)
     sig = jnp.where(m["valid"], jnp.maximum(sig, 0.0), 0.0)
     alpha = 1.0 - jnp.exp(-m["dt"] * sig)
     t = jnp.cumprod(1.0 - alpha + 1e-15, axis=-1)
@@ -648,7 +659,14 @@ def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None):
         m = march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key)
     else:
         m = march_rays(rays_o, rays_d, bitfield, cfg, key)
-    if cfg.proxy_terminate and density_grid is not None:
-        m = {**m, "valid": proxy_terminate_valid(
-            m, rays_o, rays_d, density_grid, cfg)}
+    if cfg.proxy_terminate:
+        # prefer the min-pooled coarse table: strictly conservative (see
+        # proxy_terminate_valid's EMA-max silhouette caveat)
+        if density_coarse_min is not None:
+            m = {**m, "valid": proxy_terminate_valid(
+                m, rays_o, rays_d, density_coarse_min, cfg,
+                grid_size=cfg.grid_size // cfg.coarse_factor)}
+        elif density_grid is not None:
+            m = {**m, "valid": proxy_terminate_valid(
+                m, rays_o, rays_d, density_grid, cfg)}
     return m

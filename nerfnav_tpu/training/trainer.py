@@ -61,6 +61,11 @@ class TrainerOptions:
     # over tile-ordered chunks (the reference inference loop's alive-ray
     # retirement, renderer.py:325-374; chip A/B +21% over single-shot).
     # Training steps are untouched (gradients want the single-shot shade).
+    # NOTE: the rounds renderer's all-dead early exit couples rays within a
+    # chunk, so pixel values in the T<1e-4 tail depend on chunk size / tile
+    # layout — PSNR is reproducible only with eval_rounds AND
+    # max_ray_batch/tile settings held fixed; compare metrics across configs
+    # with eval_rounds pinned.
     eval_rounds: bool = True
     # Coarse-to-fine marching-step annealing for the grid fast path:
     # ((threshold, dt_multiplier), ...) — marching starts coarse (the static
@@ -581,6 +586,10 @@ class Trainer:
             "epoch": self.epoch,
             "global_step": self.global_step,
             "stats": {k: v for k, v in self.stats.items()},
+            # grid architecture — checked at load so a checkpoint trained
+            # under a different -O / --grid_* resolution fails loudly instead
+            # of silently keeping randomly-initialized template params
+            "grid": self._grid_meta(),
         }
         if best:
             # model-only, occupancy grid stripped (utils.py:987-996)
@@ -604,6 +613,25 @@ class Trainer:
         )
         ckpt_lib.prune_checkpoints(self.ckpt_dir, self.opt.name, self.opt.max_keep_ckpt)
 
+    def _grid_meta(self) -> dict:
+        return {
+            "levels": self.cfg.grid_levels,
+            "level_dim": self.cfg.grid_level_dim,
+            "log2_hashmap_size": self.cfg.grid_log2_hashmap_size,
+            "layout": self.cfg.grid_layout,
+        }
+
+    def _check_grid_meta(self, meta: dict, path: str):
+        saved = meta.get("grid")
+        if saved and saved != self._grid_meta():
+            raise ValueError(
+                f"checkpoint {path} was trained with grid architecture "
+                f"{saved}, but the resolved config is {self._grid_meta()} — "
+                "loading would keep random template params and render "
+                "garbage. Pass matching --grid_* flags (or the same -O "
+                "setting) used at training time."
+            )
+
     def _maybe_resume(self):
         """Reference load_checkpoint dispatch (utils.py:361-379, 1000-1060)."""
         mode = self.opt.use_checkpoint
@@ -622,6 +650,7 @@ class Trainer:
             return
         if "best" in os.path.basename(path):
             params, meta, report = ckpt_lib.load_checkpoint(path, self.state.params)
+            self._check_grid_meta(meta, path)
             self.state = self.state._replace(params=params, ema_params=params)
         else:
             tmpl = {
@@ -634,6 +663,7 @@ class Trainer:
             if self.state.occupancy is not None:
                 tmpl["occupancy"] = self.state.occupancy
             tree, meta, report = ckpt_lib.load_checkpoint(path, tmpl)
+            self._check_grid_meta(meta, path)
             self.state = self.state._replace(
                 params=tree["params"],
                 opt_state=tree["opt_state"],

@@ -78,3 +78,39 @@ def test_simulate_grid_filter_from_trained_ckpt(scene_dir, tmp_path):
         "--max_steps", "64", "--astar_thresh", "1e9",
     ])
     assert len(history) == 3
+
+
+def test_dt_gamma_resolution_and_warning():
+    """-O resolves dt_gamma to 0 (fast marchers); explicit nonzero dt_gamma
+    with the grid path warns about the slow-ladder fallback."""
+    import warnings
+
+    from nerfnav_tpu.cli.flags import build_parser, make_configs
+
+    p = build_parser("t")
+    opt = p.parse_args(["scene", "-O"])
+    _, _, _, march_cfg = make_configs(opt)
+    assert opt.dt_gamma == 0.0 and march_cfg.dt_gamma == 0.0
+
+    opt = p.parse_args(["scene", "--cuda_ray"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        make_configs(opt)
+    assert opt.dt_gamma == 1 / 128
+    assert any("single-phase" in str(x.message) for x in w)
+
+
+def test_checkpoint_grid_meta_mismatch_raises(scene_dir, tmp_path):
+    """Loading a checkpoint trained under a different grid architecture must
+    fail loudly, not keep random template params (ADVICE round 1)."""
+    from nerfnav_tpu.cli.main_nerf import main
+
+    ws = str(tmp_path / "ws")
+    base = [
+        scene_dir, "--workspace", ws, "--scale", "1.0", "--bound", "1.0",
+        "--iters", "4", "--num_rays", "32", "--num_steps", "16",
+        "--min_near", "0.05", "--max_ray_batch", "256",
+    ]
+    main(base + ["--ckpt", "scratch", "--grid_levels", "2"])
+    with pytest.raises(ValueError, match="grid architecture"):
+        main(base + ["--ckpt", "latest", "--grid_levels", "4", "--test"])

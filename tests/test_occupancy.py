@@ -97,3 +97,15 @@ class TestMarkUntrained:
         assert grid[0, 0, 0] == -1.0  # corner cell, outside fov
         # cell straight ahead at z=0 center: visible
         assert grid[16, 16, 24] == 0.0
+
+
+class TestStateStructure:
+    def test_init_matches_update_structure(self, cfg, params, net_cfg):
+        """The occupancy pytree must keep the SAME structure from init through
+        updates: a structure change retraces the jitted train step and makes
+        checkpoint-resume templates silently drop leaves."""
+        import jax
+
+        init = init_occupancy_state(cfg)
+        upd = update_extra_state(init, cfg, params, net_cfg, jax.random.PRNGKey(0))
+        assert jax.tree_util.tree_structure(init) == jax.tree_util.tree_structure(upd)
