@@ -34,11 +34,15 @@ def main():
     from nerfnav_tpu.ops.morton import pack_blocks, packbits
 
     p = argparse.ArgumentParser()
-    p.add_argument("--filter_render", default="both",
+    p.add_argument("--filter_render", default="dense",
                    choices=["dense", "grid", "both"],
                    help="filter measurement path(s): the reference uses the "
                         "dense differentiable renderer (simulate.py:163-166);"
-                        " grid routes through the occupancy fast path")
+                        " grid routes through the occupancy fast path "
+                        "(chip A/B round 1: dense wins for this workload)")
+    p.add_argument("--filter_opt", default="both", choices=["adam", "gn", "both"],
+                   help="pose optimizer A/B: reference 300-iter Adam vs "
+                        "Levenberg-Marquardt (EstimatorConfig.optimizer)")
     args = p.parse_args()
 
     field = textured_sphere_field(radius=0.35)
@@ -111,29 +115,37 @@ def main():
 
     paths = (["dense", "grid"] if args.filter_render == "both"
              else [args.filter_render])
+    opts = (["adam", "gn"] if args.filter_opt == "both" else [args.filter_opt])
     filt_s = None
     for path in paths:
-        render_fn = dense_render if path == "dense" else grid_render
-        est = Estimator(ecfg, dyn, render_fn, get_rays_fn,
-                        body_state_to_camera_pose,
-                        get_rays_at_fn=get_rays_at_fn)
-        est.set_initial_state(x0)
-        est.estimate_state(obs, pose, np.array([10.0, 0, 0, 0]))  # warm jit
-        est.set_initial_state(x0)
-        t0 = time.perf_counter()
-        state = est.estimate_state(obs, pose, np.array([10.0, 0, 0, 0]))
-        dt_s = time.perf_counter() - t0
-        # hover thrust (g=10): the true propagated position stays ~x0, so a
-        # healthy filter stays put; drift flags a broken render path
-        pos_err = float(np.linalg.norm(np.asarray(state)[0:3] - x0[0:3]))
-        print(json.dumps({
-            "metric": f"filter_update_ms_{path}",
-            "value": round(dt_s * 1e3, 1),
-            "unit": "ms (300 Adam iters x 1024 rays)",
-            "pos_drift_m": round(pos_err, 4),
-        }))
-        if filt_s is None or dt_s < filt_s:
-            filt_s = dt_s
+        for optimizer in opts:
+            render_fn = dense_render if path == "dense" else grid_render
+            import dataclasses
+
+            cfg_i = dataclasses.replace(ecfg, optimizer=optimizer)
+            est = Estimator(cfg_i, dyn, render_fn, get_rays_fn,
+                            body_state_to_camera_pose,
+                            get_rays_at_fn=get_rays_at_fn)
+            est.set_initial_state(x0)
+            est.estimate_state(obs, pose, np.array([10.0, 0, 0, 0]))  # warm jit
+            est.set_initial_state(x0)
+            est.sig = np.eye(12, dtype=np.float32) * cfg_i.sig0
+            t0 = time.perf_counter()
+            state = est.estimate_state(obs, pose, np.array([10.0, 0, 0, 0]))
+            dt_s = time.perf_counter() - t0
+            # hover thrust (g=10): the true propagated position stays ~x0, so
+            # a healthy filter stays put; drift flags a broken render path
+            pos_err = float(np.linalg.norm(np.asarray(state)[0:3] - x0[0:3]))
+            iters = (f"{cfg_i.gn_iters} LM iters" if optimizer == "gn"
+                     else f"{cfg_i.n_iters} Adam iters")
+            print(json.dumps({
+                "metric": f"filter_update_ms_{path}_{optimizer}",
+                "value": round(dt_s * 1e3, 1),
+                "unit": f"ms ({iters} x 1024 rays)",
+                "pos_drift_m": round(pos_err, 4),
+            }))
+            if filt_s is None or dt_s < filt_s:
+                filt_s = dt_s
 
     print(json.dumps({
         "metric": "replan_loop_hz",

@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--level_dim", type=int, default=2)
     ap.add_argument("--log2", type=int, default=16)
     ap.add_argument("--rays", type=int, default=4096)
+    ap.add_argument("--budget", type=int, default=None,
+                    help="packed-shade sample budget (render_rays_grid)")
     args = ap.parse_args()
 
     cfg = NetworkConfig(bound=1.0, mlp_dtype="bfloat16", grid_layout="cell",
@@ -102,7 +104,7 @@ def main():
     def loss_of(p, key):
         field = make_field(p, cfg)
         out = render_rays_grid(field, occupancy, mcfg, ro, rd, key=key,
-                               bg_color=1.0)
+                               bg_color=1.0, sample_budget=args.budget)
         return jnp.mean((out["image"] - gt) ** 2)
 
     fwd_fn = jax.jit(loss_of)
@@ -115,6 +117,8 @@ def main():
         return optax.apply_updates(p, up), s, loss
 
     res = {}
+    m = march(ro, rd, occupancy, mcfg, key=jax.random.PRNGKey(3))
+    res["valid_frac"] = float(jnp.mean(m["valid"].astype(jnp.float32)))
     res["march_ms"] = timed(march_fn) * 1e3
     res["fwd_ms"] = timed(lambda k: fwd_fn(params, k)) * 1e3
     res["grad_ms"] = timed(lambda k: grad_fn(params, k)) * 1e3

@@ -17,7 +17,11 @@ enable_compilation_cache()
 
 
 def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
-         levels=16, level_dim=2, log2=None):
+         levels=16, level_dim=2, log2=None, shell=False, budget=True):
+    """shell=True replaces the random-init occupancy with a converged-scene
+    sphere shell (valid-sample fraction ~0.1 like a trained scene) — the
+    regime where the point-budget packed shade pays; budget=False disables
+    packing for the A/B."""
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +39,7 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.2)
     opt = TrainerOptions(name="bench", workspace="/tmp/nerfnav_train_bench",
                          num_rays=num_rays, use_checkpoint="scratch",
-                         bg_train="random")
+                         bg_train="random", point_budget=budget)
     occ = OccupancyConfig(bound=1.0)
     march = MarchConfig(bound=1.0, samples_per_ray=32)
     tr = Trainer(cfg, rcfg, opt, occupancy_cfg=occ, march_cfg=march)
@@ -50,13 +54,34 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
         "intrinsics": jnp.asarray([1000.0, 1000.0, W / 2, H / 2]),
     }
     tr.state = tr._init_state(n_img)
-    # seed the occupancy grid once (not timed; amortized 1/16 in practice)
-    tr._maybe_update_occupancy()
-    step_fn = tr._build_train_step(H, W, 4)
+    if shell:
+        from nerfnav_tpu.models.occupancy import _finish_update
+
+        Hg = march.grid_size
+        ii = np.arange(Hg**3)
+        c = (np.stack([ii // (Hg * Hg), (ii // Hg) % Hg, ii % Hg], -1) + 0.5) / Hg * 2 - 1
+        r = np.linalg.norm(c, axis=-1)
+        dens = jnp.asarray(
+            np.where((r > 0.3) & (r < 0.45), 50.0, 0.0)[None], jnp.float32
+        )
+        tr.state = tr.state._replace(occupancy=_finish_update(
+            tr.state.occupancy, occ, dens, jnp.full_like(dens, -1.0), None))
+    else:
+        # seed the occupancy grid once (not timed; amortized 1/16 in practice)
+        tr._maybe_update_occupancy()
 
     key = jax.random.PRNGKey(0)
     state = tr.state
+    # one warmup step feeds the mean-count EMA, then rebuild with the
+    # budgeted program (the trainer's every-16-step cadence, compressed)
+    step_fn = tr._step_fn(H, W, 4)
     state, loss = step_fn(state, arrays, jnp.asarray(0), key)  # compile
+    loss.block_until_ready()
+    tr.state = state
+    if state.mean_count is not None:
+        tr._mean_count_host = float(state.mean_count)
+    step_fn = tr._step_fn(H, W, 4)
+    state, loss = step_fn(state, arrays, jnp.asarray(1), key)  # compile budgeted
     loss.block_until_ready()
     t0 = time.perf_counter()
     for s in range(steps):
@@ -71,6 +96,8 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
         "rays_per_step": num_rays,
         "train_rays_per_sec": round(num_rays / dt),
         "grid": f"{layout} {levels}x{level_dim}",
+        "shell": shell,
+        "sample_budget": tr._current_budget(),
     }))
 
 
@@ -83,6 +110,9 @@ if __name__ == "__main__":
     ap.add_argument("--levels", type=int, default=16)
     ap.add_argument("--level_dim", type=int, default=2)
     ap.add_argument("--log2", type=int, default=None)
+    ap.add_argument("--shell", action="store_true")
+    ap.add_argument("--no_budget", action="store_true")
     a = ap.parse_args()
     main(num_rays=a.num_rays, layout=a.layout, levels=a.levels,
-         level_dim=a.level_dim, log2=a.log2)
+         level_dim=a.level_dim, log2=a.log2, shell=a.shell,
+         budget=not a.no_budget)

@@ -60,9 +60,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--dt_gamma", type=float, default=None,
                    help="adaptive stepping dt = clamp(t*dt_gamma, ...); "
                    "default 1/128 (reference main_nerf.py:47), or 0 under "
-                   "-O (the fast two-phase/block marchers require "
-                   "dt_gamma == 0; nonzero falls back to the slow "
-                   "single-phase ladder)")
+                   "-O (nonzero uses the two-phase gamma marcher; the "
+                   "fastest block-packed marcher needs dt_gamma == 0)")
     p.add_argument("--min_near", type=float, default=0.2)
     p.add_argument("--density_thresh", type=float, default=10.0)
     p.add_argument("--grid_size", type=int, default=128,
@@ -140,10 +139,10 @@ def make_configs(opt, for_nav: bool = False):
         import warnings
 
         warnings.warn(
-            f"dt_gamma={opt.dt_gamma} disables the fast two-phase/block "
-            "marchers (they require dt_gamma == 0); the grid path will use "
-            "the slow single-phase ladder. Pass --dt_gamma 0 (or -O) for "
-            "full throughput.", stacklevel=2,
+            f"dt_gamma={opt.dt_gamma}: the grid path uses the two-phase "
+            "gamma marcher; the fastest block-packed marcher requires "
+            "dt_gamma == 0 (pass --dt_gamma 0 or -O for full throughput).",
+            stacklevel=2,
         )
     occ_cfg = march_cfg = None
     if opt.cuda_ray:

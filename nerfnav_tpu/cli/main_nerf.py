@@ -29,7 +29,10 @@ def main(argv=None):
         num_rays=opt.num_rays, use_checkpoint=opt.ckpt, seed=opt.seed,
         error_map=opt.error_map,
         update_extra_interval=opt.update_extra_interval, tensorboard=True,
+        rand_pose=opt.rand_pose, clip_text=opt.clip_text,
     )
+    # Poseless/CLIP mode needs a jax-differentiable scorer; the Trainer
+    # raises a gated error when none is injectable (offline weights).
     trainer = Trainer(cfg, rcfg, topt, occupancy_cfg=occ_cfg, march_cfg=march_cfg)
 
     if opt.test:

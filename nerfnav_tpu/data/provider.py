@@ -234,12 +234,19 @@ class NeRFDataset:
     @staticmethod
     def _interpolate_test_path(frames, n_test: int, scale: float = 0.33,
                                offset=(0, 0, 0)):
-        """Slerp-interpolated smooth camera path (reference provider.py:163-191)."""
+        """Slerp-interpolated smooth camera path (reference provider.py:166-182):
+        two RANDOM training frames (np.random, like the reference's globally
+        seeded choice), slerped in NGP pose space with the reference's
+        sine-eased ratio."""
         from scipy.spatial.transform import Rotation, Slerp
 
-        f0, f1 = frames[0], frames[-1]
-        p0 = np.array(f0["transform_matrix"], dtype=np.float32)
-        p1 = np.array(f1["transform_matrix"], dtype=np.float32)
+        f0, f1 = np.random.choice(frames, 2, replace=False)
+        p0 = nerf_matrix_to_ngp(
+            np.array(f0["transform_matrix"], dtype=np.float32), scale, offset
+        )
+        p1 = nerf_matrix_to_ngp(
+            np.array(f1["transform_matrix"], dtype=np.float32), scale, offset
+        )
         rots = Rotation.from_matrix(np.stack([p0[:3, :3], p1[:3, :3]]))
         slerp = Slerp([0, 1], rots)
         poses = []
@@ -248,7 +255,7 @@ class NeRFDataset:
             pose = np.eye(4, dtype=np.float32)
             pose[:3, :3] = slerp(ratio).as_matrix()
             pose[:3, 3] = (1 - ratio) * p0[:3, 3] + ratio * p1[:3, 3]
-            poses.append(nerf_matrix_to_ngp(pose, scale, offset))
+            poses.append(pose)
         return np.stack(poses)
 
     def __len__(self):

@@ -97,6 +97,62 @@ class NeRFGUI:
         self.spp = 0
         self._acc = None
         self._dirty = True
+        # widget state (reference gui.py:156-412): per-axis crop AABB
+        # [xmin,ymin,zmin,xmax,ymax,zmax] and live dt_gamma
+        b = getattr(trainer.cfg, "bound", 1.0)
+        self.aabb = [-b, -b, -b, b, b, b]
+        self._full_aabb = list(self.aabb)
+        self.dynamic_resolution = True
+        self.status = ""
+
+    # ------------------------------------------------------------- widget ops
+    def set_option(self, name, value):
+        """Apply a widget change (reference gui.py callbacks 156-412)."""
+        if name == "bg_color":
+            self.bg_color = float(value)
+        elif name == "fovy":
+            self.cam.fovy = float(value)
+        elif name == "max_spp":
+            self.max_spp = int(value)
+        elif name == "dynamic_resolution":
+            self.dynamic_resolution = bool(value)
+            if not self.dynamic_resolution:
+                self.downscale = 1.0
+        elif name == "dt_gamma":
+            # static in the compiled render program: rebuild march config and
+            # drop the cached chunk fn (recompiles on next frame — same
+            # semantics as the reference's opt.dt_gamma slider, gui.py:289)
+            import dataclasses
+
+            tr = self.trainer
+            if tr.march_cfg is not None:
+                tr.march_cfg = dataclasses.replace(
+                    tr.march_cfg, dt_gamma=float(value)
+                )
+                tr._render_chunk_fn = None
+        elif name.startswith("aabb_"):
+            axes = {"xmin": 0, "ymin": 1, "zmin": 2,
+                    "xmax": 3, "ymax": 4, "zmax": 5}
+            self.aabb[axes[name[5:]]] = float(value)
+        else:
+            raise KeyError(name)
+        self.touch()
+
+    def save_checkpoint(self):
+        """Checkpoint-save button (reference gui.py:180-190)."""
+        self.trainer.save_checkpoint(full=True)
+        self.status = "checkpoint saved"
+        return self.status
+
+    def export_mesh(self):
+        """Mesh-export button (reference gui.py:192-200)."""
+        path = self.trainer.save_mesh()
+        self.status = f"mesh saved: {path}"
+        return self.status
+
+    @property
+    def _crop(self):
+        return None if self.aabb == self._full_aabb else list(self.aabb)
 
     # ------------------------------------------------------------ loop steps
     def train_step(self):
@@ -124,10 +180,14 @@ class NeRFGUI:
         out = self.trainer.test_gui(
             self.cam.pose, self.cam.intrinsics, self.cam.W, self.cam.H,
             bg_color=self.bg_color, downscale=self.downscale,
+            crop_aabb=self._crop,
         )
         # adapt resolution
-        ratio = self.RENDER_BUDGET_S / max(out["time"], 1e-6)
-        self.downscale = float(np.clip(self.downscale * np.sqrt(ratio), 0.25, 1.0))
+        if self.dynamic_resolution:
+            ratio = self.RENDER_BUDGET_S / max(out["time"], 1e-6)
+            self.downscale = float(
+                np.clip(self.downscale * np.sqrt(ratio), 0.25, 1.0)
+            )
         img = out["image"]
         if self._acc is None:
             self._acc = img
@@ -186,17 +246,33 @@ class NeRFGUI:
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
+                reply = b"{}"
                 with lock:
                     if self.path == "/orbit":
                         gui.cam.orbit(body.get("dx", 0), body.get("dy", 0))
+                        gui.touch()
+                    elif self.path == "/pan":
+                        gui.cam.pan(body.get("dx", 0), body.get("dy", 0),
+                                    body.get("dz", 0))
                         gui.touch()
                     elif self.path == "/zoom":
                         gui.cam.scale(body.get("delta", 0))
                         gui.touch()
                     elif self.path == "/train":
                         gui.training = not gui.training
+                    elif self.path == "/set":
+                        for k, v in body.items():
+                            gui.set_option(k, v)
+                    elif self.path == "/save_ckpt":
+                        reply = json.dumps(
+                            {"status": gui.save_checkpoint()}).encode()
+                    elif self.path == "/save_mesh":
+                        reply = json.dumps(
+                            {"status": gui.export_mesh()}).encode()
                 self.send_response(200)
+                self.send_header("Content-Type", "application/json")
                 self.end_headers()
+                self.wfile.write(reply)
 
         server = ThreadingHTTPServer((host, port), Handler)
         print(f"[gui] serving viewer at http://{host}:{port}")
@@ -208,20 +284,56 @@ class NeRFGUI:
         server.server_close()
 
 
-_PAGE = """<!doctype html><html><body style="margin:0;background:#111">
-<img id=v style="display:block;margin:auto;image-rendering:pixelated">
+_PAGE = """<!doctype html><html><body style="margin:0;background:#111;color:#ccc;font:12px monospace">
+<div style="display:flex">
+<img id=v style="display:block;image-rendering:pixelated">
+<div id=panel style="padding:8px;min-width:230px">
+  <b>nerfnav_tpu viewer</b><br>
+  drag=orbit &middot; shift-drag=pan &middot; wheel=zoom &middot; t=train<br><br>
+  <button onclick="post('/train',{})">start/stop training</button><br>
+  <button onclick="act('/save_ckpt')">save checkpoint</button>
+  <button onclick="act('/save_mesh')">export mesh</button><br>
+  <label><input id=dyn type=checkbox checked
+    onchange="set('dynamic_resolution', this.checked)"> dynamic resolution</label><br>
+  bg <input type=range min=0 max=1 step=0.05 value=1
+    oninput="set('bg_color', +this.value)"><br>
+  fovy <input type=range min=20 max=120 step=1 value=60
+    oninput="set('fovy', +this.value)"><br>
+  dt_gamma <input type=range min=0 max=0.1 step=0.002 value=0
+    onchange="set('dt_gamma', +this.value)"><br>
+  max spp <input type=range min=1 max=64 step=1 value=64
+    oninput="set('max_spp', +this.value)"><br>
+  <b>crop</b><br>
+  <span id=crop></span>
+  <div id=status></div>
+</div></div>
 <script>
 const img = document.getElementById('v');
+const post = (u, b) => fetch(u, {method:'POST', body:JSON.stringify(b)});
+const set = (k, v) => post('/set', {[k]: v});
+async function act(u){
+  const r = await (await post(u, {})).json();
+  document.getElementById('status').textContent = r.status || '';
+}
+// per-axis AABB crop sliders (reference gui.py:293-320)
+const crop = document.getElementById('crop');
+for(const ax of ['xmin','ymin','zmin','xmax','ymax','zmax']){
+  const mn = ax.endsWith('min');
+  crop.insertAdjacentHTML('beforeend',
+    ax + ' <input type=range min=-2 max=2 step=0.05 value=' + (mn?-2:2) +
+    ' oninput="set(\\'aabb_' + ax + '\\', +this.value)"><br>');
+}
 let dragging=false, lx=0, ly=0;
 img.onmousedown = e => {dragging=true; lx=e.clientX; ly=e.clientY;};
 window.onmouseup = () => dragging=false;
 window.onmousemove = e => {
   if(!dragging) return;
-  fetch('/orbit', {method:'POST', body:JSON.stringify({dx:e.clientX-lx, dy:e.clientY-ly})});
+  const d = {dx:e.clientX-lx, dy:e.clientY-ly};
+  post(e.shiftKey ? '/pan' : '/orbit', d);
   lx=e.clientX; ly=e.clientY;
 };
-window.onwheel = e => fetch('/zoom', {method:'POST', body:JSON.stringify({delta:Math.sign(e.deltaY)})});
-window.onkeydown = e => {if(e.key=='t') fetch('/train', {method:'POST', body:'{}'})};
+window.onwheel = e => post('/zoom', {delta:Math.sign(e.deltaY)});
+window.onkeydown = e => {if(e.key=='t') post('/train', {})};
 async function loop(){
   while(true){
     const r = await fetch('/frame?' + Date.now());

@@ -93,9 +93,13 @@ def _cell_centers(cfg: OccupancyConfig, cell_idx):
     return (coords + 0.5) / H * 2.0 - 1.0
 
 
-def _query_cells(params, net_cfg, cfg: OccupancyConfig, cell_idx, cas, key):
+def _query_cells(params, net_cfg, cfg: OccupancyConfig, cell_idx, cas, key,
+                 mesh=None):
     """Density at a perturbed point inside each cell of cascade `cas`
-    (reference renderer.py:455-476)."""
+    (reference renderer.py:455-476). With a device mesh the per-chunk point
+    batch is sharded over the "data" axis, so the density sweep runs SPMD
+    across chips (the reference's update is single-GPU; our eval/occupancy
+    sharding replaces its NCCL eval all_gather, utils.py:866-882)."""
     H = cfg.grid_size
     centers = _cell_centers(cfg, cell_idx)  # in [-1,1]
     cas_bound = jnp.minimum(2.0 ** cas, cfg.bound)
@@ -105,6 +109,10 @@ def _query_cells(params, net_cfg, cfg: OccupancyConfig, cell_idx, cas, key):
     pts = pts + jitter
 
     def chunk_density(p):
+        if mesh is not None:
+            from nerfnav_tpu.parallel.sharding import shard_rays
+
+            p = shard_rays(p, mesh)
         return net.density(params, p, net_cfg)["sigma"]
 
     n = pts.shape[0]
@@ -115,20 +123,21 @@ def _query_cells(params, net_cfg, cfg: OccupancyConfig, cell_idx, cas, key):
     return sig.reshape(-1)[:n]
 
 
-@partial(jax.jit, static_argnums=(1, 3))
-def _update_full(state, cfg: OccupancyConfig, params, net_cfg, key):
+@partial(jax.jit, static_argnums=(1, 3, 5))
+def _update_full(state, cfg: OccupancyConfig, params, net_cfg, key, mesh=None):
     grid = state["density_grid"]
     tmp = jnp.full_like(grid, -1.0)
     all_cells = jnp.arange(cfg.n_cells)
     for cas in range(cfg.cascades):
         key, sub = jax.random.split(key)
-        sig = _query_cells(params, net_cfg, cfg, all_cells, cas, sub)
+        sig = _query_cells(params, net_cfg, cfg, all_cells, cas, sub, mesh)
         tmp = tmp.at[cas].set(sig * net_cfg.density_scale)
     return _finish_update(state, cfg, grid, tmp, all_cells_mask=None)
 
 
-@partial(jax.jit, static_argnums=(1, 3))
-def _update_partial(state, cfg: OccupancyConfig, params, net_cfg, key):
+@partial(jax.jit, static_argnums=(1, 3, 5))
+def _update_partial(state, cfg: OccupancyConfig, params, net_cfg, key,
+                    mesh=None):
     grid = state["density_grid"]
     # N/4 uniform cells PLUS N/4 occupied-biased cells per cascade —
     # reference renderer.py:478-494 draws H^3/4 of each, not half of each.
@@ -150,7 +159,7 @@ def _update_partial(state, cfg: OccupancyConfig, params, net_cfg, key):
         # no occupied cells yet -> fall back to uniform
         occ_cells = jnp.where(total > 0, occ_cells, rand_cells)
         cells = jnp.concatenate([rand_cells, occ_cells])
-        sig = _query_cells(params, net_cfg, cfg, cells, cas, k3)
+        sig = _query_cells(params, net_cfg, cfg, cells, cas, k3, mesh)
         tmp = tmp.at[cas, cells].max(sig * net_cfg.density_scale)
     return _finish_update(state, cfg, grid, tmp, all_cells_mask=None)
 
@@ -196,12 +205,14 @@ def _finish_update(state, cfg, grid, tmp, all_cells_mask):
     return out
 
 
-def update_extra_state(state, cfg: OccupancyConfig, params, net_cfg, key):
+def update_extra_state(state, cfg: OccupancyConfig, params, net_cfg, key,
+                       mesh=None):
     """Dispatch full/partial exactly like renderer.py:446-451. Host-level
-    branch on the update counter (a host scalar between jitted steps)."""
+    branch on the update counter (a host scalar between jitted steps).
+    mesh: optional device mesh — shards the density sweep SPMD."""
     if int(state["iter_density"]) < cfg.n_full_updates:
-        return _update_full(state, cfg, params, net_cfg, key)
-    return _update_partial(state, cfg, params, net_cfg, key)
+        return _update_full(state, cfg, params, net_cfg, key, mesh)
+    return _update_partial(state, cfg, params, net_cfg, key, mesh)
 
 
 def reset_extra_state(state, cfg: OccupancyConfig):

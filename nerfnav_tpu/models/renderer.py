@@ -167,6 +167,7 @@ def render_rays(
     rays_d,
     key=None,
     bg_color=1.0,
+    crop_aabb=None,
 ):
     """Render a batch of rays through the field — reference `run()`.
 
@@ -178,6 +179,15 @@ def render_rays(
     n = rays_o.shape[0]
     aabb = aabb_of(field.bound)
     near, far = near_far_from_aabb(rays_o, rays_d, aabb, rcfg.min_near)
+    if crop_aabb is not None:
+        # per-axis crop box (GUI sliders, reference gui.py:293-320): narrow
+        # the integration segment to the box intersection
+        inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
+        c0 = (crop_aabb[:3] - rays_o) * inv_d
+        c1 = (crop_aabb[3:] - rays_o) * inv_d
+        near = jnp.maximum(near, jnp.minimum(c0, c1).max(axis=-1))
+        far = jnp.maximum(jnp.minimum(far, jnp.maximum(c0, c1).min(axis=-1)),
+                          near)
     t = rcfg.num_steps
 
     z_vals = near[:, None] + (far - near)[:, None] * jnp.linspace(0.0, 1.0, t)
@@ -258,6 +268,8 @@ def render_rays_grid(
     rays_d,
     key=None,
     bg_color=1.0,
+    sample_budget: int | None = None,
+    crop_aabb=None,
 ):
     """Occupancy-grid accelerated rendering — reference `run_cuda`
     (renderer.py:257-374): march through the bitfield with empty-space
@@ -268,11 +280,24 @@ def render_rays_grid(
 
     occupancy: occupancy-state dict (uses the coarse-fine marcher when a
     coarse bitfield is present) or a bare bitfield array.
+
+    sample_budget (training fast path): the reference compacts train-time
+    samples to a global `mean_count` point budget (renderer.py:283-288,
+    raymarching.py:198-203 ray-drop when exceeded). The static-shape form:
+    pack the valid samples of all rays (a prefix per ray, ray-major) into a
+    (budget,) buffer, evaluate the field ONLY there, and scatter sigma/rgb
+    back into the dense (N, K) layout for the unchanged composite. On a
+    carved scene most (N, K) slots are dead, and every dead slot otherwise
+    costs hash-encode gathers, MLP FLOPs, and — the training bottleneck —
+    backward scatter rows into the hash tables. Samples past the budget are
+    dropped tail-first (same semantics as the reference's ray-drop). Returns
+    an extra "n_samples" scalar (total valid pre-truncation) for the
+    trainer's mean-count EMA.
     """
     from nerfnav_tpu.ops.marching import march
 
     n = rays_o.shape[0]
-    m = march(rays_o, rays_d, occupancy, mcfg, key=key)
+    m = march(rays_o, rays_d, occupancy, mcfg, key=key, crop_aabb=crop_aabb)
     # marching runs under no-grad (reference raymarching custom_fwd
     # cast/no-grad semantics): without this, autodiff drags a backward pass
     # through the compaction scatters and candidate lattice for gradients
@@ -283,18 +308,24 @@ def render_rays_grid(
         m["valid"],
     )
     k = z.shape[1]
+    n_samples = jnp.sum(valid)
 
-    pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-    pos = jnp.clip(pos, -mcfg.bound, mcfg.bound)
-    sigmas, geo = field.density_fn(pos.reshape(-1, 3))
-    sigmas = jnp.where(valid.reshape(-1), sigmas, 0.0)
+    if sample_budget is not None and sample_budget < n * k:
+        sigmas, rgbs = _shade_packed(
+            field, rays_o, rays_d, z, dt, valid, sample_budget, mcfg.bound
+        )
+    else:
+        pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        pos = jnp.clip(pos, -mcfg.bound, mcfg.bound)
+        sigmas, geo = field.density_fn(pos.reshape(-1, 3))
+        sigmas = jnp.where(valid.reshape(-1), sigmas, 0.0).reshape(n, k)
 
-    dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    dirs = jnp.broadcast_to(dirs[:, None, :], (n, k, 3)).reshape(-1, 3)
-    rgbs = field.color_fn(dirs, geo).reshape(n, k, 3)
+        dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        dirs = jnp.broadcast_to(dirs[:, None, :], (n, k, 3)).reshape(-1, 3)
+        rgbs = field.color_fn(dirs, geo).reshape(n, k, 3)
 
     image, depth, weights_sum, _ = composite(
-        sigmas.reshape(n, k), rgbs, dt, z, field.density_scale
+        sigmas, rgbs, dt, z, field.density_scale
     )
     if field.bg_fn is not None and field.bg_radius > 0:
         sph = sph_from_ray(rays_o, rays_d, field.bg_radius)
@@ -303,7 +334,56 @@ def render_rays_grid(
         bg = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32), image.shape)
     image = image + (1.0 - weights_sum)[:, None] * bg
     image = jnp.clip(image, 0.0, 1.0)
-    return {"image": image, "depth": depth, "weights_sum": weights_sum}
+    return {"image": image, "depth": depth, "weights_sum": weights_sum,
+            "n_samples": n_samples}
+
+
+def _shade_packed(field, rays_o, rays_d, z, dt, valid, budget: int,
+                  bound: float):
+    """Field evaluation over a packed global sample buffer (see
+    render_rays_grid's sample_budget). valid is a per-ray PREFIX mask (the
+    marcher's compaction guarantees this), so packing is three cheap gathers:
+    packed slot p belongs to ray r(p) = searchsorted(offsets, p) with
+    in-ray position j(p) = p - offsets[r]. Scatter-back into the dense
+    (N, K) layout keeps the composite (and its gradient) identical to the
+    unpacked path; the scatter's backward is a gather."""
+    n, k = z.shape
+    counts = jnp.sum(valid, axis=1)                      # (N,)
+    offsets = jnp.cumsum(counts) - counts                # exclusive prefix
+    total = offsets[-1] + counts[-1]
+    p = jnp.arange(budget)
+    # ray id per packed slot WITHOUT searchsorted (binary search lowers to
+    # log(N) serialized gather rounds on TPU): scatter each ray's id at its
+    # segment start, then a running max fills the segment. Rays sharing a
+    # start (count == 0) resolve to the later ray via the max — correct,
+    # an empty ray owns no slots. Same trick propagates the segment start
+    # offset (monotone in position, so max == last-written).
+    ray_ids = jnp.arange(n, dtype=jnp.int32)
+    seg_ray = jnp.zeros((budget,), jnp.int32).at[offsets].max(
+        ray_ids, mode="drop")
+    seg_off = jnp.zeros((budget,), jnp.int32).at[offsets].max(
+        offsets.astype(jnp.int32), mode="drop")
+    r = jax.lax.associative_scan(jnp.maximum, seg_ray)
+    off_r = jax.lax.associative_scan(jnp.maximum, seg_off)
+    j = p - off_r
+    pvalid = p < total
+    flat = jnp.clip(r * k + j, 0, n * k - 1)             # (budget,)
+
+    zdt = jnp.stack([z.reshape(-1), dt.reshape(-1)], axis=-1)[flat]
+    zp = zdt[:, 0]
+    rb = jnp.concatenate([rays_o, rays_d], axis=-1)[r]   # (budget, 6)
+    rop, rdp = rb[:, :3], rb[:, 3:]
+    pos = jnp.clip(rop + rdp * zp[:, None], -bound, bound)
+    sig_p, geo_p = field.density_fn(pos)
+    sig_p = jnp.where(pvalid, sig_p, 0.0)
+    dirp = rdp / jnp.linalg.norm(rdp, axis=-1, keepdims=True)
+    rgb_p = field.color_fn(dirp, geo_p)                  # (budget, 3)
+
+    tgt = jnp.where(pvalid, flat, n * k)                 # OOB rows drop
+    buf = jnp.zeros((n * k, 4)).at[tgt].set(
+        jnp.concatenate([sig_p[:, None], rgb_p], axis=-1), mode="drop"
+    )
+    return buf[:, 0].reshape(n, k), buf[:, 1:].reshape(n, k, 3)
 
 
 def render_rays_grid_rounds(
@@ -315,6 +395,7 @@ def render_rays_grid_rounds(
     key=None,
     bg_color=1.0,
     round_samples: int = 8,
+    crop_aabb=None,
 ):
     """Grid-path rendering with on-device early termination.
 
@@ -341,7 +422,7 @@ def render_rays_grid_rounds(
     from nerfnav_tpu.ops.marching import march
 
     n = rays_o.shape[0]
-    m = march(rays_o, rays_d, occupancy, mcfg, key=key)
+    m = march(rays_o, rays_d, occupancy, mcfg, key=key, crop_aabb=crop_aabb)
     z, dt, valid = (
         jax.lax.stop_gradient(m["z"]),
         jax.lax.stop_gradient(m["dt"]),

@@ -80,6 +80,15 @@ class EstimatorConfig:
     lr: float = 1e-3            # simulate.py:203
     n_iters: int = 300          # simulate.py:204
     batch_size: int = 1024      # simulate.py:205
+    # Pose optimizer: "adam" = the reference's 300-iter first-order descent
+    # (estimator_helpers.py:227-241); "gn" = Levenberg-Marquardt on the same
+    # objective (the 12-dim state is tiny, so J^T J from per-ray residual
+    # jacobians via jacfwd costs ~12 tangent renders/iter and converges in
+    # gn_iters ~ 15 instead of 300 — the filter is the nav loop's binding
+    # cost). Both paths share the measurement model and covariance plumbing.
+    optimizer: str = "gn"
+    gn_iters: int = 15
+    lm_lambda0: float = 1e-2
     kernel_size: int = 5
     dilate_iter: int = 3
     pool_size: int = 16384      # fixed-size interest-pixel pool (static shape)
@@ -191,7 +200,71 @@ class Estimator:
                 x, pool_inds, pool_count, gt_pixels, x_pred, sig_inv, key
             )
 
-        return opt_run, hess_fn
+        def residuals_of(x, inds, gt, x_pred, sig_chol):
+            """Stacked residual vector r with sum(r^2) == measurement_loss:
+            photometric rows scaled so their square-sum is
+            measurement_weight * mse, prior rows are the Cholesky-whitened
+            state error (r_p = C^T d with sig_inv = C C^T)."""
+            pose = state_to_pose(x)
+            if get_rays_at_fn is not None:
+                rays = get_rays_at_fn(pose, inds)
+                ro, rd = rays["rays_o"], rays["rays_d"]
+            else:
+                rays = get_rays_fn(pose)
+                ro = rays["rays_o"][inds]
+                rd = rays["rays_d"][inds]
+            out = render_fn(ro, rd)
+            scale = jnp.sqrt(cfg.measurement_weight / (gt.shape[0] * 3.0))
+            r_photo = ((out["image"] - gt) * scale).reshape(-1)
+            r_prior = sig_chol.T @ (x - x_pred)
+            return jnp.concatenate([r_photo, r_prior])
+
+        @jax.jit
+        def gn_run(x0, pool_inds, pool_count, gt_pixels, x_pred, sig_chol, rng):
+            """Levenberg-Marquardt solve of the same objective, one jitted
+            program: per iteration, J via jacfwd (12 forward tangents through
+            the FULL differentiable renderer), normal equations
+            (J^T J + lam I) delta = -J^T r, branchless accept/reject damping.
+            The residual set is FIXED for the whole solve (GN needs a
+            deterministic objective; resampling per iteration is the Adam
+            path's stochastic trick). Returns (x, losses, 2 J^T J) — the
+            Gauss-Newton Hessian doubles as the posterior information matrix,
+            replacing the Adam path's separate jax.hessian call
+            (reference estimator_helpers.py:381-394)."""
+            sel = jax.random.randint(rng, (cfg.batch_size,), 0, pool_count)
+            inds = pool_inds[sel]
+            gt = gt_pixels[sel]
+
+            def res(x):
+                return residuals_of(x, inds, gt, x_pred, sig_chol)
+
+            eye = jnp.eye(12, dtype=jnp.float32)
+
+            def body(carry, _):
+                x, lam, _ = carry
+                r = res(x)
+                J = jax.jacfwd(res)(x)                      # (m, 12)
+                g = J.T @ r
+                Hgn = J.T @ J
+                delta = jnp.linalg.solve(Hgn + lam * eye, -g)
+                x_new = x + delta
+                f0 = jnp.sum(r * r)
+                f1 = jnp.sum(res(x_new) ** 2)
+                accept = (f1 < f0) & jnp.all(jnp.isfinite(x_new))
+                x = jnp.where(accept, x_new, x)
+                lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                                jnp.minimum(lam * 4.0, 1e7))
+                f = jnp.where(accept, f1, f0)
+                return (x, lam, f), f
+
+            init = (x0, jnp.asarray(cfg.lm_lambda0, jnp.float32),
+                    jnp.asarray(jnp.inf, jnp.float32))
+            (x, _, _), losses = jax.lax.scan(body, init, None,
+                                             length=cfg.gn_iters)
+            J = jax.jacfwd(res)(x)
+            return x, losses, 2.0 * (J.T @ J)
+
+        return opt_run, hess_fn, gn_run
 
     def render_from_pose(self, pose, H, W, chunk=4096):
         """Full-frame render at a candidate pose (debug / triptych)
@@ -259,17 +332,27 @@ class Estimator:
         key = (H, W)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_update(H, W)
-        opt_run, hess_fn = self._jit_cache[key]
+        opt_run, hess_fn, gn_run = self._jit_cache[key]
 
-        sig_inv = jnp.asarray(np.linalg.inv(sig_pred), jnp.float32)
+        sig_inv_np = np.linalg.inv(sig_pred)
+        sig_inv = jnp.asarray(sig_inv_np, jnp.float32)
         x = jnp.asarray(x_pred)
-        opt_state = self._opt.init(x)
         rng = jax.random.PRNGKey(self.iteration)
         rng, sub = jax.random.split(rng)
-        x, opt_state, losses = opt_run(
-            x, opt_state, rays_pool, self.cfg.pool_size, gt_pixels,
-            jnp.asarray(x_pred), sig_inv, sub,
-        )
+        if self.cfg.optimizer == "gn":
+            sig_chol = jnp.asarray(np.linalg.cholesky(
+                nearest_pd(sig_inv_np) + 1e-9 * np.eye(12)), jnp.float32)
+            x, losses, Hs_dev = gn_run(
+                x, rays_pool, self.cfg.pool_size, gt_pixels,
+                jnp.asarray(x_pred), sig_chol, sub,
+            )
+        else:
+            opt_state = self._opt.init(x)
+            x, opt_state, losses = opt_run(
+                x, opt_state, rays_pool, self.cfg.pool_size, gt_pixels,
+                jnp.asarray(x_pred), sig_inv, sub,
+            )
+            Hs_dev = None
         loss = losses[-1]
 
         if not np.all(np.isfinite(np.asarray(x))):
@@ -280,12 +363,14 @@ class Estimator:
             self.iteration += 1
             return np.asarray(self.xt)
 
-        # ---- posterior covariance from the measurement Hessian
-        rng, sub = jax.random.split(rng)
-        Hs = np.asarray(
-            hess_fn(x, rays_pool, self.cfg.pool_size, gt_pixels,
-                    jnp.asarray(x_pred), sig_inv, sub)
-        )
+        # ---- posterior covariance from the measurement Hessian (the GN path
+        # reuses 2 J^T J from the solve — the Gauss-Newton approximation of
+        # the same jax.hessian the Adam path computes)
+        if Hs_dev is None:
+            rng, sub = jax.random.split(rng)
+            Hs_dev = hess_fn(x, rays_pool, self.cfg.pool_size, gt_pixels,
+                             jnp.asarray(x_pred), sig_inv, sub)
+        Hs = np.asarray(Hs_dev)
         Hs_pd = nearest_pd(Hs) + self.cfg.hess_reg * np.eye(12)
         self.sig = self._condition(np.linalg.inv(Hs_pd))
         self.xt = x

@@ -89,6 +89,32 @@ class MarchConfig:
                 break
         return np.asarray(taus, np.float32), np.asarray(dts, np.float32)
 
+    @cached_property
+    def coarse_gamma_ladder(self):
+        """Trace-time PHASE-A ladder for dt_gamma > 0 (adaptive stepping,
+        reference raymarching.cu:347-369 in the two-phase formulation):
+        coarse segment i starts at tau_i with length
+        dtc_i = min(mult * clamp(tau_i*gamma, dt_min, dt_max), cap), where
+        `cap` is just under one coarse cell edge at the TOP cascade — the
+        occupancy lookup's mip_from_dt guarantees the test cell is at least
+        dtc wide below the clamp (cell(ceil(log2(dt*hc/2))) >= dt), so the
+        endpoint-pair test can only overstep once the cascade clamp binds;
+        the cap removes that case. Returns (taus (T,), dtcs (T,)) numpy."""
+        hc = self.grid_size // self.coarse_factor
+        cap = 0.95 * 2.0 * min(2.0 ** (self.cascades - 1), self.bound) / hc
+        span = 2.0 * _SQRT3 * max(self.bound, 1.0)
+        taus, dtcs = [], []
+        t = 0.0
+        for _ in range(self.max_steps):  # bounded; real count is far smaller
+            dtf = float(np.clip(t * self.dt_gamma, self.dt_min, self.dt_max))
+            dtc = min(self.coarse_step_mult * dtf, max(cap, dtf))
+            taus.append(t)
+            dtcs.append(dtc)
+            t += dtc
+            if t > span:
+                break
+        return np.asarray(taus, np.float32), np.asarray(dtcs, np.float32)
+
 
 def _mip_from_dt_static(dt, grid_size: int) -> np.ndarray:
     """mip_from_dt on the (static) dt ladder — trace-time numpy."""
@@ -199,12 +225,22 @@ def proxy_terminate_valid(m, rays_o, rays_d, density_grid, cfg: MarchConfig,
     return m["valid"] & (t_prev > cfg.proxy_thresh)
 
 
-def near_far_aabb(rays_o, rays_d, bound: float, min_near: float):
+def near_far_aabb(rays_o, rays_d, bound: float, min_near: float,
+                  crop_aabb=None):
+    """Slab-test near/far against the bound cube, optionally intersected with
+    a crop AABB [xmin,ymin,zmin,xmax,ymax,zmax] (the reference GUI's per-axis
+    crop sliders narrow aabb_infer the same way, gui.py:293-320)."""
     inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
     t0 = (-bound - rays_o) * inv_d
     t1 = (bound - rays_o) * inv_d
     near = jnp.maximum(jnp.minimum(t0, t1).max(axis=-1), min_near)
     far = jnp.maximum(jnp.maximum(t0, t1).min(axis=-1), near)
+    if crop_aabb is not None:
+        c0 = (crop_aabb[:3] - rays_o) * inv_d
+        c1 = (crop_aabb[3:] - rays_o) * inv_d
+        near = jnp.maximum(near, jnp.minimum(c0, c1).max(axis=-1))
+        far = jnp.maximum(jnp.minimum(far, jnp.maximum(c0, c1).min(axis=-1)),
+                          near)
     return near, far
 
 
@@ -347,10 +383,12 @@ def _phase_a_cap(cfg: MarchConfig) -> float:
 
 
 def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
-                         cfg: MarchConfig, key=None):
-    """Coarse-to-fine two-phase march (dt_gamma == 0 only).
+                         cfg: MarchConfig, key=None, crop_aabb=None):
+    """Coarse-to-fine two-phase march.
 
-    Phase A walks a sparse ladder (coarse_step_mult * dt_min) against the
+    Phase A walks a sparse ladder (coarse_step_mult * dt_min, or the static
+    gamma ladder when cfg.dt_gamma > 0 — adaptive stepping,
+    raymarching.cu:347-369) against the
     maxpooled coarse bitfield and keeps the first K_A occupied segments;
     phase B subdivides only those segments at dt_min against the fine
     bitfield. Cuts occupancy-gather volume ~T/(T_A + K_A*mult) (~6x) versus
@@ -360,11 +398,12 @@ def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
     """
     import dataclasses
 
-    assert cfg.dt_gamma == 0.0, "two-phase march requires dt_gamma == 0"
     n = rays_o.shape[0]
     dt = cfg.dt_min
+    gamma = cfg.dt_gamma > 0.0
 
-    near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near)
+    near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near,
+                              crop_aabb)
     k_phase = None
     if key is not None:
         key, k_phase = jax.random.split(key)
@@ -373,7 +412,16 @@ def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
     cfg_coarse = dataclasses.replace(
         cfg, grid_size=cfg.grid_size // cfg.coarse_factor
     )
-    z_a, dt_a, t_a = _phase_a_ladder(near, far, cfg)        # (N, T_A)
+    if gamma:
+        # adaptive stepping: static trace-time gamma ladder (see
+        # MarchConfig.coarse_gamma_ladder); dt varies per candidate, and the
+        # occupancy test's mip rides mip_from_dt, folded at trace time from
+        # the static dt row
+        taus_a, dts_a = cfg.coarse_gamma_ladder
+        z_a = near[:, None] + jnp.asarray(taus_a)[None, :]   # (N, T_A)
+        dt_a = dts_a                                         # static (T_A,)
+    else:
+        z_a, dt_a, t_a = _phase_a_ladder(near, far, cfg)     # (N, T_A)
     pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
     occ_a = occupancy_lookup(bitfield_coarse, pos_a, dt_a, cfg_coarse)
     # a segment [z_i, z_i + dt_a) is kept if EITHER endpoint lands in an
@@ -400,7 +448,9 @@ def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
         sub, (n, cfg.coarse_segments, mult)
     ).reshape(n, -1)
     pos_b = rays_o[:, None, :] + rays_d[:, None, :] * z_b[..., None]
-    occ_b = occupancy_lookup(bitfield, pos_b, dt, cfg)
+    # gamma: the fine step varies per segment, so mip rides the per-candidate
+    # dt (sub stays under the cascade-0 fine cell edge by the phase-A cap)
+    occ_b = occupancy_lookup(bitfield, pos_b, dt_fine if gamma else dt, cfg)
     valid_ab = jnp.broadcast_to(
         valid_a[:, :, None], (n, cfg.coarse_segments, mult)
     ).reshape(n, -1)
@@ -477,7 +527,7 @@ def _grouped_block_test(table, flat, local, group: int, anchors=None):
 
 
 def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
-                     key=None, density_coarse_min=None):
+                     key=None, density_coarse_min=None, crop_aabb=None):
     """Two-phase march against 64-bit block-packed occupancy rows.
 
     Same candidate geometry as march_rays_two_phase (phase A: dt_a ladder vs
@@ -523,7 +573,8 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         if mult % d == 0 and (d - 1) * (dt_a_max / mult) < fb_world:
             g_b = d
 
-    near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near)
+    near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near,
+                              crop_aabb)
     k_phase = None
     if key is not None:
         key, k_phase = jax.random.split(key)
@@ -599,7 +650,8 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
 
-def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None):
+def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None,
+               crop_aabb=None):
     """March N rays through the occupancy grid.
 
     Returns dict:
@@ -616,7 +668,8 @@ def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None):
     dts_l = jnp.asarray(dts)
     t_c = taus.shape[0]
 
-    near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near)
+    near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near,
+                              crop_aabb)
     k_phase = None
     if key is not None:
         key, k_phase = jax.random.split(key)
@@ -630,10 +683,12 @@ def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None):
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
 
-def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None):
+def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
+          crop_aabb=None):
     """Dispatch: block-packed two-phase march when 64-bit block tables are
-    available (fastest), byte-bitfield two-phase when only the coarse mirror
-    is (both need dt_gamma == 0), single-phase ladder otherwise.
+    available (fastest; requires dt_gamma == 0), byte-bitfield two-phase when
+    a coarse mirror is available (supports dt_gamma), single-phase ladder
+    otherwise.
 
     occupancy: occupancy-state dict (models/occupancy.py) or a bare
     (cascades, H^3//8) bitfield array. When cfg.proxy_terminate, samples
@@ -654,11 +709,16 @@ def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None):
         density_grid = density_coarse_min = None
     if blocks is not None and blocks_coarse is not None and cfg.dt_gamma == 0.0:
         return march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg,
-                                key, density_coarse_min=density_coarse_min)
-    if coarse is not None and cfg.dt_gamma == 0.0:
-        m = march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key)
+                                key, density_coarse_min=density_coarse_min,
+                                crop_aabb=crop_aabb)
+    if coarse is not None:
+        # the byte two-phase marcher supports dt_gamma > 0 via the static
+        # gamma ladder; only the block marcher requires dt_gamma == 0
+        m = march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key,
+                                 crop_aabb=crop_aabb)
     else:
-        m = march_rays(rays_o, rays_d, bitfield, cfg, key)
+        m = march_rays(rays_o, rays_d, bitfield, cfg, key,
+                       crop_aabb=crop_aabb)
     if cfg.proxy_terminate:
         # prefer the min-pooled coarse table: strictly conservative (see
         # proxy_terminate_valid's EMA-max silhouette caveat)

@@ -68,6 +68,36 @@ def closest_point_2_lines(oa, da, ob, db):
     return (oa + ta * da + ob + tb * db) * 0.5, denom
 
 
+def run_ffmpeg(video, images_dir, fps=3.0, time_slice="", yes=False):
+    """Extract video frames into images_dir with ffmpeg (reference
+    scripts/colmap2nerf.py run_ffmpeg): fps-sampled, optional t1,t2 second
+    slice, top-quality jpg. The images folder is replaced (prompted unless
+    yes=True). Video workflows pair with --colmap_matcher sequential."""
+    import shutil
+    import subprocess
+
+    fps = float(fps) or 1.0
+    print(f"ffmpeg: video={video} -> {images_dir} at fps={fps}")
+    if not yes:
+        ans = input(
+            f"warning! folder '{images_dir}' will be deleted/replaced. "
+            "continue? (Y/n)"
+        ).lower().strip()
+        if (ans + "y")[:1] != "y":
+            sys.exit(1)
+    shutil.rmtree(images_dir, ignore_errors=True)
+    os.makedirs(images_dir, exist_ok=True)
+    vf = f"fps={fps}"
+    if time_slice:
+        start, end = time_slice.split(",")
+        vf += f",select='between(t\\,{start}\\,{end})'"
+    subprocess.run(
+        ["ffmpeg", "-i", video, "-qscale:v", "1", "-qmin", "1", "-vf", vf,
+         os.path.join(images_dir, "%04d.jpg")],
+        check=True,
+    )
+
+
 def run_colmap(images_dir, out_dir, colmap_cmd="colmap", matcher="exhaustive"):
     """Reference pipeline: feature_extractor -> matcher -> mapper -> TXT."""
     db = os.path.join(out_dir, "colmap.db")
@@ -206,6 +236,15 @@ def convert(text_dir, images_dir, out_path, aabb_scale=16, skip_early=0,
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--images", required=True)
+    p.add_argument("--video", default=None,
+                   help="input video: frames are ffmpeg-extracted into "
+                   "--images first (reference colmap2nerf video workflow; "
+                   "use --colmap_matcher sequential for video)")
+    p.add_argument("--video_fps", type=float, default=3.0)
+    p.add_argument("--time_slice", default="",
+                   help="t1,t2 seconds window to extract from the video")
+    p.add_argument("-y", "--yes", action="store_true",
+                   help="skip the images-folder replacement prompt")
     p.add_argument("--text", default=None, help="existing colmap text model dir")
     p.add_argument("--out", default="transforms.json")
     p.add_argument("--run_colmap", action="store_true")
@@ -214,6 +253,9 @@ def main(argv=None):
     p.add_argument("--skip_early", type=int, default=0)
     p.add_argument("--keep_colmap_coords", action="store_true")
     args = p.parse_args(argv)
+    if args.video:
+        run_ffmpeg(args.video, args.images, args.video_fps, args.time_slice,
+                   yes=args.yes)
     text = args.text
     if args.run_colmap:
         text = run_colmap(args.images, os.path.dirname(args.out) or ".",

@@ -74,6 +74,26 @@ class TrainerOptions:
     # inflates density over long runs) and refines on a FIXED schedule.
     # Thresholds <= 1.0 are fractions of `iters`; > 1 are absolute steps.
     dt_anneal: tuple = ((0.0, 8), (0.05, 4), (0.1, 2), (0.2, 1))
+    # Global point-budget compaction for the grid train path (the reference's
+    # mean_count EMA + ray-drop, renderer.py:283-288, raymarching.py:198-203):
+    # the jitted step tracks an EMA of marched-sample counts; the trainer
+    # picks the smallest budget bucket covering margin * EMA and shades only
+    # that many packed samples (renderer _shade_packed). Each bucket is one
+    # compiled program. Dead slots otherwise dominate training backward cost
+    # (hash-table scatter rows). Disabled under a device mesh (the packing
+    # cumsum would synchronize the sharded ray axis).
+    point_budget: bool = True
+    point_budget_fracs: tuple = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75)
+    point_budget_margin: float = 1.15
+    # Poseless / text-guided training (reference --rand_pose + --clip_text,
+    # utils.py:381-424, provider.py:282-296): rand_pose == 0 trains from
+    # random orbit poses ONLY (pure similarity loss); > 0 is hybrid — one
+    # similarity batch per rand_pose supervised batches. A similarity batch
+    # renders a low-res full frame (sqrt(H*W/num_rays) downscale, white bg)
+    # and minimizes Trainer.clip_loss_fn on it.
+    rand_pose: int = -1
+    clip_text: str = ""
+    rand_pose_radius: float = 1.0
 
 
 class TrainState(NamedTuple):
@@ -83,6 +103,10 @@ class TrainState(NamedTuple):
     global_step: jnp.ndarray           # scalar int32
     error_maps: Optional[jnp.ndarray]  # (n_images, 128*128) or None
     occupancy: Optional[dict] = None   # occupancy-grid state (stage: fast path)
+    # EMA of total valid marched samples per step (reference step_counter /
+    # mean_count, renderer.py:96-101); device scalar, host-read every
+    # update_extra_interval steps
+    mean_count: Optional[jnp.ndarray] = None
 
 
 class Trainer:
@@ -95,6 +119,7 @@ class Trainer:
         occupancy_cfg=None,
         march_cfg=None,
         mesh=None,
+        clip_loss_fn=None,
     ):
         """march_cfg + occupancy_cfg together enable the occupancy-grid fast
         path (the reference's `-O`/cuda_ray mode, main_nerf.py:66-69); without
@@ -102,7 +127,14 @@ class Trainer:
 
         mesh: optional jax.sharding.Mesh — rays are sharded across its "data"
         axis inside the jitted step (data parallelism; replaces the
-        reference's vestigial DDP, utils.py:267-268, 305-307)."""
+        reference's vestigial DDP, utils.py:267-268, 305-307).
+
+        clip_loss_fn: optional jax-differentiable callable
+        (image (h, w, 3) in [0,1]) -> scalar loss, used by the poseless
+        rand_pose mode (reference CLIPLoss, nerf/clip_utils.py). Gradient-
+        based CLIP needs JAX-converted pretrained weights, which this offline
+        image cannot fetch — pass a stub/custom scorer; with
+        opt.clip_text set and no fn, construction fails loudly."""
         self.cfg = cfg
         self.rcfg = rcfg
         self.opt = opt
@@ -115,6 +147,14 @@ class Trainer:
             raise ValueError(
                 f"num_rays ({opt.num_rays}) must divide evenly across "
                 f"{mesh.devices.size} devices"
+            )
+        self.clip_loss_fn = clip_loss_fn
+        if opt.rand_pose >= 0 and clip_loss_fn is None:
+            raise RuntimeError(
+                "rand_pose mode needs a jax-differentiable clip_loss_fn: the "
+                "torch CLIP scorer (training/clip_loss.py) cannot backprop "
+                "into JAX, and pretrained CLIP weights cannot be fetched in "
+                "this offline environment. Inject a stub or JAX CLIP tower."
             )
         self.epoch = 0
         self.global_step = 0
@@ -143,8 +183,9 @@ class Trainer:
             except ImportError:
                 self.log("tensorboardX unavailable; scalars not written")
 
-        self._train_step_fns = {}  # (H, W, C, dt_mult) -> jitted step
+        self._train_step_fns = {}  # (H, W, C, dt_mult, budget) -> jitted step
         self._render_chunk_fn = None
+        self._mean_count_host = 0.0  # host mirror of state.mean_count
         self.state = None  # built on first train()/resume
 
     # ------------------------------------------------------------------ utils
@@ -173,15 +214,32 @@ class Trainer:
             global_step=jnp.asarray(0, jnp.int32),
             error_maps=emaps,
             occupancy=occ,
+            mean_count=(jnp.asarray(0.0, jnp.float32)
+                        if self.march_cfg is not None else None),
         )
 
     # ------------------------------------------------------------- train step
     def _step_fn(self, H, W, C):
-        """Jitted train step for the current anneal phase (cached)."""
-        key = (H, W, C, self._dt_mult())
+        """Jitted train step for the current anneal phase + point budget
+        (cached per (shape, dt_mult, budget) — a handful of programs)."""
+        key = (H, W, C, self._dt_mult(), self._current_budget())
         if key not in self._train_step_fns:
             self._train_step_fns[key] = self._build_train_step(*key)
         return self._train_step_fns[key]
+
+    def _current_budget(self) -> int | None:
+        """Static sample budget for the packed train shade, from the host
+        mirror of the mean-count EMA (reference mean_count, renderer.py:283-288).
+        None = shade the full (N, K) lattice (early training / mesh runs)."""
+        if (self.march_cfg is None or self.mesh is not None
+                or not self.opt.point_budget or self._mean_count_host <= 0):
+            return None
+        nk = self.opt.num_rays * self.march_cfg.samples_per_ray
+        required = self.opt.point_budget_margin * self._mean_count_host
+        for frac in sorted(self.opt.point_budget_fracs):
+            if frac * nk >= required and frac < 1.0:
+                return int(frac * nk)
+        return None
 
     def _dt_mult(self) -> int:
         """Current marching dt multiplier from the anneal schedule."""
@@ -195,7 +253,8 @@ class Trainer:
                 mult = m
         return mult
 
-    def _build_train_step(self, H, W, C, dt_mult: int = 1):
+    def _build_train_step(self, H, W, C, dt_mult: int = 1,
+                          sample_budget: int | None = None):
         cfg, rcfg, opt = self.cfg, self.rcfg, self.opt
         optimizer = self.optimizer
         mcfg = self.march_cfg
@@ -260,7 +319,7 @@ class Trainer:
                     out = render_rays_grid(
                         make_field(p, cfg), state.occupancy, mcfg,
                         rays["rays_o"], rays["rays_d"], key=k_perturb,
-                        bg_color=bg,
+                        bg_color=bg, sample_budget=sample_budget,
                     )
                 else:
                     out = render_rays(
@@ -268,11 +327,11 @@ class Trainer:
                         key=k_perturb, bg_color=bg,
                     )
                 per_ray = jnp.mean((out["image"] - gt_rgb) ** 2, axis=-1)
-                return jnp.mean(per_ray), per_ray
+                return jnp.mean(per_ray), (per_ray, out.get("n_samples"))
 
-            (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
+            (loss, (per_ray, n_samples)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
             updates, opt_state = optimizer.update(grads, state.opt_state)
             params = optax.apply_updates(state.params, updates)
             d = opt.ema_decay
@@ -289,6 +348,15 @@ class Trainer:
                 old = emaps[idx, coarse]
                 emaps = emaps.at[idx, coarse].set(0.9 * old + 0.1 * per_ray)
 
+            mean_count = state.mean_count
+            if mean_count is not None and n_samples is not None:
+                ns = n_samples.astype(jnp.float32)
+                # warm-start the EMA on the first step (reference fills its
+                # 16-slot step_counter before averaging)
+                mean_count = jnp.where(
+                    mean_count <= 0.0, ns, 0.9 * mean_count + 0.1 * ns
+                )
+
             new_state = TrainState(
                 params=params,
                 opt_state=opt_state,
@@ -296,38 +364,109 @@ class Trainer:
                 global_step=state.global_step + 1,
                 error_maps=emaps,
                 occupancy=state.occupancy,
+                mean_count=mean_count,
             )
             return new_state, loss
 
         return jax.jit(train_step, donate_argnums=(0,))
 
+    def _build_clip_step(self, rH, rW):
+        """Jitted poseless training step (reference train_step CLIP branch,
+        utils.py:404-424): render a low-res full frame from a random orbit
+        pose (white bg, perturb) and descend clip_loss_fn on it."""
+        cfg, rcfg, opt = self.cfg, self.rcfg, self.opt
+        optimizer = self.optimizer
+        mcfg = self.march_cfg
+        clip_loss_fn = self.clip_loss_fn
+
+        def clip_step(state: TrainState, pose, intr, key):
+            rays = get_all_rays(pose, intr, rH, rW)
+
+            def loss_fn(p):
+                if mcfg is not None:
+                    from nerfnav_tpu.models import render_rays_grid
+
+                    out = render_rays_grid(
+                        make_field(p, cfg), state.occupancy, mcfg,
+                        rays["rays_o"], rays["rays_d"], key=key, bg_color=1.0,
+                    )
+                else:
+                    out = render_rays(
+                        make_field(p, cfg), rcfg, rays["rays_o"],
+                        rays["rays_d"], key=key, bg_color=1.0,
+                    )
+                return clip_loss_fn(out["image"].reshape(rH, rW, 3))
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state)
+            params = optax.apply_updates(state.params, updates)
+            d = opt.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, state.ema_params, params
+            )
+            new_state = state._replace(
+                params=params, opt_state=opt_state, ema_params=ema,
+                global_step=state.global_step + 1,
+            )
+            return new_state, loss
+
+        return jax.jit(clip_step, donate_argnums=(0,))
+
+    def _clip_step_fn(self, H, W):
+        # low-res full frame with ~num_rays pixels (reference provider.py:287)
+        s = float(np.sqrt(H * W / self.opt.num_rays))
+        rH, rW = max(int(H / s), 1), max(int(W / s), 1)
+        key = ("clip", rH, rW)
+        if key not in self._train_step_fns:
+            self._train_step_fns[key] = (self._build_clip_step(rH, rW), s)
+        return self._train_step_fns[key]
+
     def _build_render_chunk(self):
         cfg, rcfg, mcfg = self.cfg, self.rcfg, self.march_cfg
+        mesh = self.mesh
+
+        def shard_in(ro, rd):
+            # eval/render sharding over the data axis: XLA SPMD splits the
+            # chunk render across devices (replaces the reference's NCCL
+            # eval all_gather, utils.py:866-882); outputs are re-replicated
+            if mesh is None:
+                return ro, rd
+            from nerfnav_tpu.parallel.sharding import shard_rays
+
+            t = shard_rays({"ro": ro, "rd": rd}, mesh)
+            return t["ro"], t["rd"]
 
         if mcfg is not None and self.opt.eval_rounds:
             from nerfnav_tpu.models import render_rays_grid_rounds
 
             @partial(jax.jit, static_argnums=(4,))
-            def render_chunk(params, occupancy, rays_o, rays_d, bg_color: float):
+            def render_chunk(params, occupancy, rays_o, rays_d, bg_color: float,
+                             crop_aabb=None):
+                rays_o, rays_d = shard_in(rays_o, rays_d)
                 return render_rays_grid_rounds(
                     make_field(params, cfg), occupancy, mcfg, rays_o, rays_d,
-                    bg_color=bg_color,
+                    bg_color=bg_color, crop_aabb=crop_aabb,
                 )
         elif mcfg is not None:
             from nerfnav_tpu.models import render_rays_grid
 
             @partial(jax.jit, static_argnums=(4,))
-            def render_chunk(params, occupancy, rays_o, rays_d, bg_color: float):
+            def render_chunk(params, occupancy, rays_o, rays_d, bg_color: float,
+                             crop_aabb=None):
+                rays_o, rays_d = shard_in(rays_o, rays_d)
                 return render_rays_grid(
                     make_field(params, cfg), occupancy, mcfg, rays_o, rays_d,
-                    bg_color=bg_color,
+                    bg_color=bg_color, crop_aabb=crop_aabb,
                 )
         else:
 
             @partial(jax.jit, static_argnums=(4,))
-            def render_chunk(params, bitfield, rays_o, rays_d, bg_color: float):
+            def render_chunk(params, bitfield, rays_o, rays_d, bg_color: float,
+                             crop_aabb=None):
+                rays_o, rays_d = shard_in(rays_o, rays_d)
                 return render_rays(
-                    make_field(params, cfg), rcfg, rays_o, rays_d, bg_color=bg_color
+                    make_field(params, cfg), rcfg, rays_o, rays_d,
+                    bg_color=bg_color, crop_aabb=crop_aabb,
                 )
 
         return render_chunk
@@ -357,19 +496,37 @@ class Trainer:
         for _ in range(max_epochs):
             self.epoch += 1
             t0 = time.time()
-            total = 0.0
+            total = None
             for s in range(steps):
                 self._maybe_update_occupancy()
-                idx = int(rng.integers(len(train_ds)))
                 self.key, sub = jax.random.split(self.key)
-                self.state, loss = self._step_fn(H, W, C)(
-                    self.state, arrays, jnp.asarray(idx), sub
-                )
+                rp = self.opt.rand_pose
+                if rp >= 0 and (rp == 0 or s % (rp + 1) == rp):
+                    # poseless similarity batch (reference provider.py:280-296
+                    # interleaving: one per rand_pose supervised batches;
+                    # rand_pose == 0 -> every batch)
+                    from nerfnav_tpu.data.provider import rand_poses
+
+                    clip_fn, scale = self._clip_step_fn(H, W)
+                    pose = jnp.asarray(
+                        rand_poses(rng, 1, radius=self.opt.rand_pose_radius)[0]
+                    )
+                    self.state, loss = clip_fn(
+                        self.state, pose, arrays["intrinsics"] / scale, sub
+                    )
+                else:
+                    idx = int(rng.integers(len(train_ds)))
+                    self.state, loss = self._step_fn(H, W, C)(
+                        self.state, arrays, jnp.asarray(idx), sub
+                    )
                 self.global_step += 1
-                total += float(loss)
+                # accumulate on device: float(loss) every step would
+                # host-sync and stall the async dispatch pipeline (the
+                # reference's per-step loss.item() stall, utils.py:796)
+                total = loss if total is None else total + loss
                 if self.writer is not None:
                     self.writer.add_scalar("train/loss", float(loss), self.global_step)
-            avg = total / steps
+            avg = float(total) / steps
             self.stats["loss"].append(avg)
             self.log(
                 f"epoch {self.epoch} | loss {avg:.6f} | "
@@ -384,17 +541,22 @@ class Trainer:
             return
         if self.global_step % self.opt.update_extra_interval != 0:
             return
+        if self.state.mean_count is not None:
+            # refresh the host budget mirror on the same cadence (this
+            # boundary already synchronizes on the update counter)
+            self._mean_count_host = float(self.state.mean_count)
         from nerfnav_tpu.models.occupancy import update_extra_state
 
         self.key, sub = jax.random.split(self.key)
         self.state = self.state._replace(
             occupancy=update_extra_state(
                 self.state.occupancy, self.occupancy_cfg,
-                self.state.params, self.cfg, sub,
+                self.state.params, self.cfg, sub, mesh=self.mesh,
             )
         )
 
-    def render_full(self, params, pose, intrinsics, H, W, bg_color=1.0):
+    def render_full(self, params, pose, intrinsics, H, W, bg_color=1.0,
+                    crop_aabb=None):
         """Staged full-image render with a cached jitted chunk fn
         (reference staged rendering, renderer.py:555-566)."""
         if self._render_chunk_fn is None:
@@ -430,7 +592,7 @@ class Trainer:
         for i in range(0, n + pad, chunk):
             out = self._render_chunk_fn(
                 params, occupancy, ro[i : i + chunk], rd[i : i + chunk],
-                float(bg_color)
+                float(bg_color), crop_aabb
             )
             imgs.append(out["image"])
             depths.append(out["depth"])
@@ -532,14 +694,17 @@ class Trainer:
                 "steps_per_sec": step / max(dt, 1e-9)}
 
     def test_gui(self, pose, intrinsics, W, H, bg_color=1.0, spp=1,
-                 downscale=1.0):
+                 downscale=1.0, crop_aabb=None):
         """Render one interactive frame at `downscale` resolution — the
         viewer's render hook (reference utils.py:703-752 `test_gui`)."""
         rh, rw = max(int(H * downscale), 8), max(int(W * downscale), 8)
         intr = np.asarray(intrinsics, np.float32) * downscale
         params = self.state.ema_params if self.state else self.params
         t0 = time.time()
-        image, depth = self.render_full(params, pose, intr, rh, rw, bg_color)
+        if crop_aabb is not None:
+            crop_aabb = jnp.asarray(crop_aabb, jnp.float32)
+        image, depth = self.render_full(params, pose, intr, rh, rw, bg_color,
+                                        crop_aabb=crop_aabb)
         dt = time.time() - t0
         img = np.asarray(image)
         if (rh, rw) != (H, W):

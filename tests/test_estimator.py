@@ -92,9 +92,11 @@ class TestFindPOI:
 
 
 class TestEstimator:
-    def test_filter_recovers_pose(self, field, closures):
+    @pytest.mark.parametrize("optimizer", ["adam", "gn"])
+    def test_filter_recovers_pose(self, field, closures, optimizer):
         """Perturb the true state; the filter must pull the estimate back
-        toward truth using only the rendered observation."""
+        toward truth using only the rendered observation — both with the
+        reference's 300-iter Adam descent and the LM second-order solver."""
         render_fn, get_rays_fn = closures
         x_true = start_state()
         cfg = AgentConfig(dyn=DynamicsConfig(), H=H, W=W, focal=FOCAL, backend="nerf")
@@ -103,7 +105,8 @@ class TestEstimator:
         obs = agent.get_img(pose_true)
 
         est_cfg = EstimatorConfig(lr=5e-3, n_iters=150, batch_size=512,
-                                  pool_size=4096, sig0=1.0, q_diag=1e-4)
+                                  pool_size=4096, sig0=1.0, q_diag=1e-4,
+                                  optimizer=optimizer)
         est = Estimator(est_cfg, DynamicsConfig(), render_fn, get_rays_fn,
                         body_state_to_camera_pose)
         # start from a perturbed belief; hover action keeps prediction there

@@ -88,3 +88,79 @@ class TestNeRFGUI:
             f"http://127.0.0.1:{port}/frame", timeout=60).read()
         assert jpg[:2] == b"\xff\xd8"  # JPEG magic
         t.join(timeout=30)
+
+
+class TestWidgets:
+    """Widget parity with reference gui.py:156-412: ckpt save, mesh export,
+    bg color, fovy, dt_gamma, per-axis AABB crop, pan, dynamic-res toggle."""
+
+    def test_set_options(self, tiny_trainer):
+        trainer, ds = tiny_trainer
+        gui = NeRFGUI(trainer, None, W=32, H=32)
+        gui.set_option("bg_color", 0.5)
+        assert gui.bg_color == 0.5
+        gui.set_option("fovy", 90)
+        assert gui.cam.fovy == 90
+        gui.set_option("max_spp", 8)
+        assert gui.max_spp == 8
+        gui.set_option("dynamic_resolution", False)
+        assert gui.downscale == 1.0
+        gui.set_option("aabb_xmax", 0.25)
+        assert gui.aabb[3] == 0.25 and gui._crop is not None
+        with pytest.raises(KeyError):
+            gui.set_option("nope", 1)
+
+    def test_pan_moves_center(self, tiny_trainer):
+        trainer, ds = tiny_trainer
+        gui = NeRFGUI(trainer, None, W=32, H=32)
+        c0 = gui.cam.center.copy()
+        gui.cam.pan(200, 0)
+        assert not np.allclose(gui.cam.center, c0)
+
+    def test_crop_masks_render(self, tiny_trainer):
+        """A crop box excluding the scene must render pure background."""
+        trainer, ds = tiny_trainer
+        if trainer.state is None:
+            trainer.state = trainer._init_state(len(ds))
+        gui = NeRFGUI(trainer, None, W=24, H=24, bg_color=1.0)
+        full = gui.render_frame()
+        gui.set_option("aabb_xmin", 0.9)
+        gui.set_option("aabb_xmax", 0.95)
+        gui.set_option("aabb_ymin", 0.9)
+        gui.set_option("aabb_ymax", 0.95)
+        cropped = gui.render_frame()
+        assert cropped.shape == full.shape
+        np.testing.assert_allclose(cropped, np.ones_like(cropped), atol=1e-3)
+
+    def test_ckpt_and_mesh_endpoints(self, tiny_trainer, tmp_path):
+        trainer, ds = tiny_trainer
+        gui = NeRFGUI(trainer, ds, W=32, H=32)
+        gui.train_step()
+        msg = gui.save_checkpoint()
+        assert "saved" in msg
+        import os
+
+        assert any(
+            f.endswith(".npz")
+            for f in os.listdir(os.path.join(trainer.workspace, "checkpoints"))
+        )
+        msg = gui.export_mesh()
+        assert "mesh" in msg
+
+    def test_dt_gamma_rebuilds_render_path(self, tiny_trainer):
+        import dataclasses
+
+        from nerfnav_tpu.models.occupancy import OccupancyConfig, init_occupancy_state
+        from nerfnav_tpu.ops.marching import MarchConfig
+
+        trainer, ds = tiny_trainer
+        # give the trainer a march config so dt_gamma has a target
+        old_march = trainer.march_cfg
+        trainer.march_cfg = MarchConfig(bound=1.0, grid_size=16, max_steps=64,
+                                        samples_per_ray=8, min_near=0.05)
+        trainer._render_chunk_fn = object()  # sentinel: must be dropped
+        gui = NeRFGUI(trainer, None, W=32, H=32)
+        gui.set_option("dt_gamma", 1 / 128)
+        assert trainer.march_cfg.dt_gamma == 1 / 128
+        assert trainer._render_chunk_fn is None
+        trainer.march_cfg = old_march

@@ -611,3 +611,105 @@ class TestProxyTerminate:
         assert np.max(z_on) < 1.25, z_on
         assert np.max(z_off) > 1.3, z_off
         assert np.max(z_on) < np.max(z_off) - 0.2
+
+
+class TestGammaMarch:
+    """Adaptive stepping (dt_gamma > 0) on the two-phase marcher
+    (reference raymarching.cu:347-369)."""
+
+    def _cfg(self, gamma):
+        return MarchConfig(bound=2.0, grid_size=32, max_steps=256,
+                           samples_per_ray=48, min_near=0.05, dt_gamma=gamma,
+                           coarse_normalized=False)
+
+    def _occ(self, cfg):
+        from nerfnav_tpu.ops.morton import packbits as pb
+
+        H = cfg.grid_size
+        idx = np.arange(H**3)
+        c = (np.stack([idx // (H * H), (idx // H) % H, idx % H], -1) + 0.5) / H * 2 - 1
+        fields, coarse = [], []
+        f = cfg.coarse_factor
+        hc = H // f
+        for cas in range(cfg.cascades):
+            cb = min(2.0**cas, cfg.bound)
+            occ = np.linalg.norm(c * cb, axis=-1) < 0.9
+            fields.append(pb(jnp.asarray(occ.astype(np.float32))))
+            oc = occ.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
+            coarse.append(pb(jnp.asarray(oc.astype(np.float32))))
+        return jnp.stack(fields), jnp.stack(coarse)
+
+    def test_gamma_ladder_steps_grow(self):
+        cfg = self._cfg(1 / 64)
+        taus, dtcs = cfg.coarse_gamma_ladder
+        assert np.all(np.diff(taus) > 0)
+        assert dtcs[-1] > dtcs[0]  # adaptive: far steps are larger
+        # never oversteps a top-cascade coarse cell
+        hc = cfg.grid_size // cfg.coarse_factor
+        assert dtcs.max() <= 0.95 * 2.0 * cfg.bound / hc + 1e-6
+
+    def test_gamma_two_phase_covers_single_phase(self):
+        """The gamma two-phase sample set must cover the single-phase gamma
+        ladder's samples (the correctness bar: no occupied region skipped)."""
+        from nerfnav_tpu.ops.marching import march_rays_two_phase
+
+        cfg = self._cfg(1 / 64)
+        bf, bfc = self._occ(cfg)
+        rng = np.random.default_rng(5)
+        o = jnp.asarray(np.concatenate(
+            [rng.uniform(-0.3, 0.3, (12, 2)), np.full((12, 1), -1.9)], -1
+        ), jnp.float32)
+        d = rng.normal(size=(12, 3))
+        d[:, 2] = np.abs(d[:, 2]) + 1.0
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+
+        m1 = march_rays(o, d, bf, cfg)                    # single-phase gamma
+        m2 = march_rays_two_phase(o, d, bf, bfc, cfg)     # two-phase gamma
+        v1, z1 = np.asarray(m1["valid"]), np.asarray(m1["z"])
+        v2, z2 = np.asarray(m2["valid"]), np.asarray(m2["z"])
+        taus, dtcs = cfg.coarse_gamma_ladder
+        for r in range(12):
+            if not v1[r].any():
+                continue
+            assert v2[r].any(), r
+            zr2 = z2[r][v2[r]]
+            # every single-phase sample has a two-phase neighbor within one
+            # coarse segment (the two-phase pitch at that distance)
+            for z in z1[r][v1[r]]:
+                seg = dtcs[min(np.searchsorted(taus, z), len(dtcs) - 1)]
+                assert np.min(np.abs(zr2 - z)) < seg + 1e-3, (r, z)
+
+    def test_gamma_dispatch_uses_two_phase(self):
+        """march() must route dt_gamma > 0 through the two-phase marcher when
+        a coarse mirror exists (not the slow single-phase fallback)."""
+        from nerfnav_tpu.ops.marching import march, march_rays_two_phase
+
+        cfg = self._cfg(1 / 64)
+        bf, bfc = self._occ(cfg)
+        o = jnp.array([[0.0, 0.0, -1.9]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        m_d = march(o, d, {"bitfield": bf, "bitfield_coarse": bfc}, cfg)
+        m_2 = march_rays_two_phase(o, d, bf, bfc, cfg)
+        np.testing.assert_array_equal(np.asarray(m_d["valid"]),
+                                      np.asarray(m_2["valid"]))
+        np.testing.assert_allclose(np.asarray(m_d["z"]), np.asarray(m_2["z"]))
+
+    def test_gamma_render_close_to_uniform(self):
+        """Adaptive stepping renders the same scene close to the dt_gamma=0
+        reference (integration coarsens far from origin, tolerance loose)."""
+        from nerfnav_tpu.data.synthetic import textured_sphere_field
+        from nerfnav_tpu.models import render_rays_grid
+
+        field = textured_sphere_field(radius=0.5)._replace(bound=2.0)
+        cfg0 = self._cfg(0.0)
+        cfgg = self._cfg(1 / 64)
+        bf, bfc = self._occ(cfg0)
+        occupancy = {"bitfield": bf, "bitfield_coarse": bfc}
+        rng = np.random.default_rng(2)
+        o = jnp.asarray(np.concatenate(
+            [rng.uniform(-0.2, 0.2, (32, 2)), np.full((32, 1), -1.9)], -1
+        ), jnp.float32)
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (32, 1))
+        img0 = render_rays_grid(field, occupancy, cfg0, o, d, bg_color=1.0)["image"]
+        imgg = render_rays_grid(field, occupancy, cfgg, o, d, bg_color=1.0)["image"]
+        np.testing.assert_allclose(np.asarray(imgg), np.asarray(img0), atol=0.15)

@@ -193,3 +193,99 @@ class TestRenderRays:
         np.testing.assert_allclose(
             np.asarray(out["image"]), np.asarray(full["image"]), atol=1e-5
         )
+
+
+class TestPackedShading:
+    """Global point-budget compaction (render_rays_grid sample_budget —
+    reference mean_count semantics, renderer.py:283-288)."""
+
+    def _setup(self):
+        import numpy as np
+
+        from nerfnav_tpu.data.synthetic import textured_sphere_field
+        from nerfnav_tpu.ops.marching import MarchConfig
+        from nerfnav_tpu.ops.morton import pack_blocks, packbits
+
+        field = textured_sphere_field(radius=0.35)
+        mcfg = MarchConfig(bound=1.0, grid_size=32, max_steps=128,
+                           samples_per_ray=16, min_near=0.05)
+        Hg = mcfg.grid_size
+        ii = np.arange(Hg**3)
+        c = (np.stack([ii // (Hg * Hg), (ii // Hg) % Hg, ii % Hg], -1) + 0.5) / Hg * 2 - 1
+        occ = (np.linalg.norm(c, axis=-1) < 0.5)[None]
+        hc = Hg // mcfg.coarse_factor
+        f = mcfg.coarse_factor
+        occ_c = occ.reshape(1, hc, f, hc, f, hc, f).max(axis=(2, 4, 6)).reshape(1, -1)
+        occupancy = {
+            "bitfield": packbits(jnp.asarray(occ.astype(np.float32))),
+            "bitfield_coarse": packbits(jnp.asarray(occ_c.astype(np.float32))),
+        }
+        n = 64
+        rng = np.random.default_rng(1)
+        ro = jnp.asarray(np.concatenate(
+            [rng.uniform(-0.5, 0.5, (n, 2)), np.full((n, 1), -1.5)], -1
+        ), jnp.float32)
+        d = rng.normal(size=(n, 3))
+        d[:, 2] = np.abs(d[:, 2]) + 1.0
+        rd = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                         jnp.float32)
+        return field, occupancy, mcfg, ro, rd
+
+    def test_packed_matches_unpacked_with_ample_budget(self):
+        import numpy as np
+
+        from nerfnav_tpu.models import render_rays_grid
+
+        field, occupancy, mcfg, ro, rd = self._setup()
+        full = render_rays_grid(field, occupancy, mcfg, ro, rd, bg_color=1.0)
+        n_valid = int(full["n_samples"])
+        assert n_valid > 0
+        packed = render_rays_grid(field, occupancy, mcfg, ro, rd, bg_color=1.0,
+                                  sample_budget=((n_valid + 255) // 256) * 256)
+        np.testing.assert_allclose(np.asarray(packed["image"]),
+                                   np.asarray(full["image"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(packed["depth"]),
+                                   np.asarray(full["depth"]), atol=1e-5)
+
+    def test_packed_gradients_match(self):
+        import numpy as np
+
+        from nerfnav_tpu.models import (
+            NetworkConfig, init_network, make_field, render_rays_grid,
+        )
+
+        _, occupancy, mcfg, ro, rd = self._setup()
+        cfg = NetworkConfig(bound=1.0, grid_levels=4,
+                            grid_log2_hashmap_size=10, grid_max_resolution=64)
+        params = init_network(jax.random.PRNGKey(0), cfg)
+        gt = jnp.zeros((ro.shape[0], 3))
+
+        def loss(p, budget):
+            out = render_rays_grid(make_field(p, cfg), occupancy, mcfg, ro, rd,
+                                   bg_color=1.0, sample_budget=budget)
+            return jnp.mean((out["image"] - gt) ** 2)
+
+        n_valid = int(render_rays_grid(make_field(params, cfg), occupancy,
+                                       mcfg, ro, rd)["n_samples"])
+        g_full = jax.grad(lambda p: loss(p, None))(params)
+        g_packed = jax.grad(lambda p: loss(p, ((n_valid + 255) // 256) * 256))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                        jax.tree_util.tree_leaves(g_packed)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-4)
+
+    def test_truncation_drops_tail_rays_only(self):
+        import numpy as np
+
+        from nerfnav_tpu.models import render_rays_grid
+
+        field, occupancy, mcfg, ro, rd = self._setup()
+        full = render_rays_grid(field, occupancy, mcfg, ro, rd, bg_color=1.0)
+        half = int(full["n_samples"]) // 2
+        packed = render_rays_grid(field, occupancy, mcfg, ro, rd, bg_color=1.0,
+                                  sample_budget=max(half, 16))
+        # early rays (within budget) identical; late rays may fall back to bg
+        img_f = np.asarray(full["image"])
+        img_p = np.asarray(packed["image"])
+        np.testing.assert_allclose(img_p[:8], img_f[:8], atol=1e-5)
+        assert np.isfinite(img_p).all()

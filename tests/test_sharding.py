@@ -63,3 +63,41 @@ def test_sharded_grad_psum():
     g_sharded = jax.jit(jax.grad(loss))(2.0, x)
     g_plain = jax.grad(lambda w: jnp.mean((x * w - 1.0) ** 2))(2.0)
     np.testing.assert_allclose(float(g_sharded), float(g_plain), rtol=1e-6)
+
+
+def test_mesh_eval_render_full_equivalence(tmp_path):
+    """Trainer.render_full / occupancy update with a mesh must match the
+    meshless result bit-for-bit in structure and closely in value — the
+    sharded eval replaces the reference's NCCL eval all_gather
+    (utils.py:866-882)."""
+    from nerfnav_tpu.models import NetworkConfig, RenderConfig
+    from nerfnav_tpu.models.occupancy import OccupancyConfig
+    from nerfnav_tpu.ops.marching import MarchConfig
+    from nerfnav_tpu.training import Trainer, TrainerOptions
+
+    cfg = NetworkConfig(bound=1.0, grid_levels=2, grid_log2_hashmap_size=8,
+                        grid_max_resolution=16)
+    rcfg = RenderConfig(num_steps=16, upsample_steps=0, min_near=0.05,
+                        max_ray_batch=256)
+    occ = OccupancyConfig(bound=1.0, grid_size=16, update_chunk=512)
+    march = MarchConfig(bound=1.0, grid_size=16, max_steps=32,
+                        samples_per_ray=8, min_near=0.05)
+
+    outs = {}
+    for name, mesh in [("single", None), ("mesh", make_mesh(8))]:
+        opt = TrainerOptions(name=name, workspace=str(tmp_path / name),
+                             num_rays=64, use_checkpoint="scratch")
+        tr = Trainer(cfg, rcfg, opt, occupancy_cfg=occ, march_cfg=march,
+                     mesh=mesh)
+        tr.state = tr._init_state(1)
+        tr._maybe_update_occupancy()  # one sharded/unsharded density sweep
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -1.5
+        intr = np.asarray([20.0, 20.0, 8.0, 8.0], np.float32)
+        img, depth = tr.render_full(tr.state.params, pose, intr, 16, 16)
+        outs[name] = (np.asarray(img), np.asarray(depth),
+                      np.asarray(tr.state.occupancy["density_grid"]))
+
+    np.testing.assert_allclose(outs["mesh"][0], outs["single"][0], atol=1e-5)
+    np.testing.assert_allclose(outs["mesh"][1], outs["single"][1], atol=1e-5)
+    np.testing.assert_allclose(outs["mesh"][2], outs["single"][2], atol=1e-5)
