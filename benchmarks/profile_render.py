@@ -80,8 +80,13 @@ def main():
     CHUNK = args.chunk
     n = H * W
     pad = (-n) % CHUNK
-    ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
-    rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0)), constant_values=1.0)
+    from nerfnav_tpu.data.rays import tile_order
+
+    perm, _inv = tile_order(H, W, 64)
+    ro = jnp.asarray(np.concatenate([np.asarray(rays["rays_o"])[perm],
+                                     np.zeros((pad, 3), np.float32)]))
+    rd = jnp.asarray(np.concatenate([np.asarray(rays["rays_d"])[perm],
+                                     np.ones((pad, 3), np.float32)]))
     chunks = [(ro[i:i + CHUNK], rd[i:i + CHUNK]) for i in range(0, n + pad, CHUNK)]
 
     # ---- stage programs
@@ -133,6 +138,19 @@ def main():
               f"{n / dt / 1e3:8.0f} krays/s")
         return dt
 
+    from nerfnav_tpu.models import render_rays_grid_rounds
+
+    import dataclasses
+
+    cfg_s = dataclasses.replace(cfg, density_scale=300.0)
+    field_s = make_field(params, cfg_s)
+
+    @jax.jit
+    def rounds_full(a, b):
+        return render_rays_grid_rounds(field_s, occupancy, mcfg, a, b,
+                                       bg_color=1.0)["image"]
+
+    bench(rounds_full, "rounds render (flagship)")
     bench(full, "full render")
     bench(march_only, "march only")
     bench(field_on_marched, "march+encode+mlp")

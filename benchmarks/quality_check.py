@@ -74,12 +74,18 @@ def main():
     p.add_argument("--render_path", default="grid", choices=["grid", "dense"])
     p.add_argument("--fixed_march", action="store_true",
                    help="disable the normalized phase-A ladder (A/B control)")
+    p.add_argument("--scene", default="sphere", choices=["sphere", "cluttered"],
+                   help="textured sphere or the multi-object cluttered scene")
     args = p.parse_args()
 
-    from nerfnav_tpu.data.synthetic import make_synthetic_scene, textured_sphere_field
+    from nerfnav_tpu.data.synthetic import (
+        cluttered_field, make_synthetic_scene, textured_sphere_field,
+    )
 
     scene_dir = tempfile.mkdtemp()
-    make_synthetic_scene(scene_dir, field=textured_sphere_field(),
+    field = (cluttered_field() if args.scene == "cluttered"
+             else textured_sphere_field())
+    make_synthetic_scene(scene_dir, field=field,
                          n_train=24, n_val=2, H=args.res, W=args.res,
                          num_steps=256)
     layouts = ["cell", "corner"] if args.layout == "both" else [args.layout]

@@ -89,6 +89,11 @@ class EstimatorConfig:
     optimizer: str = "gn"
     gn_iters: int = 15
     lm_lambda0: float = 1e-2
+    # Jacobian ray subset: the 12 tangent passes dominate the LM iteration
+    # (each costs ~a forward render), so J is built from a fixed subset of
+    # the residual rays while accept/reject evaluates the FULL batch — a
+    # consistent subsampled quadratic model with exact line acceptance.
+    gn_jac_batch: int = 256
     kernel_size: int = 5
     dilate_iter: int = 3
     pool_size: int = 16384      # fixed-size interest-pixel pool (static shape)
@@ -135,6 +140,19 @@ class Estimator:
         self.iteration = 0
         self._opt = optax.adam(cfg.lr)
         self._jit_cache = {}
+        # one jitted program for the predict step: the eager alternative
+        # (fresh jacfwd lambda per call) dispatches every dynamics primitive
+        # individually — through a remote-dispatch backend that costs
+        # hundreds of ms per filter update
+        dyn = self.dyn_cfg
+
+        @jax.jit
+        def predict(x, action):
+            f = lambda s: drone_dynamics(s, action, dyn)  # noqa: E731
+            return f(x), jax.jacfwd(f)(x)
+
+        self._predict = predict
+        self._pose_fn = jax.jit(state_to_pose)
 
     def _condition(self, sig):
         """PD-project and cap eigenvalues so one degenerate update cannot
@@ -234,21 +252,33 @@ class Estimator:
             sel = jax.random.randint(rng, (cfg.batch_size,), 0, pool_count)
             inds = pool_inds[sel]
             gt = gt_pixels[sel]
+            bj = min(cfg.gn_jac_batch, cfg.batch_size)
+            inds_j, gt_j = inds[:bj], gt[:bj]
 
             def res(x):
                 return residuals_of(x, inds, gt, x_pred, sig_chol)
 
+            def res_j(x):
+                return residuals_of(x, inds_j, gt_j, x_pred, sig_chol)
+
             eye = jnp.eye(12, dtype=jnp.float32)
 
+            def jac_rows(x):
+                # J^T as (12, m_j) from the fixed Jacobian subset via
+                # linearize (primal once, 12 linear applications)
+                r, jvp_lin = jax.linearize(res_j, x)
+                Jt = jax.vmap(jvp_lin)(eye)                 # (12, m_j)
+                return r, Jt
+
             def body(carry, _):
-                x, lam, _ = carry
-                r = res(x)
-                J = jax.jacfwd(res)(x)                      # (m, 12)
-                g = J.T @ r
-                Hgn = J.T @ J
+                x, lam, f0 = carry
+                r_j, Jt = jac_rows(x)
+                g = Jt @ r_j
+                Hgn = Jt @ Jt.T
                 delta = jnp.linalg.solve(Hgn + lam * eye, -g)
                 x_new = x + delta
-                f0 = jnp.sum(r * r)
+                # accept/reject on the FULL residual batch (exact objective,
+                # carried from the previous iteration — one full eval/iter)
                 f1 = jnp.sum(res(x_new) ** 2)
                 accept = (f1 < f0) & jnp.all(jnp.isfinite(x_new))
                 x = jnp.where(accept, x_new, x)
@@ -258,11 +288,11 @@ class Estimator:
                 return (x, lam, f), f
 
             init = (x0, jnp.asarray(cfg.lm_lambda0, jnp.float32),
-                    jnp.asarray(jnp.inf, jnp.float32))
+                    jnp.sum(res(x0) ** 2))
             (x, _, _), losses = jax.lax.scan(body, init, None,
                                              length=cfg.gn_iters)
-            J = jax.jacfwd(res)(x)
-            return x, losses, 2.0 * (J.T @ J)
+            _, Jt = jac_rows(x)
+            return x, losses, 2.0 * (Jt @ Jt.T)
 
         return opt_run, hess_fn, gn_run
 
@@ -302,10 +332,8 @@ class Estimator:
 
         # ---- predict
         action = jnp.asarray(action, jnp.float32)
-        x_pred = drone_dynamics(self.xt, action, self.dyn_cfg)
-        A = np.asarray(
-            jax.jacfwd(lambda s: drone_dynamics(s, action, self.dyn_cfg))(self.xt)
-        )
+        x_pred, A = self._predict(self.xt, action)
+        A = np.asarray(A)
         sig_pred = A @ self.sig @ A.T + self.Q
 
         # ---- measurement front-end (host)
@@ -378,14 +406,14 @@ class Estimator:
 
         # ---- artifacts + error report
         if self.workspace or obs_pose_gt is not None:
-            pose_est = np.asarray(self.state_to_pose(x))
+            pose_est = np.asarray(self._pose_fn(x))
             rot_err, trans_err = (None, None)
             if obs_pose_gt is not None:
                 rot_err, trans_err = calc_se3_err(pose_est, np.asarray(obs_pose_gt))
             if self.workspace and self.cfg.render_viz:
                 from nerfnav_tpu.nav.viz import estimator_triptych
 
-                render = self.render_from_pose(self.state_to_pose(x), H, W)
+                render = self.render_from_pose(self._pose_fn(x), H, W)
                 estimator_triptych(
                     img_f, render, poi,
                     title=(
