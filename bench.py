@@ -49,6 +49,11 @@ def main():
     p.add_argument("--tile", type=int, default=64)
     p.add_argument("--coarse_factor", type=int, default=4)
     p.add_argument("--coarse_step_mult", type=int, default=8)
+    p.add_argument("--coarse_segments", type=int, default=16)
+    p.add_argument("--coarse_anchors", type=int, default=3)
+    p.add_argument("--first_k", action="store_true",
+                   help="first-K compaction (reference inference semantics; "
+                        "pair with --proxy so occlusion gates the budget)")
     args = p.parse_args()
     import jax
     import jax.numpy as jnp
@@ -84,7 +89,10 @@ def main():
                       coarse_normalized=not args.fixed_march,
                       proxy_terminate=args.proxy,
                       coarse_factor=args.coarse_factor,
-                      coarse_step_mult=args.coarse_step_mult)
+                      coarse_step_mult=args.coarse_step_mult,
+                      coarse_segments=args.coarse_segments,
+                      coarse_anchors=args.coarse_anchors,
+                      first_k=args.first_k)
     params = init_network(jax.random.PRNGKey(0), cfg)
     field = make_field(params, cfg)
 

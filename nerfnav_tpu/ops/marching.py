@@ -50,6 +50,10 @@ class MarchConfig:
     coarse_step_mult: int = 8     # phase-A step = coarse_step_mult * dt_min
     coarse_segments: int = 16     # K_A: occupied coarse segments kept per ray
     coarse_normalized: bool = True  # per-ray phase-A ladder over [near, far]
+    coarse_anchors: int = 3       # phase-A anchor gathers per run (block
+    #   marcher): 2 = run endpoints only (fewer gather rows; mid-run block
+    #   transitions fall back to conservative-occupied and phase B's exact
+    #   fine test rejects them), 3 = ends + middle (round-1 default)
     proxy_terminate: bool = False  # occlusion-terminate samples via the
     #   stored EMA density grid (inference only; see proxy_terminate_valid)
     # transmittance floor. The reference retires at 1e-4 on TRUE composited
@@ -58,6 +62,21 @@ class MarchConfig:
     # empty part of a surface cell — 100x more conservative costs only ~2-3
     # extra samples at an opaque surface and avoids silhouette clipping.
     proxy_thresh: float = 1e-6
+    first_k: bool = False  # final compaction policy: keep the first
+    #   first_k_frac*K occupied candidates at FULL dt resolution and stride-
+    #   spread the remaining budget over the rest of the occupied span.
+    #   The front section is the reference's own inference semantics (march
+    #   consecutively from near, retire on occlusion,
+    #   raymarching.cu:707-825): once the grid is carved, the first samples
+    #   ARE the visible surface, and thinning them is what cost K-shrink
+    #   0.86 dB in round 1. The spread tail bounds the worst case: a grazing
+    #   ray whose surface entry lies beyond the front section's reach (its
+    #   chord through the occupancy margin can be many cells long) still
+    #   covers the whole occupied range, just coarser — the analogue of the
+    #   reference's dt_max clamp. Inference-only: training keeps the full
+    #   budget-stride spread (truncation starves far geometry of gradient
+    #   while the early grid is still dense — the round-1 9.6 dB failure).
+    first_k_frac: float = 0.75    # fraction of K at full resolution
 
     @cached_property
     def cascades(self) -> int:
@@ -244,7 +263,8 @@ def near_far_aabb(rays_o, rays_d, bound: float, min_near: float,
     return near, far
 
 
-def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None):
+def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None,
+                     first_frac: float | None = None):
     """Keep k of each ray's True candidates under a static budget.
 
     occ: (N, T) bool; z: (N, T); dtv: (N, T) or (T,) broadcastable.
@@ -280,17 +300,58 @@ def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None):
         z = jnp.pad(z, ((0, 0), (0, pad)))
         dtv = jnp.pad(dtv, ((0, 0), (0, pad)))
         t = k
-    idx, valid, stride = _compact_idx(occ, k, spread, key)
-    if spread:
-        dtv = dtv * stride.astype(dtv.dtype)
+    if first_frac is not None:
+        idx, valid, stride = _compact_idx_hybrid(occ, k, first_frac, key)
+    else:
+        idx, valid, stride = _compact_idx(occ, k, spread, key)
+        if not spread:
+            stride = jnp.ones((n, 1), jnp.int32)
     z_buf = jnp.where(valid, jnp.take_along_axis(z, idx, axis=1), 0.0)
-    dt_buf = jnp.where(valid, jnp.take_along_axis(dtv, idx, axis=1), 0.0)
+    dt_buf = jnp.where(
+        valid,
+        jnp.take_along_axis(dtv, idx, axis=1) * stride.astype(dtv.dtype),
+        0.0,
+    )
     return z_buf, dt_buf, valid
 
 
-def _compact_idx(occ, k, spread: bool = True, key=None):
+def _compact_idx_hybrid(occ, k, frac: float, key=None):
+    """Front/tail hybrid compaction (MarchConfig.first_k): the first
+    round(frac*k) occupied candidates at full resolution, the remaining
+    budget stride-spread over the occupied candidates past them.
+
+    Returns (idx (N,k), valid (N,k), stride (N,k) int32 per-slot dt scale —
+    1 in the front section)."""
+    n, t = occ.shape
+    k_front = max(1, min(k, int(round(k * frac))))
+    k_tail = k - k_front
+    idx_f, valid_f, _ = _compact_idx(occ, k_front, spread=False)
+    ones_f = jnp.ones((n, k_front), jnp.int32)
+    if k_tail == 0:
+        return idx_f, valid_f, ones_f
+    cs = jnp.cumsum(occ.astype(jnp.int32), axis=1)
+    occ_tail = occ & (cs > k_front)
+    # align the tail's stride phase to the END of the occupied span (keep
+    # ranks cnt, cnt-s, ...): the front section covers the beginning, and a
+    # start-aligned phase can drop up to stride-1 TRAILING candidates — a
+    # grazing ray's far crossing vanished that way
+    idx_t, valid_t, stride_t = _compact_idx(occ_tail, k_tail, spread=True,
+                                            key=key, align_end=True)
+    idx = jnp.concatenate([idx_f, idx_t], axis=1)
+    valid = jnp.concatenate([valid_f, valid_t], axis=1)
+    stride = jnp.concatenate(
+        [ones_f, jnp.broadcast_to(stride_t, (n, k_tail))], axis=1
+    )
+    return idx, valid, stride
+
+
+def _compact_idx(occ, k, spread: bool = True, key=None,
+                 align_end: bool = False):
     """Index form of _compact_first_k: returns (idx (N,k) int32 positions of
     the kept candidates, valid (N,k) bool, stride (N,1) int32 dt scale).
+    align_end keeps the LAST occupied candidate on every ray (stride phase
+    anchored to the back of the span instead of the front); ignored when a
+    key supplies a stratified random phase.
 
     Callers whose z/dt are affine in the candidate index should reconstruct
     them arithmetically from idx instead of take_along_axis: XLA lowers
@@ -304,6 +365,8 @@ def _compact_idx(occ, k, spread: bool = True, key=None):
         stride = jnp.maximum((cnt + k - 1) // k, 1)          # (N, 1)
         if key is not None:
             phase = jax.random.randint(key, (n, 1), 0, 2**30) % stride
+        elif align_end:
+            phase = (jnp.maximum(cnt, 1) - 1) % stride
         else:
             phase = jnp.zeros((n, 1), stride.dtype)
         occ = occ & ((cs - 1) % stride == phase)
@@ -456,7 +519,8 @@ def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
     ).reshape(n, -1)
     occ_b = occ_b & valid_ab & (z_b < far[:, None])
     z_buf, dt_buf, valid = _compact_first_k(
-        occ_b, z_b, dt_fine, cfg.samples_per_ray, key=k_phase
+        occ_b, z_b, dt_fine, cfg.samples_per_ray, key=k_phase,
+        first_frac=cfg.first_k_frac if cfg.first_k else None,
     )
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
@@ -584,9 +648,12 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     z_a, dt_a, t_a = _phase_a_ladder(near, far, cfg, round_to=g_a)
     pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
     flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg, block=bc)
+    anchors_a = None
+    if cfg.coarse_anchors == 2 and g_a > 1:
+        anchors_a = [0, g_a - 1]
     occ_a = _grouped_block_test(
         blocks_coarse.reshape(-1, blocks_coarse.shape[-1]), flat_a, local_a,
-        g_a,
+        g_a, anchors=anchors_a,
     )
     occ_next = jnp.concatenate(
         [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1
@@ -639,8 +706,12 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     occ_b = occ_b & valid_ab & (z_b < far[:, None])
     # reconstruct kept z/dt from indices: seg = idx // mult selects among
     # K_A per-ray segment scalars (masked-sum select, no gathers)
-    idx_b, valid, stride_b = _compact_idx(occ_b, cfg.samples_per_ray,
-                                          key=k_phase)
+    if cfg.first_k:
+        idx_b, valid, stride_b = _compact_idx_hybrid(
+            occ_b, cfg.samples_per_ray, cfg.first_k_frac, key=k_phase)
+    else:
+        idx_b, valid, stride_b = _compact_idx(occ_b, cfg.samples_per_ray,
+                                              key=k_phase)
     seg = idx_b // mult
     off = (idx_b % mult).astype(jnp.float32)
     za_sel = _select_minor(za_buf, seg, k_a)
@@ -679,7 +750,9 @@ def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None,
     pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
     occ = occupancy_lookup(bitfield, pos, dts, cfg)  # numpy dts: static mip
     occ = occ & (z < far[:, None])
-    z_buf, dt_buf, valid = _compact_first_k(occ, z, dts_l[None, :], k, key=k_phase)
+    z_buf, dt_buf, valid = _compact_first_k(
+        occ, z, dts_l[None, :], k, key=k_phase,
+        first_frac=cfg.first_k_frac if cfg.first_k else None)
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
 

@@ -713,3 +713,109 @@ class TestGammaMarch:
         img0 = render_rays_grid(field, occupancy, cfg0, o, d, bg_color=1.0)["image"]
         imgg = render_rays_grid(field, occupancy, cfgg, o, d, bg_color=1.0)["image"]
         np.testing.assert_allclose(np.asarray(imgg), np.asarray(img0), atol=0.15)
+
+
+class TestFirstKHybrid:
+    """MarchConfig.first_k: front-of-budget full-resolution compaction with a
+    stride-spread tail (inference K-shrink without the round-1 0.86 dB
+    surface-thinning loss)."""
+
+    @property
+    def march(self):
+        from nerfnav_tpu.ops.marching import march
+
+        return march
+
+    def _scene(self, H=64):
+        from nerfnav_tpu.ops.morton import pack_blocks, packbits
+
+        idx = np.arange(H**3)
+        c = (np.stack([idx // (H * H), (idx // H) % H, idx % H], -1) + 0.5) / H * 2 - 1
+        r = np.linalg.norm(c, axis=-1)
+        occ0 = (r > 0.4) & (r < 0.55)
+        f = 4
+        hc = H // f
+        oc = occ0.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
+        return {
+            "bitfield": jnp.stack([packbits(jnp.asarray(occ0.astype(np.float32)))]),
+            "bitfield_coarse": jnp.stack([packbits(jnp.asarray(oc.astype(np.float32)))]),
+            "blocks": pack_blocks(jnp.asarray(occ0[None]), H),
+            "blocks_coarse": pack_blocks(jnp.asarray(oc[None]), hc, block=8),
+        }
+
+    def _rays(self, n=64):
+        rng = np.random.RandomState(3)
+        ro = np.tile(np.asarray([[0.0, 0.0, -1.5]], np.float32), (n, 1))
+        px = rng.uniform(-0.45, 0.45, (n, 2)).astype(np.float32)
+        rd = np.concatenate([px, np.ones((n, 1), np.float32)], axis=1)
+        rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+        return jnp.asarray(ro), jnp.asarray(rd)
+
+    def test_front_section_full_resolution(self):
+        """The front of the budget steps at unscaled dt (consecutive fine
+        candidates), regardless of how many occupied candidates exist."""
+        occ = self._scene()
+        ro, rd = self._rays()
+        cfg = MarchConfig(bound=1.0, grid_size=64, max_steps=512,
+                          samples_per_ray=16, min_near=0.05, first_k=True)
+        m = self.march(ro, rd, occ, cfg)
+        k_front = int(round(16 * cfg.first_k_frac))
+        dt = np.asarray(m["dt"])
+        valid = np.asarray(m["valid"])
+        # contract: the FINAL compaction never thins the front section — all
+        # front samples of a ray share one (phase-A-paced) fine step, and the
+        # spread tail's step is only ever coarser
+        for r in range(dt.shape[0]):
+            fv, tv = valid[r, :k_front], valid[r, k_front:]
+            if not fv.any():
+                continue
+            front = dt[r, :k_front][fv]
+            np.testing.assert_allclose(front, front[0], rtol=1e-5)
+            if tv.any():
+                assert dt[r, k_front:][tv].min() >= front[0] - 1e-7
+
+    def test_tail_covers_occupied_span(self):
+        """A grazing ray whose occupied span exceeds the front section's
+        reach still places samples near the far end of the span (the pure
+        first-K policy truncated there and leaked background)."""
+        occ = self._scene()
+        ro, rd = self._rays(256)
+        base = MarchConfig(bound=1.0, grid_size=64, max_steps=512,
+                           samples_per_ray=16, min_near=0.05)
+        m_spread = self.march(ro, rd, occ, base)
+        m_hyb = self.march(ro, rd, occ,
+                      __import__("dataclasses").replace(base, first_k=True))
+        def coverage(m):
+            z = jnp.where(m["valid"], m["z"] + m["dt"], 0.0)
+            return np.asarray(z.max(axis=1))
+
+        # integration coverage (last sample position + its dt span) reaches
+        # as far as the spread policy's on every ray — the pure first-K
+        # policy failed this by ~0.4 world units on grazing rays
+        seg = base.dt_min * base.coarse_step_mult * 4
+        assert np.all(coverage(m_hyb) >= coverage(m_spread) - seg)
+
+    def test_block_two_phase_agree_first_k(self):
+        """Block and byte marchers produce identical samples under first_k
+        (same candidate geometry, same hybrid compaction)."""
+        occ = self._scene()
+        ro, rd = self._rays()
+        cfg = MarchConfig(bound=1.0, grid_size=64, max_steps=512,
+                          samples_per_ray=16, min_near=0.05, first_k=True)
+        # the block marcher's conservative-occupied fallbacks may insert a
+        # few extra (empty-space) candidates that shift first-K sample sets,
+        # so compare RENDERED images, where empty samples contribute nothing
+        def density_fn(x):
+            r = jnp.linalg.norm(x, axis=-1)
+            return jnp.where(r < 0.5, 200.0, 0.0), x
+
+        field = Field(density_fn=density_fn,
+                      color_fn=lambda d, g: jnp.clip(g * 0.5 + 0.5, 0, 1),
+                      bound=1.0)
+        img_b = render_rays_grid(field, occ, cfg, ro, rd, bg_color=1.0)["image"]
+        img_2 = render_rays_grid(
+            field, {"bitfield": occ["bitfield"],
+                    "bitfield_coarse": occ["bitfield_coarse"]},
+            cfg, ro, rd, bg_color=1.0)["image"]
+        np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_2),
+                                   atol=0.08)
