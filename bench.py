@@ -45,6 +45,9 @@ def main():
     p.add_argument("--log2", type=int, default=17)
     p.add_argument("--round_samples", type=int, default=8,
                    help="samples shaded per early-termination round")
+    p.add_argument("--round_compact", type=int, default=4,
+                   help="alive-ray compaction divisor for later rounds "
+                        "(0/1 = off)")
     p.add_argument("--chunk", type=int, default=4096)
     p.add_argument("--tile", type=int, default=64)
     p.add_argument("--coarse_factor", type=int, default=4)
@@ -54,6 +57,9 @@ def main():
     p.add_argument("--first_k", action="store_true",
                    help="first-K compaction (reference inference semantics; "
                         "pair with --proxy so occlusion gates the budget)")
+    p.add_argument("--a0", type=int, default=0,
+                   help="phase-A0 super-coarse prefilter: keep this many "
+                        "block spans (0 = off)")
     args = p.parse_args()
     import jax
     import jax.numpy as jnp
@@ -92,7 +98,7 @@ def main():
                       coarse_step_mult=args.coarse_step_mult,
                       coarse_segments=args.coarse_segments,
                       coarse_anchors=args.coarse_anchors,
-                      first_k=args.first_k)
+                      first_k=args.first_k, a0_segments=args.a0)
     params = init_network(jax.random.PRNGKey(0), cfg)
     field = make_field(params, cfg)
 
@@ -154,6 +160,7 @@ def main():
             return render_rays_grid_rounds(
                 field, occupancy, mcfg, ro, rd, bg_color=1.0,
                 round_samples=args.round_samples,
+                round_compact=args.round_compact,
             )["image"]
     else:
         @jax.jit

@@ -1,0 +1,185 @@
+"""Decompose the training backward: hash-table scatter strategies.
+
+The train step's backward is dominated by the hash-grid scatter-add
+(d(take) = scatter). This probe times, on identical data:
+
+  fwd encode           control (4-level cell-layout encode)
+  grad wrt x only      backward WITHOUT table grads (is scatter the cost?)
+  grad tables (xla)    current path: XLA scatter-add per level
+  grad tables (sort)   sort + cumsum-diff segment rows + unique scatter
+  grad tables (matmul) one-hot matmul (dense small levels only)
+  grad full loss       value_and_grad of an MSE through sigma (ratio anchor)
+
+Workload: the packed-shading regime — `--n` budget points (default 16384),
+positions on a shell. Fresh positions per iteration (relay cache defeat).
+"""
+import argparse
+import time
+
+import numpy as np
+
+from nerfnav_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nerfnav_tpu.models import NetworkConfig, init_network
+    from nerfnav_tpu.models import network as net
+    from nerfnav_tpu.ops.hashgrid import (
+        HashGridConfig, _cell_indices, hash_grid_encode,
+    )
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16384)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    BOUND = 2.0
+    cfg = NetworkConfig(bound=BOUND, mlp_dtype="bfloat16", grid_layout="cell",
+                        grid_log2_hashmap_size=17, grid_levels=4,
+                        grid_level_dim=8)
+    params = init_network(jax.random.PRNGKey(0), cfg)
+    gcfg = cfg.grid
+    tables = params["encoder"]
+
+    n = args.n
+    rng = np.random.default_rng(0)
+
+    def fresh_pts(i):
+        r = np.random.default_rng(i + 1)
+        p = r.normal(size=(n, 3)).astype(np.float32)
+        p /= np.linalg.norm(p, axis=-1, keepdims=True) + 1e-6
+        p *= r.uniform(0.35, 0.5, (n, 1)).astype(np.float32)
+        return jnp.asarray(p)
+
+    pts_pool = [fresh_pts(i) for i in range(args.iters + 1)]
+
+    # ---- encode fns
+    def enc(tbls, x):
+        return hash_grid_encode(tbls, x, gcfg, bound=BOUND)
+
+    @jax.jit
+    def f_fwd(x):
+        return enc(tables, x).sum()
+
+    @jax.jit
+    def f_gx(x):
+        return jax.grad(lambda xx: enc(tables, xx).sum())(x).sum()
+
+    @jax.jit
+    def f_gt_xla(x):
+        g = jax.grad(lambda t: enc(t, x).sum())(tables)
+        return sum(t.sum() for t in g)
+
+    # ---- sort-based manual table grad (per level)
+    def table_grad_sort(x):
+        x01 = (x + BOUND) / (2 * BOUND)
+        x01c = jnp.clip(x01, 0.0, 1.0)
+        outs = []
+        d = gcfg.input_dim
+        nc = 2 ** d
+        bits = np.stack([(np.arange(nc) >> i) & 1
+                         for i in range(d - 1, -1, -1)], -1).astype(np.float32)
+        for level in range(gcfg.num_levels):
+            r = gcfg.resolutions[level]
+            s = gcfg.level_sizes[level]
+            pos = x01c * r
+            pf = jnp.clip(jnp.floor(pos), 0, r - 1)
+            frac = pos - pf
+            w = jnp.prod(jnp.where(bits[None] > 0.5, frac[:, None, :],
+                                   1.0 - frac[:, None, :]), axis=-1)
+            idx = _cell_indices(gcfg, level, pf)           # (N,)
+            # cotangent of sum() is ones: update rows = broadcast weights
+            upd = jnp.tile(w[:, :, None],
+                           (1, 1, gcfg.level_dim)).reshape(n, -1)  # (N, 64)
+            order = jnp.argsort(idx)
+            si = jnp.take(idx, order)
+            su = jnp.take(upd, order, axis=0)
+            c = jnp.cumsum(su, axis=0)
+            nxt = jnp.concatenate([si[1:], jnp.full((1,), -1, si.dtype)])
+            is_last = si != nxt
+            # run sum = c[last] - c[prev last]; compute via c at last rows
+            # gathered then differenced in compacted order
+            last_pos = jnp.nonzero(is_last, size=n, fill_value=n - 1)[0]
+            c_last = jnp.take(c, last_pos, axis=0)
+            c_prev = jnp.concatenate(
+                [jnp.zeros((1, c.shape[-1]), c.dtype), c_last[:-1]], axis=0)
+            rows = c_last - c_prev
+            uids = jnp.take(si, last_pos)
+            g = jnp.zeros((s, rows.shape[-1]), jnp.float32)
+            g = g.at[uids].add(rows, unique_indices=True,
+                               indices_are_sorted=True)
+            outs.append(g.sum())
+        return sum(outs)
+
+    f_gt_sort = jax.jit(table_grad_sort)
+
+    # ---- one-hot matmul table grad (small dense levels; big levels xla)
+    def table_grad_matmul(x):
+        x01 = (x + BOUND) / (2 * BOUND)
+        x01c = jnp.clip(x01, 0.0, 1.0)
+        outs = []
+        d = gcfg.input_dim
+        nc = 2 ** d
+        bits = np.stack([(np.arange(nc) >> i) & 1
+                         for i in range(d - 1, -1, -1)], -1).astype(np.float32)
+        for level in range(gcfg.num_levels):
+            r = gcfg.resolutions[level]
+            s = gcfg.level_sizes[level]
+            pos = x01c * r
+            pf = jnp.clip(jnp.floor(pos), 0, r - 1)
+            frac = pos - pf
+            w = jnp.prod(jnp.where(bits[None] > 0.5, frac[:, None, :],
+                                   1.0 - frac[:, None, :]), axis=-1)
+            idx = _cell_indices(gcfg, level, pf)
+            upd = jnp.tile(w[:, :, None],
+                           (1, 1, gcfg.level_dim)).reshape(n, -1)
+            if s <= 8192:
+                onehot = (idx[:, None] == jnp.arange(s)[None, :]).astype(
+                    jnp.bfloat16)
+                g = jax.lax.dot_general(
+                    onehot, upd.astype(jnp.bfloat16),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                outs.append(g.sum())
+            else:
+                g = jnp.zeros((s, upd.shape[-1]), jnp.float32)
+                g = g.at[idx].add(upd)
+                outs.append(g.sum())
+        return sum(outs)
+
+    f_gt_matmul = jax.jit(table_grad_matmul)
+
+    # ---- full loss grad anchor
+    @jax.jit
+    def f_full(x):
+        def loss(p):
+            out = net.density(p, x, cfg)
+            return (out["sigma"] ** 2).mean()
+
+        g = jax.grad(loss)(params)
+        return sum(t.sum() for t in jax.tree_util.tree_leaves(g))
+
+    def bench(fn, name):
+        fn(pts_pool[-1]).block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out = fn(pts_pool[i])
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:20s} {dt * 1e3:8.2f} ms", flush=True)
+
+    bench(f_fwd, "fwd encode")
+    bench(f_gx, "grad wrt x only")
+    bench(f_gt_xla, "grad tables (xla)")
+    bench(f_gt_sort, "grad tables (sort)")
+    bench(f_gt_matmul, "grad tables (matmul)")
+    bench(f_full, "grad full density")
+
+
+if __name__ == "__main__":
+    main()

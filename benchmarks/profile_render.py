@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--res", type=int, default=800)
+    ap.add_argument("--k", type=int, default=32)
+    ap.add_argument("--coarse_segments", type=int, default=16)
+    ap.add_argument("--coarse_anchors", type=int, default=3)
+    ap.add_argument("--first_k", action="store_true")
     args = ap.parse_args()
 
     BOUND = 2.0
@@ -43,7 +47,10 @@ def main():
                         grid_log2_hashmap_size=17, grid_levels=4,
                         grid_level_dim=8)
     mcfg = M.MarchConfig(bound=BOUND, grid_size=128, max_steps=1024,
-                         samples_per_ray=32, min_near=0.2)
+                         samples_per_ray=args.k, min_near=0.2,
+                         coarse_segments=args.coarse_segments,
+                         coarse_anchors=args.coarse_anchors,
+                         first_k=args.first_k)
     params = init_network(jax.random.PRNGKey(0), cfg)
     field = make_field(params, cfg)
 
@@ -100,6 +107,32 @@ def main():
         return m["z"] + m["dt"] + m["valid"]
 
     @jax.jit
+    def march_phase_a(a, b):
+        # mirrors march_rays_block's phase A (ladder + grouped block test +
+        # segment compaction), nothing after it
+        from nerfnav_tpu.ops.morton import block_size_of
+
+        blocks_coarse = occupancy["blocks_coarse"]
+        hc = mcfg.grid_size // mcfg.coarse_factor
+        bc = block_size_of(blocks_coarse)
+        c0 = min(1.0, mcfg.bound)
+        base = mcfg.dt_min * mcfg.coarse_step_mult
+        dt_a_max = M._phase_a_cap(mcfg) if mcfg.coarse_normalized else base
+        sb_world = bc * 2.0 * c0 / hc
+        slack = 1.5 if mcfg.coarse_normalized else 1.0
+        g_a = max(1, min(int(slack * sb_world / dt_a_max), 32))
+        near, far = M.near_far_aabb(a, b, mcfg.bound, mcfg.min_near)
+        z_a, dt_a, t_a = M._phase_a_ladder(near, far, mcfg, round_to=g_a)
+        pos_a = a[:, None, :] + b[:, None, :] * z_a[..., None]
+        flat_a, local_a = M._block_coords(pos_a, dt_a, hc, mcfg, block=bc)
+        anchors_a = [0, g_a - 1] if (mcfg.coarse_anchors == 2 and g_a > 1) else None
+        occ_a = M._grouped_block_test(
+            blocks_coarse.reshape(-1, blocks_coarse.shape[-1]), flat_a,
+            local_a, g_a, anchors=anchors_a)
+        idx_a, valid_a, stride_a = M._compact_idx(occ_a, mcfg.coarse_segments)
+        return idx_a.sum() + valid_a.sum() + stride_a.sum()
+
+    @jax.jit
     def field_on_marched(a, b):
         m = M.march(a, b, occupancy, mcfg)
         z, valid = m["z"], m["valid"]
@@ -153,6 +186,7 @@ def main():
     bench(rounds_full, "rounds render (flagship)")
     bench(full, "full render")
     bench(march_only, "march only")
+    bench(march_phase_a, "march phase A only")
     bench(field_on_marched, "march+encode+mlp")
     bench(density_on_marched, "march+density")
     bench(density_on_fixed, "density (no march)")

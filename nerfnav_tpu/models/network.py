@@ -204,7 +204,14 @@ def color(params, d, geo_feat, cfg: NetworkConfig):
     With static shapes there is no sparse `mask` fast path — callers composite
     with weights that already zero dead samples.
     """
-    hd = _encode_dir(d, cfg)
+    return color_from_encoded_dir(params, _encode_dir(d, cfg), geo_feat, cfg)
+
+
+def color_from_encoded_dir(params, hd, geo_feat, cfg: NetworkConfig):
+    """Color head on pre-encoded directions. A ray's direction is constant
+    across its samples, so renderers encode it ONCE per ray and broadcast
+    `hd` over the sample axis instead of re-running the SH recurrences per
+    sample point (the reference evaluates SH per sample, shencoder kernel)."""
     h = jnp.concatenate([hd, geo_feat], axis=-1)
     return _mlp_apply(params["color_net"], h, cfg.compute_dtype, jax.nn.sigmoid, backend=cfg.mlp_backend)
 

@@ -44,6 +44,12 @@ class Field(NamedTuple):
     density_scale: float = 1.0
     bg_fn: Optional[Callable] = None
     bg_radius: float = -1.0
+    # optional split color path: encode a ray's direction ONCE
+    # (encode_dir_fn: (N,3) -> (N,E)) and shade samples from the broadcast
+    # encoding (color_enc_fn: (N,E), (N,G) -> (N,3)). Renderers fall back to
+    # color_fn when absent (analytic test fields).
+    encode_dir_fn: Optional[Callable] = None
+    color_enc_fn: Optional[Callable] = None
 
 
 def make_field(params, cfg: "net.NetworkConfig") -> Field:
@@ -55,6 +61,12 @@ def make_field(params, cfg: "net.NetworkConfig") -> Field:
 
     def color_fn(d, geo_feat):
         return net.color(params, d, geo_feat, cfg)
+
+    def encode_dir_fn(d):
+        return net._encode_dir(d, cfg)
+
+    def color_enc_fn(hd, geo_feat):
+        return net.color_from_encoded_dir(params, hd, geo_feat, cfg)
 
     bg_fn = None
     if cfg.bg_radius > 0:
@@ -68,6 +80,8 @@ def make_field(params, cfg: "net.NetworkConfig") -> Field:
         density_scale=cfg.density_scale,
         bg_fn=bg_fn,
         bg_radius=cfg.bg_radius,
+        encode_dir_fn=encode_dir_fn,
+        color_enc_fn=color_enc_fn,
     )
 
 
@@ -321,8 +335,15 @@ def render_rays_grid(
         sigmas = jnp.where(valid.reshape(-1), sigmas, 0.0).reshape(n, k)
 
         dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        dirs = jnp.broadcast_to(dirs[:, None, :], (n, k, 3)).reshape(-1, 3)
-        rgbs = field.color_fn(dirs, geo).reshape(n, k, 3)
+        if field.encode_dir_fn is not None:
+            hd = field.encode_dir_fn(dirs)               # (N, E) once per ray
+            hd = jnp.broadcast_to(
+                hd[:, None, :], (n, k, hd.shape[-1])
+            ).reshape(-1, hd.shape[-1])
+            rgbs = field.color_enc_fn(hd, geo).reshape(n, k, 3)
+        else:
+            dirs = jnp.broadcast_to(dirs[:, None, :], (n, k, 3)).reshape(-1, 3)
+            rgbs = field.color_fn(dirs, geo).reshape(n, k, 3)
 
     image, depth, weights_sum, _ = composite(
         sigmas, rgbs, dt, z, field.density_scale
@@ -371,13 +392,21 @@ def _shade_packed(field, rays_o, rays_d, z, dt, valid, budget: int,
 
     zdt = jnp.stack([z.reshape(-1), dt.reshape(-1)], axis=-1)[flat]
     zp = zdt[:, 0]
-    rb = jnp.concatenate([rays_o, rays_d], axis=-1)[r]   # (budget, 6)
-    rop, rdp = rb[:, :3], rb[:, 3:]
+    dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if field.encode_dir_fn is not None:
+        # per-RAY dir encoding rides the existing per-slot ray gather
+        hd = field.encode_dir_fn(dirs)                   # (N, E)
+        rb = jnp.concatenate([rays_o, rays_d, hd], axis=-1)[r]
+    else:
+        rb = jnp.concatenate([rays_o, rays_d, dirs], axis=-1)[r]
+    rop, rdp = rb[:, :3], rb[:, 3:6]
     pos = jnp.clip(rop + rdp * zp[:, None], -bound, bound)
     sig_p, geo_p = field.density_fn(pos)
     sig_p = jnp.where(pvalid, sig_p, 0.0)
-    dirp = rdp / jnp.linalg.norm(rdp, axis=-1, keepdims=True)
-    rgb_p = field.color_fn(dirp, geo_p)                  # (budget, 3)
+    if field.encode_dir_fn is not None:
+        rgb_p = field.color_enc_fn(rb[:, 6:], geo_p)     # (budget, 3)
+    else:
+        rgb_p = field.color_fn(rb[:, 6:], geo_p)
 
     tgt = jnp.where(pvalid, flat, n * k)                 # OOB rows drop
     buf = jnp.zeros((n * k, 4)).at[tgt].set(
@@ -396,6 +425,7 @@ def render_rays_grid_rounds(
     bg_color=1.0,
     round_samples: int = 8,
     crop_aabb=None,
+    round_compact: int = 4,
 ):
     """Grid-path rendering with on-device early termination.
 
@@ -418,6 +448,15 @@ def render_rays_grid_rounds(
     Results are identical to render_rays_grid up to the T<1e-4 tail (the
     same tolerance the reference accepts). Inference-only by design: the
     training path keeps the single-shot shade (gradients want no conds).
+
+    round_compact: when > 1 and at most n/round_compact rays are still alive
+    at a round, the round gathers the alive rays to a static n/round_compact
+    prefix, shades only that, and scatters the contributions back — the
+    static-shape analogue of the reference's alive-ray list compaction
+    (renderer.py:325-374). After the first round kills the surface rays,
+    later rounds shade a quarter of the lanes instead of mostly-dead full
+    width. Dropped (dead) rays lose only their T<1e-4 tail, the same
+    tolerance as the all-dead skip. 0 or 1 disables.
     """
     from nerfnav_tpu.ops.marching import march
 
@@ -432,16 +471,27 @@ def render_rays_grid_rounds(
     r = min(round_samples, k)
 
     dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    # encode each ray's direction ONCE; rounds broadcast the encoding over
+    # their sample axis (SH recurrences per ray, not per sample point)
+    hd_ray = field.encode_dir_fn(dirs) if field.encode_dir_fn else None
 
-    def shade_round(carry, zc, dtc, vc):
-        image, depth, wsum, trans = carry
-        pos = rays_o[:, None, :] + rays_d[:, None, :] * zc[..., None]
+    def shade_core(o_c, d_c, hd_c, trans_c, zc, dtc, vc):
+        """Shade one round at the (static) width of its inputs; returns the
+        per-ray contribution deltas and the updated transmittance."""
+        w = o_c.shape[0]
+        rc = zc.shape[1]
+        pos = o_c[:, None, :] + d_c[:, None, :] * zc[..., None]
         pos = jnp.clip(pos, -mcfg.bound, mcfg.bound)
         sigmas, geo = field.density_fn(pos.reshape(-1, 3))
         sigmas = jnp.where(vc.reshape(-1), sigmas, 0.0).reshape(zc.shape)
-        rc = zc.shape[1]
-        d_b = jnp.broadcast_to(dirs[:, None, :], (n, rc, 3)).reshape(-1, 3)
-        rgbs = field.color_fn(d_b, geo).reshape(n, rc, 3)
+        if hd_ray is not None:
+            hd_b = jnp.broadcast_to(
+                hd_c[:, None, :], (w, rc, hd_c.shape[-1])
+            ).reshape(-1, hd_c.shape[-1])
+            rgbs = field.color_enc_fn(hd_b, geo).reshape(w, rc, 3)
+        else:
+            d_b = jnp.broadcast_to(hd_c[:, None, :], (w, rc, 3)).reshape(-1, 3)
+            rgbs = field.color_fn(d_b, geo).reshape(w, rc, 3)
 
         alphas = 1.0 - jnp.exp(-dtc * field.density_scale * sigmas)
         # continue the ray's transmittance from the previous rounds
@@ -449,11 +499,37 @@ def render_rays_grid_rounds(
         t_within = jnp.concatenate(
             [jnp.ones_like(t_within[:, :1]), t_within[:, :-1]], axis=-1
         )
-        weights = alphas * trans[:, None] * t_within
-        image = image + jnp.sum(weights[..., None] * rgbs, axis=-2)
-        depth = depth + jnp.sum(weights * zc, axis=-1)
-        wsum = wsum + jnp.sum(weights, axis=-1)
-        trans = trans * t_within[:, -1] * (1.0 - alphas[:, -1] + 1e-15)
+        weights = alphas * trans_c[:, None] * t_within
+        img_d = jnp.sum(weights[..., None] * rgbs, axis=-2)
+        dep_d = jnp.sum(weights * zc, axis=-1)
+        ws_d = jnp.sum(weights, axis=-1)
+        trans_new = trans_c * t_within[:, -1] * (1.0 - alphas[:, -1] + 1e-15)
+        return img_d, dep_d, ws_d, trans_new
+
+    hd_or_dirs = hd_ray if hd_ray is not None else dirs
+
+    def full_round(carry, zc, dtc, vc):
+        image, depth, wsum, trans = carry
+        img_d, dep_d, ws_d, trans_new = shade_core(
+            rays_o, rays_d, hd_or_dirs, trans, zc, dtc, vc)
+        return image + img_d, depth + dep_d, wsum + ws_d, trans_new
+
+    n_comp = n // round_compact if round_compact and round_compact > 1 else 0
+
+    def narrow_round(carry, zc, dtc, vc, alive):
+        image, depth, wsum, trans = carry
+        idx = jnp.nonzero(alive, size=n_comp, fill_value=n)[0]
+        safe = jnp.minimum(idx, n - 1)
+        pad = idx >= n
+        vc_c = jnp.take(vc, safe, axis=0) & (~pad)[:, None]
+        img_d, dep_d, ws_d, trans_new = shade_core(
+            jnp.take(rays_o, safe, axis=0), jnp.take(rays_d, safe, axis=0),
+            jnp.take(hd_or_dirs, safe, axis=0), jnp.take(trans, safe),
+            jnp.take(zc, safe, axis=0), jnp.take(dtc, safe, axis=0), vc_c)
+        image = image.at[idx].add(img_d, mode="drop")
+        depth = depth.at[idx].add(dep_d, mode="drop")
+        wsum = wsum.at[idx].add(ws_d, mode="drop")
+        trans = trans.at[idx].set(trans_new, mode="drop")
         return image, depth, wsum, trans
 
     carry = (
@@ -465,12 +541,27 @@ def render_rays_grid_rounds(
     for s in range(0, k, r):
         zc, dtc, vc = z[:, s : s + r], dt[:, s : s + r], valid[:, s : s + r]
         alive = (carry[3] > 1e-4) & jnp.any(vc, axis=-1)
-        carry = jax.lax.cond(
-            jnp.any(alive),
-            lambda c: shade_round(c, zc, dtc, vc),
-            lambda c: c,
-            carry,
-        )
+        na = jnp.sum(alive)
+        if n_comp:
+            carry = jax.lax.cond(
+                na > 0,
+                lambda c, zc=zc, dtc=dtc, vc=vc, alive=alive, na=na:
+                    jax.lax.cond(
+                        na <= n_comp,
+                        lambda c2: narrow_round(c2, zc, dtc, vc, alive),
+                        lambda c2: full_round(c2, zc, dtc, vc),
+                        c,
+                    ),
+                lambda c: c,
+                carry,
+            )
+        else:
+            carry = jax.lax.cond(
+                na > 0,
+                lambda c, zc=zc, dtc=dtc, vc=vc: full_round(c, zc, dtc, vc),
+                lambda c: c,
+                carry,
+            )
     image, depth, wsum, _ = carry
 
     if field.bg_fn is not None and field.bg_radius > 0:

@@ -77,6 +77,14 @@ class MarchConfig:
     #   budget-stride spread (truncation starves far geometry of gradient
     #   while the early grid is still dense — the round-1 9.6 dB failure).
     first_k_frac: float = 0.75    # fraction of K at full resolution
+    a0_segments: int = 0          # super-coarse phase-A0 prefilter (block
+    #   marcher, normalized ladders only): walk a ~15-candidate ladder at one
+    #   COARSE-BLOCK-edge step against the "any cell in block occupied" bit
+    #   (one bool per 512-bit blocks_coarse row — a (cascades*nb^3,)-entry
+    #   VMEM table), keep the first a0_segments occupied block spans, and run
+    #   phase A's cell-exact ladder only inside them. Cuts phase-A candidate
+    #   volume ~2.4x (114 -> ~a0_segments*(mult0+1)) on carved scenes.
+    #   0 disables (phase A walks the full [near, far] ladder).
 
     @cached_property
     def cascades(self) -> int:
@@ -645,28 +653,85 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         near = near + jax.random.uniform(key, (n,)) * dt
 
     # ---- phase A: coarse segments
-    z_a, dt_a, t_a = _phase_a_ladder(near, far, cfg, round_to=g_a)
-    pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
-    flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg, block=bc)
-    anchors_a = None
-    if cfg.coarse_anchors == 2 and g_a > 1:
-        anchors_a = [0, g_a - 1]
-    occ_a = _grouped_block_test(
-        blocks_coarse.reshape(-1, blocks_coarse.shape[-1]), flat_a, local_a,
-        g_a, anchors=anchors_a,
-    )
-    occ_next = jnp.concatenate(
-        [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1
-    )
-    occ_a = (occ_a | occ_next) & (z_a < far[:, None])
-    # z along the phase-A ladder is affine in the candidate index, so the
-    # compaction returns INDICES and z/dt are reconstructed arithmetically —
-    # take_along_axis here lowers to one gather row per element and
-    # chip-profiled as half the whole render (see _compact_idx).
     k_a = cfg.coarse_segments
-    idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
-    za_buf = jnp.where(valid_a, near[:, None] + idx_a * dt_a, 0.0)
-    dta_buf = jnp.where(valid_a, dt_a * stride_a.astype(jnp.float32), 0.0)
+    tbl_coarse = blocks_coarse.reshape(-1, blocks_coarse.shape[-1])
+    if cfg.a0_segments > 0 and cfg.coarse_normalized:
+        # ---- phase A0: super-coarse block spans (see MarchConfig.a0_segments)
+        # One bool per coarse-block ROW: "any of the bc^3 cells occupied" —
+        # a (cascades * nb^3,) table small enough to live in VMEM and gather
+        # per candidate directly.
+        any_tbl = jnp.any(tbl_coarse != 0, axis=-1)
+        # FIXED step of one coarse-block edge (unlike phase A there is no
+        # normalization win at ~15 candidates, and a fixed dt_a0 keeps the
+        # kept spans' phase-A subdivision exactly at the dt_a_max ladder)
+        dt_a0 = 0.98 * sb_world
+        span = 2.0 * _SQRT3 * max(cfg.bound, 1.0)
+        t_a0 = int(np.ceil(span / dt_a0))
+        cap0 = dt_a0
+        z_a0 = near[:, None] + jnp.arange(t_a0, dtype=jnp.float32) * dt_a0
+        pos_a0 = rays_o[:, None, :] + rays_d[:, None, :] * z_a0[..., None]
+        flat_a0, _ = _block_coords(pos_a0, dt_a0, hc, cfg, block=bc)
+        occ_a0 = jnp.take(any_tbl, flat_a0.reshape(-1)).reshape(flat_a0.shape)
+        occ_a0 = (
+            occ_a0
+            | jnp.concatenate(
+                [occ_a0[:, 1:], jnp.zeros_like(occ_a0[:, :1])], axis=1)
+        ) & (z_a0 < far[:, None])
+        k_a0 = cfg.a0_segments
+        idx_a0, valid_a0, stride_a0 = _compact_idx(occ_a0, k_a0)
+        z0_buf = jnp.where(valid_a0, near[:, None] + idx_a0 * dt_a0, 0.0)
+        dt0_buf = jnp.where(
+            valid_a0, dt_a0 * stride_a0.astype(jnp.float32), 0.0)
+
+        # cell-exact phase A only INSIDE kept spans: mult0+1 test points per
+        # span (the +1 closes the endpoint-or at span boundaries); a span is
+        # one coarse block by construction, so [0, mult0] end anchors cover
+        # its (at most 2) block rows; stride-widened spans degrade to
+        # conservative-occupied mid-run like every other overflow path.
+        mult0 = int(np.ceil(cap0 / dt_a_max - 1e-6))
+        sub0 = dt0_buf[:, :, None] / mult0                       # (N, K0, 1)
+        jj = jnp.arange(mult0 + 1, dtype=jnp.float32)
+        z_t = (z0_buf[:, :, None] + jj[None, None, :] * sub0)    # (N,K0,m0+1)
+        pos_t = rays_o[:, None, None, :] + rays_d[:, None, None, :] \
+            * z_t[..., None]
+        dt_t = jnp.broadcast_to(sub0, z_t.shape).reshape(n, -1)
+        flat_t, local_t = _block_coords(
+            pos_t.reshape(n, -1, 3), dt_t, hc, cfg, block=bc)
+        occ_t = _grouped_block_test(
+            tbl_coarse, flat_t, local_t, mult0 + 1, anchors=[0, mult0]
+        ).reshape(n, k_a0, mult0 + 1)
+        occ_a = occ_t[:, :, :-1] | occ_t[:, :, 1:]               # (N,K0,m0)
+        z_a_start = z_t[:, :, :-1]
+        occ_a = occ_a & valid_a0[:, :, None] & (z_a_start < far[:, None, None])
+        idx_a, valid_a, stride_a = _compact_idx(
+            occ_a.reshape(n, k_a0 * mult0), k_a)
+        seg0 = idx_a // mult0
+        off0 = (idx_a % mult0).astype(jnp.float32)
+        z0_sel = _select_minor(z0_buf, seg0, k_a0)
+        sub0_sel = _select_minor(sub0[:, :, 0], seg0, k_a0)
+        za_buf = jnp.where(valid_a, z0_sel + off0 * sub0_sel, 0.0)
+        dta_buf = jnp.where(
+            valid_a, sub0_sel * stride_a.astype(jnp.float32), 0.0)
+    else:
+        z_a, dt_a, t_a = _phase_a_ladder(near, far, cfg, round_to=g_a)
+        pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
+        flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg, block=bc)
+        anchors_a = None
+        if cfg.coarse_anchors == 2 and g_a > 1:
+            anchors_a = [0, g_a - 1]
+        occ_a = _grouped_block_test(tbl_coarse, flat_a, local_a,
+                                    g_a, anchors=anchors_a)
+        occ_next = jnp.concatenate(
+            [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1
+        )
+        occ_a = (occ_a | occ_next) & (z_a < far[:, None])
+        # z along the phase-A ladder is affine in the candidate index, so the
+        # compaction returns INDICES and z/dt are reconstructed
+        # arithmetically — take_along_axis here lowers to one gather row per
+        # element and chip-profiled as half the whole render (_compact_idx).
+        idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
+        za_buf = jnp.where(valid_a, near[:, None] + idx_a * dt_a, 0.0)
+        dta_buf = jnp.where(valid_a, dt_a * stride_a.astype(jnp.float32), 0.0)
 
     if cfg.proxy_terminate and density_coarse_min is not None:
         # SEGMENT-level occlusion termination (see proxy_terminate_valid for

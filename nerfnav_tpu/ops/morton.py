@@ -103,14 +103,21 @@ def block_bit_lookup(rows, local):
     """Extract occupancy bits from gathered block rows.
 
     rows: (..., W) uint32 (from pack_blocks); local: (...,) int in
-    [0, 32*W). Returns bool (...,). Word selection is a masked sum (pure
+    [0, 32*W). Returns bool (...,). Word selection is a binary selection
+    tree over the W words (W-1 selects vs the masked-sum's 3W ops; pure
     VPU) — take_along_axis here would lower to a per-element gather."""
     local = local.astype(jnp.uint32)
     w_idx = local >> 5
-    word = jnp.zeros(local.shape, jnp.uint32)
-    for w in range(rows.shape[-1]):
-        word = word | jnp.where(w_idx == w, rows[..., w], 0)
-    return ((word >> (local & 31)) & 1).astype(bool)
+    level = [rows[..., w] for w in range(rows.shape[-1])]
+    bit = 0
+    while len(level) > 1:
+        pick_hi = (w_idx >> bit) & 1 > 0
+        level = [
+            jnp.where(pick_hi, level[2 * i + 1], level[2 * i])
+            for i in range(len(level) // 2)
+        ]
+        bit += 1
+    return ((level[0] >> (local & 31)) & 1).astype(bool)
 
 
 def unpackbits(bitfield, n_bits=None):

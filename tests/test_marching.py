@@ -306,6 +306,33 @@ class TestBlockMarch:
             assert not missing, (r, missing)
             assert len(s2) <= len(s1) + max(4, len(s1) // 4), r
 
+    @pytest.mark.parametrize("bound,coarse_block", [(1.0, 4), (2.0, 4), (2.0, 8)])
+    def test_a0_keeps_byte_marcher_samples(self, bound, coarse_block):
+        """Phase-A0 prefilter: the super-coarse span filter must not DROP any
+        byte-marcher sample (conservative by construction); extras allowed."""
+        from nerfnav_tpu.ops.marching import march_rays_block, march_rays_two_phase
+
+        cfg = MarchConfig(bound=bound, grid_size=32, max_steps=256,
+                          samples_per_ray=48, min_near=0.05, a0_segments=6)
+        bf, bfc, blocks, blocks_c = self._setup(cfg, bound=bound,
+                                                coarse_block=coarse_block)
+        rng = np.random.default_rng(0)
+        o = jnp.asarray(
+            np.concatenate([rng.uniform(-0.4, 0.4, (24, 2)),
+                            np.full((24, 1), -1.6 * bound)], -1), jnp.float32)
+        d = rng.normal(size=(24, 3))
+        d[:, 2] = np.abs(d[:, 2]) + 1.2
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+        m1 = march_rays_two_phase(o, d, bf, bfc, cfg)
+        m2 = march_rays_block(o, d, blocks, blocks_c, cfg)
+        v1, v2 = np.asarray(m1["valid"]), np.asarray(m2["valid"])
+        z1, z2 = np.asarray(m1["z"]), np.asarray(m2["z"])
+        for r in range(v1.shape[0]):
+            s1 = sorted(set(np.round(z1[r][v1[r]], 4)))
+            s2 = sorted(set(np.round(z2[r][v2[r]], 4)))
+            missing = [z for z in s1 if min((abs(z - q) for q in s2), default=9) > 2e-2]
+            assert not missing, (r, missing)
+
     def test_dispatch_prefers_blocks(self, cfg):
         from nerfnav_tpu.ops.marching import march
 
@@ -411,7 +438,8 @@ class TestRoundsRenderer:
 
         return Field(density_fn=density_fn, color_fn=color_fn, bound=1.0), bf
 
-    def test_matches_single_shot(self, cfg):
+    @pytest.mark.parametrize("round_compact", [0, 4])
+    def test_matches_single_shot(self, cfg, round_compact):
         from nerfnav_tpu.models import render_rays_grid_rounds
 
         field, bf = self._scene(cfg)
@@ -422,7 +450,8 @@ class TestRoundsRenderer:
         d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (32, 1))
         one = render_rays_grid(field, bf, cfg, o, d, bg_color=0.3)
         rnd = render_rays_grid_rounds(field, bf, cfg, o, d, bg_color=0.3,
-                                      round_samples=8)
+                                      round_samples=8,
+                                      round_compact=round_compact)
         np.testing.assert_allclose(np.asarray(rnd["image"]),
                                    np.asarray(one["image"]), atol=2e-3)
         np.testing.assert_allclose(np.asarray(rnd["depth"]),
