@@ -57,6 +57,9 @@ def main():
     p.add_argument("--first_k", action="store_true",
                    help="first-K compaction (reference inference semantics; "
                         "pair with --proxy so occlusion gates the budget)")
+    p.add_argument("--coarse_first_k", action="store_true",
+                   help="phase-A first-K hybrid compaction (front segments "
+                        "at full resolution)")
     p.add_argument("--a0", type=int, default=0,
                    help="phase-A0 super-coarse prefilter: keep this many "
                         "block spans (0 = off)")
@@ -98,7 +101,8 @@ def main():
                       coarse_step_mult=args.coarse_step_mult,
                       coarse_segments=args.coarse_segments,
                       coarse_anchors=args.coarse_anchors,
-                      first_k=args.first_k, a0_segments=args.a0)
+                      first_k=args.first_k, a0_segments=args.a0,
+                      coarse_first_k=args.coarse_first_k)
     params = init_network(jax.random.PRNGKey(0), cfg)
     field = make_field(params, cfg)
 

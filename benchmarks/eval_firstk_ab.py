@@ -47,13 +47,15 @@ tr = Trainer(cfg, rcfg, opt,
              march_cfg=mtrain)
 tr.train(train_ds, max_epochs=1, steps_per_epoch=1500)
 
-TRIM = dict(coarse_segments=8, coarse_anchors=2)
 variants = {
     "k32_spread": dict(samples_per_ray=32),
-    "k32_trim": dict(samples_per_ray=32, **TRIM),
-    "k16_spread": dict(samples_per_ray=16),
-    "k16_firstk_trim": dict(samples_per_ray=16, first_k=True, **TRIM),
-    "k12_firstk_trim": dict(samples_per_ray=12, first_k=True, **TRIM),
+    "k32_seg8_anch2_cfk": dict(samples_per_ray=32, coarse_segments=8,
+                               coarse_anchors=2, coarse_first_k=True),
+    "k32_seg12_anch2_cfk": dict(samples_per_ray=32, coarse_segments=12,
+                                coarse_anchors=2, coarse_first_k=True),
+    "k32_seg8_anch2_cfk9": dict(samples_per_ray=32, coarse_segments=8,
+                                coarse_anchors=2, coarse_first_k=True,
+                                first_k_frac=0.9),
 }
 out = {}
 for name, kw in variants.items():

@@ -21,7 +21,7 @@ A Pallas fused gather+interp kernel can be slotted in behind the same
 """
 
 from dataclasses import dataclass
-from functools import cached_property
+from functools import cached_property, partial
 import math
 
 import jax
@@ -53,6 +53,12 @@ class HashGridConfig:
     #            faster; corners are duplicated across neighboring cells
     #            (extra capacity, trained to agree through the interpolation).
     layout: str = "corner"  # "corner" | "cell"
+    # Table-gradient strategy (training backward):
+    #  "xla":  d(take) = XLA scatter-add (serialized RMW on colliding rows).
+    #  "sort": sort the update rows by table index, segment-sum colliding
+    #          rows via cumsum-diff, then ONE unique-sorted scatter — trades
+    #          the collision-serialized scatter for a sort+gathers.
+    backward: str = "xla"  # "xla" | "sort"
 
     @cached_property
     def scale(self) -> float:
@@ -127,6 +133,52 @@ def hash_grid_init(key, config: HashGridConfig, dtype=jnp.float32):
         )
         for k, s in zip(keys, config.level_sizes)
     ]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _take_rows_sorted(table, idx, rows: int):
+    """jnp.take(table, idx, 0) whose backward scatters via sort + segment
+    sum + one unique-sorted scatter (HashGridConfig.backward="sort").
+
+    The XLA backward of a gather is a scatter-add that must serialize
+    colliding rows; sorting the cotangent rows by table index first turns
+    the collisions into a cumsum-diff segment reduction (pure VPU) and the
+    final scatter into a unique-index one. The reference resolves the same
+    collisions with CUDA atomicAdd (gridencoder.cu:299-312)."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _take_rows_sorted_fwd(table, idx, rows: int):
+    return jnp.take(table, idx, axis=0), idx
+
+
+def _take_rows_sorted_bwd(rows: int, idx, g):
+    n = idx.shape[0]
+    order = jnp.argsort(idx)
+    si = jnp.take(idx, order)
+    su = jnp.take(g, order, axis=0)
+    c = jnp.cumsum(su.astype(jnp.float32), axis=0)
+    nxt = jnp.concatenate([si[1:], jnp.full((1,), -1, si.dtype)])
+    is_last = si != nxt                       # last occurrence of each run
+    last_pos = jnp.nonzero(is_last, size=n, fill_value=n - 1)[0]
+    c_last = jnp.take(c, last_pos, axis=0)
+    c_prev = jnp.concatenate(
+        [jnp.zeros((1, g.shape[-1]), c.dtype), c_last[:-1]], axis=0)
+    seg = c_last - c_prev                     # per-unique-row sums; pads = 0
+    uids = jnp.take(si, last_pos)             # sorted; pads repeat the max id
+    gt = jnp.zeros((rows, g.shape[-1]), g.dtype).at[uids].add(
+        seg.astype(g.dtype), indices_are_sorted=True)
+    return gt, None
+
+
+_take_rows_sorted.defvjp(_take_rows_sorted_fwd, _take_rows_sorted_bwd)
+
+
+def _take_rows(table, idx, config: HashGridConfig):
+    """Flat-index row gather with the configured backward strategy."""
+    if config.backward == "sort":
+        return _take_rows_sorted(table, idx, table.shape[0])
+    return jnp.take(table, idx, axis=0)
 
 
 def _corner_indices(config: HashGridConfig, level: int, grid_coords: jnp.ndarray):
@@ -210,13 +262,13 @@ def hash_grid_encode(
         )  # (N, 2^D)
         if config.layout == "cell":
             idx = _cell_indices(config, level, pf)  # (N,)
-            feats = jnp.take(table[level], idx, axis=0).reshape(
+            feats = _take_rows(table[level], idx, config).reshape(
                 n, num_corners, config.level_dim
             )
         else:
             corners = pf[:, None, :] + bits[None]  # (N, 2^D, D)
             idx = _corner_indices(config, level, corners)  # (N, 2^D)
-            feats = jnp.take(table[level], idx.reshape(-1), axis=0).reshape(
+            feats = _take_rows(table[level], idx.reshape(-1), config).reshape(
                 n, num_corners, config.level_dim
             )
         outs.append(jnp.sum(feats.astype(jnp.float32) * w[..., None], axis=1))

@@ -77,6 +77,13 @@ class MarchConfig:
     #   budget-stride spread (truncation starves far geometry of gradient
     #   while the early grid is still dense — the round-1 9.6 dB failure).
     first_k_frac: float = 0.75    # fraction of K at full resolution
+    coarse_first_k: bool = False  # phase-A compaction policy (block marcher,
+    #   inference): keep the first first_k_frac*K_A occupied coarse segments
+    #   at FULL resolution and stride-spread the rest, instead of thinning
+    #   the whole span. The visible surface lies in the FRONT occupied
+    #   segments once the grid is carved; uniform stride-thinning on overflow
+    #   is what cost coarse_segments=8 ~0.9 dB (RESULTS.md trim A/B).
+    #   Training keeps the uniform spread (gradient coverage).
     a0_segments: int = 0          # super-coarse phase-A0 prefilter (block
     #   marcher, normalized ladders only): walk a ~15-candidate ladder at one
     #   COARSE-BLOCK-edge step against the "any cell in block occupied" bit
@@ -729,7 +736,11 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         # compaction returns INDICES and z/dt are reconstructed
         # arithmetically — take_along_axis here lowers to one gather row per
         # element and chip-profiled as half the whole render (_compact_idx).
-        idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
+        if cfg.coarse_first_k:
+            idx_a, valid_a, stride_a = _compact_idx_hybrid(
+                occ_a, k_a, cfg.first_k_frac)
+        else:
+            idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
         za_buf = jnp.where(valid_a, near[:, None] + idx_a * dt_a, 0.0)
         dta_buf = jnp.where(valid_a, dt_a * stride_a.astype(jnp.float32), 0.0)
 

@@ -206,3 +206,34 @@ class TestEncode:
         out = hash_grid_encode(table, x, c)
         assert out.shape == (9, c.output_dim)
         assert np.all(np.isfinite(np.asarray(out)))
+
+    @pytest.mark.parametrize("layout", ["cell", "corner"])
+    def test_sort_backward_matches_xla(self, layout):
+        """backward="sort" (sorted segment-sum table gradient) must produce
+        the same table gradients as the XLA scatter-add backward."""
+        import dataclasses
+
+        c = HashGridConfig(num_levels=4, level_dim=4, base_resolution=4,
+                           desired_resolution=32, log2_hashmap_size=7,
+                           layout=layout)
+        c2 = dataclasses.replace(c, backward="sort")
+        table = hash_grid_init(jax.random.PRNGKey(0), c)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3),
+                               minval=-0.9, maxval=0.9)
+        w = jax.random.normal(jax.random.PRNGKey(2), (c.output_dim,))
+
+        def loss(cfg):
+            def f(tbls, xx):
+                return jnp.sum(hash_grid_encode(tbls, xx, cfg) * w)
+            return f
+
+        g1 = jax.grad(loss(c))(table, x)
+        g2 = jax.grad(loss(c2))(table, x)
+        # cumsum-diff accumulates in a different order than scatter-add:
+        # equal up to f32 reassociation
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+        # x-gradients still flow (interp weights bypass the custom vjp)
+        gx = jax.grad(lambda xx: loss(c2)(table, xx))(x)
+        assert np.any(np.asarray(gx) != 0)
