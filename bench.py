@@ -48,12 +48,12 @@ def main():
     p.add_argument("--round_compact", type=int, default=4,
                    help="alive-ray compaction divisor for later rounds "
                         "(0/1 = off)")
-    p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--chunk", type=int, default=8192)
     p.add_argument("--tile", type=int, default=64)
     p.add_argument("--coarse_factor", type=int, default=4)
     p.add_argument("--coarse_step_mult", type=int, default=8)
     p.add_argument("--coarse_segments", type=int, default=16)
-    p.add_argument("--coarse_anchors", type=int, default=3)
+    p.add_argument("--coarse_anchors", type=int, default=2)
     p.add_argument("--first_k", action="store_true",
                    help="first-K compaction (reference inference semantics; "
                         "pair with --proxy so occlusion gates the budget)")

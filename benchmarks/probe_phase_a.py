@@ -36,13 +36,16 @@ def main():
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--res", type=int, default=800)
+    ap.add_argument("--segments", type=int, default=8)
+    ap.add_argument("--anchors", type=int, default=2)
     args = ap.parse_args()
 
     BOUND = 2.0
     H = W = args.res
     mcfg = M.MarchConfig(bound=BOUND, grid_size=128, max_steps=1024,
                          samples_per_ray=32, min_near=0.2,
-                         coarse_segments=8, coarse_anchors=2)
+                         coarse_segments=args.segments,
+                         coarse_anchors=args.anchors)
     Hg = mcfg.grid_size
     idx = np.arange(Hg**3)
     c = (np.stack([idx // (Hg * Hg), (idx // Hg) % Hg, idx % Hg], -1) + 0.5) / Hg * 2 - 1

@@ -77,13 +77,14 @@ class MarchConfig:
     #   budget-stride spread (truncation starves far geometry of gradient
     #   while the early grid is still dense — the round-1 9.6 dB failure).
     first_k_frac: float = 0.75    # fraction of K at full resolution
-    coarse_first_k: bool = False  # phase-A compaction policy (block marcher,
-    #   inference): keep the first first_k_frac*K_A occupied coarse segments
-    #   at FULL resolution and stride-spread the rest, instead of thinning
-    #   the whole span. The visible surface lies in the FRONT occupied
-    #   segments once the grid is carved; uniform stride-thinning on overflow
-    #   is what cost coarse_segments=8 ~0.9 dB (RESULTS.md trim A/B).
-    #   Training keeps the uniform spread (gradient coverage).
+    coarse_first_k: bool = False  # phase-A compaction policy (block marcher):
+    #   keep the first first_k_frac*K_A occupied coarse segments at FULL
+    #   resolution and stride-spread the rest, instead of thinning the whole
+    #   span. MEASURED HARMFUL on partially-carved grids (RESULTS.md pass 4:
+    #   17.5 dB vs 25.3 at seg8 — the front budget is spent inside the
+    #   occupancy margin BEFORE the surface, and the tail stride over the
+    #   few remaining slots is far coarser than uniform thinning). Only a
+    #   candidate for fully-converged thin-shell occupancies; keep False.
     a0_segments: int = 0          # super-coarse phase-A0 prefilter (block
     #   marcher, normalized ladders only): walk a ~15-candidate ladder at one
     #   COARSE-BLOCK-edge step against the "any cell in block occupied" bit
