@@ -52,7 +52,7 @@ def main():
     p.add_argument("--tile", type=int, default=64)
     p.add_argument("--coarse_factor", type=int, default=4)
     p.add_argument("--coarse_step_mult", type=int, default=8)
-    p.add_argument("--coarse_segments", type=int, default=16)
+    p.add_argument("--coarse_segments", type=int, default=12)
     p.add_argument("--coarse_anchors", type=int, default=2)
     p.add_argument("--first_k", action="store_true",
                    help="first-K compaction (reference inference semantics; "

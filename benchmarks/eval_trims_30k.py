@@ -54,15 +54,21 @@ def main():
                                                density_thresh=5.0),
                  march_cfg=base_march)
 
+    # build state + resume without training a step
+    tr.state = tr._init_state(len(NeRFDataset(
+        DatasetOptions(path=scene_dir, scale=1.0), "train")))
+    tr._maybe_resume()
+    # avoid clobbering the stored best checkpoint from eval-variant sweeps
+    tr.stats["best_result"] = 1e9
+
     variants = {
-        "seg16_anch3": dict(),
-        "seg16_anch2": dict(coarse_anchors=2),
-        "seg8_anch2": dict(coarse_segments=8, coarse_anchors=2),
-        "k16_seg16_anch2": dict(samples_per_ray=16, coarse_anchors=2),
+        "seg12_anch2": dict(coarse_segments=12, coarse_anchors=2),
+        "seg10_anch2": dict(coarse_segments=10, coarse_anchors=2),
     }
     out = {}
     for name, kw in variants.items():
         tr.march_cfg = dataclasses.replace(base_march, **kw)
+        tr._render_chunk_fn = None   # rebuild the jitted eval renderer
         psnr = tr.evaluate(val_ds, use_ema=True)
         out[name] = round(psnr, 2)
         print(json.dumps({name: out[name]}), flush=True)
