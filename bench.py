@@ -60,6 +60,14 @@ def main():
     p.add_argument("--coarse_first_k", action="store_true",
                    help="phase-A first-K hybrid compaction (front segments "
                         "at full resolution)")
+    p.add_argument("--table_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="hash-table storage dtype (bf16 halves table bytes; "
+                        "gather-cache A/B)")
+    p.add_argument("--shade_order", default="ray", choices=["ray", "depth"],
+                   help="hash-gather issue order in the rounds shading: "
+                        "ray-major (default) or depth-major (cross-ray "
+                        "spatial coherence)")
     p.add_argument("--a0", type=int, default=0,
                    help="phase-A0 super-coarse prefilter: keep this many "
                         "block spans (0 = off)")
@@ -104,6 +112,8 @@ def main():
                       first_k=args.first_k, a0_segments=args.a0,
                       coarse_first_k=args.coarse_first_k)
     params = init_network(jax.random.PRNGKey(0), cfg)
+    if args.table_dtype == "bfloat16":
+        params["encoder"] = [t.astype(jnp.bfloat16) for t in params["encoder"]]
     field = make_field(params, cfg)
 
     # converged-style occupancy: a shell structure ~6% occupied in cascade 0
@@ -165,6 +175,7 @@ def main():
                 field, occupancy, mcfg, ro, rd, bg_color=1.0,
                 round_samples=args.round_samples,
                 round_compact=args.round_compact,
+                shade_order=args.shade_order,
             )["image"]
     else:
         @jax.jit

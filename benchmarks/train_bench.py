@@ -17,7 +17,8 @@ enable_compilation_cache()
 
 
 def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
-         levels=16, level_dim=2, log2=None, shell=False, budget=True):
+         levels=16, level_dim=2, log2=None, shell=False, budget=True,
+         grid_backward="xla"):
     """shell=True replaces the random-init occupancy with a converged-scene
     sphere shell (valid-sample fraction ~0.1 like a trained scene) — the
     regime where the point-budget packed shade pays; budget=False disables
@@ -35,7 +36,8 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
                         grid_log2_hashmap_size=(
                             log2 if log2 is not None
                             else 16 if layout == "cell" else 19
-                        ))
+                        ),
+                        grid_backward=grid_backward)
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.2)
     opt = TrainerOptions(name="bench", workspace="/tmp/nerfnav_train_bench",
                          num_rays=num_rays, use_checkpoint="scratch",
@@ -112,7 +114,8 @@ if __name__ == "__main__":
     ap.add_argument("--log2", type=int, default=None)
     ap.add_argument("--shell", action="store_true")
     ap.add_argument("--no_budget", action="store_true")
+    ap.add_argument("--grid_backward", default="xla", choices=["xla", "sort"])
     a = ap.parse_args()
     main(num_rays=a.num_rays, layout=a.layout, levels=a.levels,
          level_dim=a.level_dim, log2=a.log2, shell=a.shell,
-         budget=not a.no_budget)
+         budget=not a.no_budget, grid_backward=a.grid_backward)

@@ -48,6 +48,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="table layout: corner = reference-exact vertex "
                    "hashing (default); cell = TPU-fast one-wide-gather-per-"
                    "level (default under -O)")
+    p.add_argument("--grid_backward", type=str, default="xla",
+                   choices=["xla", "sort"],
+                   help="hash-table gradient strategy: xla scatter-add "
+                   "(default) or sorted segment-sum (the TPU analogue of the "
+                   "reference's atomicAdd backward, gridencoder.cu:299-312)")
     p.add_argument("--ff", action="store_true", help="fused-MLP backend")
     p.add_argument("--tcnn", action="store_true",
                    help="parity flag; maps to the fused backend on TPU")
@@ -122,6 +127,7 @@ def make_configs(opt, for_nav: bool = False):
         grid_level_dim=opt.grid_level_dim,
         grid_log2_hashmap_size=opt.grid_hashmap_log2,
         grid_layout=opt.grid_layout,
+        grid_backward=opt.grid_backward,
     )
     rcfg = RenderConfig(
         num_steps=opt.num_steps,

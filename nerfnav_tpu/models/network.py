@@ -68,6 +68,8 @@ class NetworkConfig:
     grid_log2_hashmap_size: int = 19
     grid_max_resolution: int = 2048  # scaled by bound for desired_resolution
     grid_layout: str = "corner"      # "corner" (reference-exact) | "cell" (TPU-fast)
+    # table-gradient strategy: "xla" scatter-add | "sort" segment-sum
+    grid_backward: str = "xla"
 
     @cached_property
     def grid(self) -> HashGridConfig:
@@ -80,6 +82,7 @@ class NetworkConfig:
             desired_resolution=int(self.grid_max_resolution * self.bound),
             gridtype="tiled" if self.encoding == "tiledgrid" else "hash",
             layout=self.grid_layout,
+            backward=self.grid_backward,
         )
 
     @cached_property

@@ -426,6 +426,7 @@ def render_rays_grid_rounds(
     round_samples: int = 8,
     crop_aabb=None,
     round_compact: int = 4,
+    shade_order: str = "ray",
 ):
     """Grid-path rendering with on-device early termination.
 
@@ -482,16 +483,38 @@ def render_rays_grid_rounds(
         rc = zc.shape[1]
         pos = o_c[:, None, :] + d_c[:, None, :] * zc[..., None]
         pos = jnp.clip(pos, -mcfg.bound, mcfg.bound)
-        sigmas, geo = field.density_fn(pos.reshape(-1, 3))
-        sigmas = jnp.where(vc.reshape(-1), sigmas, 0.0).reshape(zc.shape)
-        if hd_ray is not None:
-            hd_b = jnp.broadcast_to(
-                hd_c[:, None, :], (w, rc, hd_c.shape[-1])
-            ).reshape(-1, hd_c.shape[-1])
-            rgbs = field.color_enc_fn(hd_b, geo).reshape(w, rc, 3)
+        if shade_order == "depth":
+            # depth-major gather order: consecutive hash-table gathers are
+            # ADJACENT RAYS at the same depth (spatially coherent across the
+            # tile) instead of consecutive samples along one ray — feeds the
+            # gather unit runs of near-identical rows (chip microbench: ~2 ns
+            # cached vs ~25 ns random per row)
+            pos_t = pos.transpose(1, 0, 2)  # (rc, w, 3)
+            sigmas, geo = field.density_fn(pos_t.reshape(-1, 3))
+            sigmas = jnp.where(
+                vc.T.reshape(-1), sigmas, 0.0).reshape(rc, w).T
+            if hd_ray is not None:
+                hd_b = jnp.broadcast_to(
+                    hd_c[None, :, :], (rc, w, hd_c.shape[-1])
+                ).reshape(-1, hd_c.shape[-1])
+                rgbs = field.color_enc_fn(hd_b, geo).reshape(rc, w, 3)
+            else:
+                d_b = jnp.broadcast_to(
+                    hd_c[None, :, :], (rc, w, 3)).reshape(-1, 3)
+                rgbs = field.color_fn(d_b, geo).reshape(rc, w, 3)
+            rgbs = rgbs.transpose(1, 0, 2)
         else:
-            d_b = jnp.broadcast_to(hd_c[:, None, :], (w, rc, 3)).reshape(-1, 3)
-            rgbs = field.color_fn(d_b, geo).reshape(w, rc, 3)
+            sigmas, geo = field.density_fn(pos.reshape(-1, 3))
+            sigmas = jnp.where(vc.reshape(-1), sigmas, 0.0).reshape(zc.shape)
+            if hd_ray is not None:
+                hd_b = jnp.broadcast_to(
+                    hd_c[:, None, :], (w, rc, hd_c.shape[-1])
+                ).reshape(-1, hd_c.shape[-1])
+                rgbs = field.color_enc_fn(hd_b, geo).reshape(w, rc, 3)
+            else:
+                d_b = jnp.broadcast_to(
+                    hd_c[:, None, :], (w, rc, 3)).reshape(-1, 3)
+                rgbs = field.color_fn(d_b, geo).reshape(w, rc, 3)
 
         alphas = 1.0 - jnp.exp(-dtc * field.density_scale * sigmas)
         # continue the ray's transmittance from the previous rounds
