@@ -76,6 +76,10 @@ def main():
                    help="disable the normalized phase-A ladder (A/B control)")
     p.add_argument("--scene", default="sphere", choices=["sphere", "cluttered"],
                    help="textured sphere or the multi-object cluttered scene")
+    p.add_argument("--views", type=int, default=24,
+                   help="training views (raise for high-res runs: a "
+                        "Stonehenge-class 800^2 dataset wants 50-100)")
+    p.add_argument("--val_views", type=int, default=2)
     args = p.parse_args()
 
     from nerfnav_tpu.data.synthetic import (
@@ -86,8 +90,8 @@ def main():
     field = (cluttered_field() if args.scene == "cluttered"
              else textured_sphere_field())
     make_synthetic_scene(scene_dir, field=field,
-                         n_train=24, n_val=2, H=args.res, W=args.res,
-                         num_steps=256)
+                         n_train=args.views, n_val=args.val_views,
+                         H=args.res, W=args.res, num_steps=256)
     layouts = ["cell", "corner"] if args.layout == "both" else [args.layout]
     for layout in layouts:
         print(json.dumps(run(layout, scene_dir, args.steps, args.levels,

@@ -139,14 +139,38 @@ def make_synthetic_scene(
     rcfg = RenderConfig(num_steps=num_steps, upsample_steps=0, min_near=0.05)
 
     os.makedirs(out_dir, exist_ok=True)
+    # chunk the ground-truth renders: a full 800^2 frame is 640k rays x
+    # num_steps samples — far past HBM for one program; 64k-ray chunks keep
+    # the peak bounded at any resolution (one static chunk shape, padded)
+    chunk = min(H * W, 65536)
+
+    import jax
+
+    @jax.jit
+    def _render_chunk(ro, rd):
+        out = render_rays(field, rcfg, ro, rd, bg_color=0.0)
+        return out["image"], out["weights_sum"]
+
+    def _render_frame(pose):
+        rays = get_all_rays(jnp.asarray(pose), intr, H, W)
+        n_r = H * W
+        pad = (-n_r) % chunk
+        ro = jnp.concatenate([rays["rays_o"], jnp.zeros((pad, 3))]) if pad else rays["rays_o"]
+        rd = (jnp.concatenate([rays["rays_d"], jnp.ones((pad, 3))])
+              if pad else rays["rays_d"])
+        imgs, ws = [], []
+        for s in range(0, n_r + pad, chunk):
+            im, w = _render_chunk(ro[s:s + chunk], rd[s:s + chunk])
+            imgs.append(np.asarray(im))
+            ws.append(np.asarray(w))
+        return (np.concatenate(imgs)[:n_r].reshape(H, W, 3),
+                np.concatenate(ws)[:n_r].reshape(H, W, 1))
+
     for split, n in [("train", n_train), ("val", n_val)]:
         poses_ngp = rand_poses(rng, n, radius=radius)
         frames = []
         for i, pose in enumerate(poses_ngp):
-            rays = get_all_rays(jnp.asarray(pose), intr, H, W)
-            out = render_rays(field, rcfg, rays["rays_o"], rays["rays_d"], bg_color=0.0)
-            rgb = np.asarray(out["image"]).reshape(H, W, 3)
-            alpha = np.asarray(out["weights_sum"]).reshape(H, W, 1)
+            rgb, alpha = _render_frame(pose)
             # un-premultiply so provider's alpha-composite reproduces rgb
             rgba = np.concatenate([np.divide(rgb, np.maximum(alpha, 1e-4)), alpha], -1)
             rgba = (np.clip(rgba, 0, 1) * 255).astype(np.uint8)
