@@ -459,6 +459,26 @@ class TestRoundsRenderer:
         np.testing.assert_allclose(np.asarray(rnd["weights_sum"]),
                                    np.asarray(one["weights_sum"]), atol=2e-3)
 
+    def test_shade_order_equivalence(self, cfg):
+        """Depth-major gather ordering (shade_order="depth") is a pure
+        layout change: results must match ray-major exactly."""
+        from nerfnav_tpu.models import render_rays_grid_rounds
+
+        field, bf = self._scene(cfg)
+        rng = np.random.default_rng(1)
+        o = jnp.asarray(
+            np.concatenate([rng.uniform(-0.8, 0.8, (16, 2)),
+                            np.full((16, 1), -1.5)], -1), jnp.float32)
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (16, 1))
+        for rc in (0, 4):
+            a = render_rays_grid_rounds(field, bf, cfg, o, d, bg_color=0.3,
+                                        round_compact=rc)
+            b = render_rays_grid_rounds(field, bf, cfg, o, d, bg_color=0.3,
+                                        round_compact=rc,
+                                        shade_order="depth")
+            np.testing.assert_allclose(np.asarray(a["image"]),
+                                       np.asarray(b["image"]), atol=1e-6)
+
     def test_skips_field_eval_when_dead(self, cfg):
         """The cond must NOT evaluate the field for an all-background chunk
         (rays that miss every occupied cell)."""
