@@ -121,13 +121,19 @@ def make_configs(opt, for_nav: bool = False):
         bg_radius=opt.bg_radius,
         mlp_dtype="bfloat16" if opt.fp16 else "float32",
         # --ff / --tcnn both map to the Pallas fused-MLP backend on TPU
-        # (reference network_ff.py / network_tcnn.py backbone selection)
-        mlp_backend="fused" if (opt.ff or opt.tcnn) else "xla",
+        # (reference network_ff.py / network_tcnn.py backbone selection).
+        # Nav forces the xla chain: the Pallas kernel's custom_vjp is
+        # reverse-mode-only and the LM pose filter linearizes forward-mode
+        # (same math either way — checkpoints are backend-agnostic).
+        mlp_backend="fused" if (opt.ff or opt.tcnn) and not for_nav else "xla",
         grid_levels=opt.grid_levels,
         grid_level_dim=opt.grid_level_dim,
         grid_log2_hashmap_size=opt.grid_hashmap_log2,
         grid_layout=opt.grid_layout,
-        grid_backward=opt.grid_backward,
+        # nav never trains tables, and the sorted-scatter backward is a
+        # reverse-mode-only custom_vjp that would block the LM filter's
+        # forward-mode jax.linearize — force the plain gather there.
+        grid_backward="xla" if for_nav else opt.grid_backward,
     )
     rcfg = RenderConfig(
         num_steps=opt.num_steps,
