@@ -36,4 +36,9 @@ run bench_l15  python bench.py --log2 15
 run backward   python benchmarks/probe_backward.py
 run train_ctl  python benchmarks/train_bench.py --levels 4 --level_dim 8 --log2 17 --shell
 run train_sort python benchmarks/train_bench.py --levels 4 --level_dim 8 --log2 17 --shell --grid_backward sort
+# quality of the table-size perf candidates (1500-step sphere harness,
+# same protocol as the at-scale layout table in RESULTS.md)
+run qual_l16   python benchmarks/quality_check.py --layout cell --levels 4 --level_dim 8 --log2_hashmap 16 --steps 1500
+run qual_l15   python benchmarks/quality_check.py --layout cell --levels 4 --level_dim 8 --log2_hashmap 15 --steps 1500
+run profile    python benchmarks/profile_render.py
 log "QUEUE DONE"
