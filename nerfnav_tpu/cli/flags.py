@@ -68,6 +68,13 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    "-O (nonzero uses the two-phase gamma marcher; the "
                    "fastest block-packed marcher needs dt_gamma == 0)")
     p.add_argument("--min_near", type=float, default=0.2)
+    p.add_argument("--coarse_segments", type=int, default=16,
+                   help="phase-A occupied segments kept per ray (march "
+                   "budget; 12 is quality-neutral on converged grids and "
+                   "~18%% faster — benchmarks/RESULTS.md converged trim A/B)")
+    p.add_argument("--coarse_anchors", type=int, default=3,
+                   help="anchor gathers per phase-A run (2 is ~free on "
+                   "converged grids)")
     p.add_argument("--density_thresh", type=float, default=10.0)
     p.add_argument("--grid_size", type=int, default=128,
                    help="occupancy grid resolution per cascade "
@@ -166,5 +173,7 @@ def make_configs(opt, for_nav: bool = False):
             bound=opt.bound, max_steps=opt.max_steps,
             samples_per_ray=opt.samples_per_ray, dt_gamma=opt.dt_gamma,
             min_near=opt.min_near, grid_size=opt.grid_size,
+            coarse_segments=opt.coarse_segments,
+            coarse_anchors=opt.coarse_anchors,
         )
     return cfg, rcfg, occ_cfg, march_cfg
