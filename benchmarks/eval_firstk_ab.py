@@ -1,12 +1,9 @@
 """Train once on the textured sphere (grid fast path), then eval the SAME
 trained field under march-config variants — isolates the eval-time quality
-cost of K-shrink policies:
-
-  K32 spread         round-1 flagship control
-  K16 spread         known -0.86 dB (stride-thinning at the surface)
-  K16 first_k        first-K at full dt (reference inference semantics)
-  K12 first_k
-  K16 first_k+proxy  + segment-level occlusion termination
+cost of a march-config change. The `variants` dict below is the CURRENT
+sweep (edit it per experiment); the A/B history it produced (K-shrink,
+first-K, segment/anchor trims, coarse_first_k) is recorded in
+benchmarks/RESULTS.md.
 
 Chip run: PYTHONPATH=/root/repo python benchmarks/eval_firstk_ab.py
 """

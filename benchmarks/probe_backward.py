@@ -117,9 +117,9 @@ def main():
                 [jnp.zeros((1, c.shape[-1]), c.dtype), c_last[:-1]], axis=0)
             rows = c_last - c_prev
             uids = jnp.take(si, last_pos)
+            # pads repeat the final id, so indices are sorted but NOT unique
             g = jnp.zeros((s, rows.shape[-1]), jnp.float32)
-            g = g.at[uids].add(rows, unique_indices=True,
-                               indices_are_sorted=True)
+            g = g.at[uids].add(rows, indices_are_sorted=True)
             outs.append(g.sum())
         return sum(outs)
 

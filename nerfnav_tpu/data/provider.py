@@ -233,14 +233,15 @@ class NeRFDataset:
 
     @staticmethod
     def _interpolate_test_path(frames, n_test: int, scale: float = 0.33,
-                               offset=(0, 0, 0)):
+                               offset=(0, 0, 0), seed: int = 0):
         """Slerp-interpolated smooth camera path (reference provider.py:166-182):
-        two RANDOM training frames (np.random, like the reference's globally
-        seeded choice), slerped in NGP pose space with the reference's
-        sine-eased ratio."""
+        two RANDOM training frames slerped in NGP pose space with the
+        reference's sine-eased ratio. The reference draws via globally seeded
+        np.random (seed_everything); here the draw is seeded locally so the
+        test path is reproducible across runs without global RNG state."""
         from scipy.spatial.transform import Rotation, Slerp
 
-        f0, f1 = np.random.choice(frames, 2, replace=False)
+        f0, f1 = np.random.default_rng(seed).choice(frames, 2, replace=False)
         p0 = nerf_matrix_to_ngp(
             np.array(f0["transform_matrix"], dtype=np.float32), scale, offset
         )

@@ -130,6 +130,10 @@ class NeRFGUI:
                     tr.march_cfg, dt_gamma=float(value)
                 )
                 tr._render_chunk_fn = None
+                # the jitted train steps close over march_cfg too — drop the
+                # cache or interactive training would keep marching with the
+                # stale dt_gamma while rendering uses the new one
+                tr._train_step_fns = {}
         elif name.startswith("aabb_"):
             axes = {"xmin": 0, "ymin": 1, "zmin": 2,
                     "xmax": 3, "ymax": 4, "zmax": 5}

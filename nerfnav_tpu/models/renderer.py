@@ -194,14 +194,9 @@ def render_rays(
     aabb = aabb_of(field.bound)
     near, far = near_far_from_aabb(rays_o, rays_d, aabb, rcfg.min_near)
     if crop_aabb is not None:
-        # per-axis crop box (GUI sliders, reference gui.py:293-320): narrow
-        # the integration segment to the box intersection
-        inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
-        c0 = (crop_aabb[:3] - rays_o) * inv_d
-        c1 = (crop_aabb[3:] - rays_o) * inv_d
-        near = jnp.maximum(near, jnp.minimum(c0, c1).max(axis=-1))
-        far = jnp.maximum(jnp.minimum(far, jnp.maximum(c0, c1).min(axis=-1)),
-                          near)
+        from nerfnav_tpu.ops.marching import crop_near_far
+
+        near, far = crop_near_far(near, far, rays_o, rays_d, crop_aabb)
     t = rcfg.num_steps
 
     z_vals = near[:, None] + (far - near)[:, None] * jnp.linspace(0.0, 1.0, t)

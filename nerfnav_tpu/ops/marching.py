@@ -260,22 +260,31 @@ def proxy_terminate_valid(m, rays_o, rays_d, density_grid, cfg: MarchConfig,
     return m["valid"] & (t_prev > cfg.proxy_thresh)
 
 
+def crop_near_far(near, far, rays_o, rays_d, crop_aabb):
+    """Narrow an integration segment to a crop AABB
+    [xmin,ymin,zmin,xmax,ymax,zmax] (the reference GUI's per-axis crop
+    sliders narrow aabb_infer the same way, gui.py:293-320). Shared by the
+    grid marchers and the dense render path."""
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
+    c0 = (crop_aabb[:3] - rays_o) * inv_d
+    c1 = (crop_aabb[3:] - rays_o) * inv_d
+    near = jnp.maximum(near, jnp.minimum(c0, c1).max(axis=-1))
+    far = jnp.maximum(jnp.minimum(far, jnp.maximum(c0, c1).min(axis=-1)),
+                      near)
+    return near, far
+
+
 def near_far_aabb(rays_o, rays_d, bound: float, min_near: float,
                   crop_aabb=None):
     """Slab-test near/far against the bound cube, optionally intersected with
-    a crop AABB [xmin,ymin,zmin,xmax,ymax,zmax] (the reference GUI's per-axis
-    crop sliders narrow aabb_infer the same way, gui.py:293-320)."""
+    a crop AABB (crop_near_far)."""
     inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
     t0 = (-bound - rays_o) * inv_d
     t1 = (bound - rays_o) * inv_d
     near = jnp.maximum(jnp.minimum(t0, t1).max(axis=-1), min_near)
     far = jnp.maximum(jnp.maximum(t0, t1).min(axis=-1), near)
     if crop_aabb is not None:
-        c0 = (crop_aabb[:3] - rays_o) * inv_d
-        c1 = (crop_aabb[3:] - rays_o) * inv_d
-        near = jnp.maximum(near, jnp.minimum(c0, c1).max(axis=-1))
-        far = jnp.maximum(jnp.minimum(far, jnp.maximum(c0, c1).min(axis=-1)),
-                          near)
+        near, far = crop_near_far(near, far, rays_o, rays_d, crop_aabb)
     return near, far
 
 
@@ -320,8 +329,6 @@ def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None,
         idx, valid, stride = _compact_idx_hybrid(occ, k, first_frac, key)
     else:
         idx, valid, stride = _compact_idx(occ, k, spread, key)
-        if not spread:
-            stride = jnp.ones((n, 1), jnp.int32)
     z_buf = jnp.where(valid, jnp.take_along_axis(z, idx, axis=1), 0.0)
     dt_buf = jnp.where(
         valid,
@@ -694,8 +701,7 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         # cell-exact phase A only INSIDE kept spans: mult0+1 test points per
         # span (the +1 closes the endpoint-or at span boundaries); a span is
         # one coarse block by construction, so [0, mult0] end anchors cover
-        # its (at most 2) block rows; stride-widened spans degrade to
-        # conservative-occupied mid-run like every other overflow path.
+        # its (at most 2) block rows.
         mult0 = int(np.ceil(cap0 / dt_a_max - 1e-6))
         sub0 = dt0_buf[:, :, None] / mult0                       # (N, K0, 1)
         jj = jnp.arange(mult0 + 1, dtype=jnp.float32)
@@ -709,6 +715,13 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
             tbl_coarse, flat_t, local_t, mult0 + 1, anchors=[0, mult0]
         ).reshape(n, k_a0, mult0 + 1)
         occ_a = occ_t[:, :, :-1] | occ_t[:, :, 1:]               # (N,K0,m0)
+        # A stride-widened A0 span subdivides to a test spacing of
+        # stride*dt_a0/mult0 > one coarse cell edge: the endpoint-pair test
+        # could then step OVER an occupied cell between two test points (a
+        # hole — worse than conservative). Treat widened spans as occupied
+        # throughout; phase A-exactness is preserved for the common
+        # stride-1 spans and overflow only ADDS candidates.
+        occ_a = occ_a | (stride_a0[:, :, None] > 1)
         z_a_start = z_t[:, :, :-1]
         occ_a = occ_a & valid_a0[:, :, None] & (z_a_start < far[:, None, None])
         idx_a, valid_a, stride_a = _compact_idx(

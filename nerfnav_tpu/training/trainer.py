@@ -522,9 +522,13 @@ class Trainer:
                 self.global_step += 1
                 # accumulate on device: float(loss) every step would
                 # host-sync and stall the async dispatch pipeline (the
-                # reference's per-step loss.item() stall, utils.py:796)
+                # reference's per-step loss.item() stall, utils.py:796) —
+                # so the tensorboard scalar (reference utils.py:804-806 logs
+                # per step) is fetched only on the occupancy-update cadence,
+                # where the pipeline already synchronizes
                 total = loss if total is None else total + loss
-                if self.writer is not None:
+                if (self.writer is not None and self.global_step
+                        % self.opt.update_extra_interval == 0):
                     self.writer.add_scalar("train/loss", float(loss), self.global_step)
             avg = float(total) / steps
             self.stats["loss"].append(avg)
