@@ -240,6 +240,13 @@ class TestBlockMarch:
             cb = min(2.0**cas, bound)
             if shape == "sphere":
                 occs.append(np.linalg.norm(c * cb, axis=-1) < 0.55 * cb)
+            elif shape == "fence":
+                # picket fence: thin occupied slabs along z, separated by
+                # SEVERAL coarse cells so the coarse grid sees distinct
+                # spans — forces a z-ray to cross more spans than a small
+                # A0/segment budget
+                zi = ((c[:, 2] + 1) * 0.5 * H).astype(int)
+                occs.append((zi % (3 * cfg.coarse_factor)) == 0)
             else:  # random blobs
                 rng = np.random.default_rng(cas)
                 occs.append(rng.uniform(size=H**3) < 0.03)
@@ -332,6 +339,45 @@ class TestBlockMarch:
             s2 = sorted(set(np.round(z2[r][v2[r]], 4)))
             missing = [z for z in s1 if min((abs(z - q) for q in s2), default=9) > 2e-2]
             assert not missing, (r, missing)
+
+    def test_a0_stride_overflow_no_holes(self):
+        """When a ray crosses MORE occupied spans than a0_segments, the A0
+        compaction stride-widens its spans; the widened spans' subdivision
+        would test coarser than one cell edge and could step over occupied
+        cells — the guard must instead treat them as occupied throughout
+        (extras allowed, drops never)."""
+        from nerfnav_tpu.ops.marching import march_rays_block, march_rays_two_phase
+
+        cfg0 = MarchConfig(bound=1.0, grid_size=64, max_steps=256,
+                           samples_per_ray=64, min_near=0.05, a0_segments=3)
+        bf, bfc, blocks, blocks_c = self._setup(cfg0, shape="fence")
+        # straight-down-z rays cross ~6 coarse-separated slabs >> 3: the A0
+        # compaction stride-widens every span on these rays
+        rng = np.random.default_rng(2)
+        o = jnp.asarray(
+            np.concatenate([rng.uniform(-0.5, 0.5, (12, 2)),
+                            np.full((12, 1), -1.6)], -1), jnp.float32)
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (12, 1))
+        m1 = march_rays_two_phase(o, d, bf, bfc,
+                                  MarchConfig(bound=1.0, grid_size=64,
+                                              max_steps=256,
+                                              samples_per_ray=64,
+                                              min_near=0.05))
+        m2 = march_rays_block(o, d, blocks, blocks_c, cfg0)
+        v1, v2 = np.asarray(m1["valid"]), np.asarray(m2["valid"])
+        z1, z2 = np.asarray(m1["z"]), np.asarray(m2["z"])
+        hit_stride = False
+        for r in range(v1.shape[0]):
+            s1 = sorted(set(np.round(z1[r][v1[r]], 4)))
+            s2 = sorted(set(np.round(z2[r][v2[r]], 4)))
+            if len(s1) >= 5:
+                hit_stride = True
+            # every exact (byte-marcher) sample must be covered by the A0
+            # path — a widened span skipping a middle slab is a HOLE
+            missing = [z for z in s1
+                       if min((abs(z - q) for q in s2), default=9) > 2.5e-2]
+            assert not missing, (r, missing)
+        assert hit_stride, "scene failed to exercise multi-span rays"
 
     def test_dispatch_prefers_blocks(self, cfg):
         from nerfnav_tpu.ops.marching import march
