@@ -123,6 +123,63 @@ class TestEstimator:
         assert np.all(np.isfinite(est.sig))
         assert np.all(np.linalg.eigvalsh(est.sig) > 0)
 
+    def test_gn_forward_mode_through_grid_renderer(self, field):
+        """The LM solver linearizes FORWARD-mode through the render closure;
+        the grid fast path (real network: trunc_exp density, hash-grid
+        encode, block march) must support jvp end-to-end. Regression for the
+        custom_vjp trunc_exp that rejected jax.linearize."""
+        from nerfnav_tpu.models import (
+            NetworkConfig, init_network, make_field, render_rays_grid,
+        )
+        from nerfnav_tpu.ops.marching import MarchConfig
+        from nerfnav_tpu.ops.morton import pack_blocks, packbits
+
+        cfg = NetworkConfig(bound=1.0, grid_levels=4, grid_level_dim=4,
+                            grid_layout="cell", grid_log2_hashmap_size=12,
+                            density_scale=50.0)
+        net_field = make_field(init_network(jax.random.PRNGKey(0), cfg), cfg)
+        mcfg = MarchConfig(bound=1.0, grid_size=32, max_steps=128,
+                           samples_per_ray=16, min_near=0.05)
+        Hg = mcfg.grid_size
+        ii = np.arange(Hg**3)
+        c = (np.stack([ii // (Hg * Hg), (ii // Hg) % Hg, ii % Hg], -1) + 0.5) / Hg * 2 - 1
+        occ = (np.linalg.norm(c, axis=-1) < 0.6)
+        hc = Hg // mcfg.coarse_factor
+        occ_c = occ.reshape(hc, 4, hc, 4, hc, 4).max(axis=(1, 3, 5)).reshape(-1)
+        occupancy = {
+            "bitfield": jnp.stack([packbits(jnp.asarray(occ, jnp.float32))]),
+            "bitfield_coarse": jnp.stack(
+                [packbits(jnp.asarray(occ_c, jnp.float32))]),
+            "blocks": pack_blocks(jnp.asarray(occ[None]), Hg),
+            "blocks_coarse": pack_blocks(jnp.asarray(occ_c[None]), hc, block=8),
+        }
+        sH = sW = 48
+        intr = jnp.asarray([48.0, 48.0, sW / 2, sH / 2])
+
+        def render_fn(ro, rd):
+            return render_rays_grid(net_field, occupancy, mcfg, ro, rd,
+                                    bg_color=1.0)
+
+        def get_rays_fn(pose):
+            return get_all_rays(pose, intr, sH, sW)
+
+        x_true = start_state()
+        pose_true = np.asarray(body_state_to_camera_pose(jnp.asarray(x_true)))
+        rays = get_rays_fn(jnp.asarray(pose_true))
+        obs = np.asarray(
+            render_fn(rays["rays_o"], rays["rays_d"])["image"]
+        ).reshape(sH, sW, 3)
+        obs = (np.clip(obs, 0, 1) * 255).astype(np.uint8)
+
+        est_cfg = EstimatorConfig(n_iters=3, batch_size=256, pool_size=1024,
+                                  optimizer="gn")
+        est = Estimator(est_cfg, DynamicsConfig(), render_fn, get_rays_fn,
+                        body_state_to_camera_pose)
+        est.set_initial_state(x_true)
+        x_est = est.estimate_state(obs, pose_true, np.array([10.0, 0, 0, 0]))
+        assert np.all(np.isfinite(x_est))
+        assert np.all(np.isfinite(est.sig))
+
     def test_no_features_returns_prior(self, closures):
         render_fn, get_rays_fn = closures
         est = Estimator(EstimatorConfig(), DynamicsConfig(), render_fn,
