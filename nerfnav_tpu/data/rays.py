@@ -65,15 +65,23 @@ def get_rays_at(pose, intrinsics, W, inds):
     return {"rays_o": rays_o, "rays_d": rays_d, "inds": inds}
 
 
-def get_all_rays(pose, intrinsics, H, W):
+def get_all_rays(pose, intrinsics, H, W, offset=None):
     """Full-image rays, row-major flat (H*W, 3) — eval/test path
-    (reference get_rays with N=-1, utils.py:100-110)."""
+    (reference get_rays with N=-1, utils.py:100-110).
+
+    offset: optional (dx, dy) subpixel shift in pixels, applied uniformly to
+    every pixel center — the GUI's anti-aliasing accumulation jitters the
+    whole frame by a low-discrepancy offset per sample-per-pixel pass."""
     j, i = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32),
         jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
-    dirs = _pixel_dirs(i.reshape(-1), j.reshape(-1), intrinsics)
+    i, j = i.reshape(-1), j.reshape(-1)
+    if offset is not None:
+        i = i + offset[0]
+        j = j + offset[1]
+    dirs = _pixel_dirs(i, j, intrinsics)
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     rays_d = dirs @ pose[:3, :3].T
     rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)

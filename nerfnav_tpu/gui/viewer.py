@@ -78,6 +78,20 @@ class OrbitCamera:
         )
 
 
+def _halton_offset(i: int):
+    """Centered (base-2, base-3) Halton subpixel offset in [-0.5, 0.5)^2."""
+
+    def radical_inverse(n, base):
+        inv, f = 0.0, 1.0 / base
+        while n > 0:
+            inv += f * (n % base)
+            n //= base
+            f /= base
+        return inv
+
+    return (radical_inverse(i, 2) - 0.5, radical_inverse(i, 3) - 0.5)
+
+
 class NeRFGUI:
     """Adaptive train/render loop + optional web frontend."""
 
@@ -96,6 +110,7 @@ class NeRFGUI:
         self.train_steps = 16
         self.spp = 0
         self._acc = None
+        self._acc_scale = 0.0   # resolution scale of the current accumulator
         self._dirty = True
         # widget state (reference gui.py:156-412): per-axis crop AABB
         # [xmin,ymin,zmin,xmax,ymax,zmax] and live dt_gamma
@@ -173,32 +188,59 @@ class NeRFGUI:
 
     def render_frame(self):
         """One adaptive render frame (reference gui.py:120-153): dynamic
-        resolution toward the 200 ms budget + spp accumulation when the
-        camera is still."""
+        resolution toward the 200 ms budget while the camera moves, then —
+        because this renderer is deterministic, unlike the reference's
+        perturbed CUDA path where re-averaging the same pose reduces noise —
+        idle passes are spent productively: first progressive-resolution
+        refinement up to full res (doubling per pass), then anti-aliasing
+        accumulation with per-pass subpixel jitter (Halton offsets through
+        test_gui's pixel_offset) counted as spp."""
         if self._dirty:
             self.spp = 0
             self._acc = None
+            self._acc_scale = 0.0
             self._dirty = False
         if self.spp >= self.max_spp:
             return self._acc
+        if self._acc is None:
+            # camera just moved: adaptive-resolution fast pass
+            out = self.trainer.test_gui(
+                self.cam.pose, self.cam.intrinsics, self.cam.W, self.cam.H,
+                bg_color=self.bg_color, downscale=self.downscale,
+                crop_aabb=self._crop,
+            )
+            if self.dynamic_resolution:
+                ratio = self.RENDER_BUDGET_S / max(out["time"], 1e-6)
+                self._acc_scale = self.downscale
+                self.downscale = float(
+                    np.clip(self.downscale * np.sqrt(ratio), 0.25, 1.0)
+                )
+            else:
+                self._acc_scale = self.downscale
+            self._acc = out["image"]
+            self.spp = 1
+            return self._acc
+        if self._acc_scale < 1.0:
+            # idle: progressive refinement — replace the frame at 2x the
+            # resolution instead of averaging identical images
+            scale = min(1.0, self._acc_scale * 2.0)
+            out = self.trainer.test_gui(
+                self.cam.pose, self.cam.intrinsics, self.cam.W, self.cam.H,
+                bg_color=self.bg_color, downscale=scale,
+                crop_aabb=self._crop,
+            )
+            self._acc = out["image"]
+            self._acc_scale = scale
+            self.spp = 1
+            return self._acc
+        # idle at full resolution: jittered anti-aliasing accumulation
         out = self.trainer.test_gui(
             self.cam.pose, self.cam.intrinsics, self.cam.W, self.cam.H,
-            bg_color=self.bg_color, downscale=self.downscale,
-            crop_aabb=self._crop,
+            bg_color=self.bg_color, downscale=1.0,
+            crop_aabb=self._crop, pixel_offset=_halton_offset(self.spp),
         )
-        # adapt resolution
-        if self.dynamic_resolution:
-            ratio = self.RENDER_BUDGET_S / max(out["time"], 1e-6)
-            self.downscale = float(
-                np.clip(self.downscale * np.sqrt(ratio), 0.25, 1.0)
-            )
-        img = out["image"]
-        if self._acc is None:
-            self._acc = img
-            self.spp = 1
-        else:
-            self._acc = (self._acc * self.spp + img) / (self.spp + 1)
-            self.spp += 1
+        self._acc = (self._acc * self.spp + out["image"]) / (self.spp + 1)
+        self.spp += 1
         return self._acc
 
     def touch(self):

@@ -560,12 +560,16 @@ class Trainer:
         )
 
     def render_full(self, params, pose, intrinsics, H, W, bg_color=1.0,
-                    crop_aabb=None):
+                    crop_aabb=None, pixel_offset=None):
         """Staged full-image render with a cached jitted chunk fn
-        (reference staged rendering, renderer.py:555-566)."""
+        (reference staged rendering, renderer.py:555-566).
+
+        pixel_offset: optional (dx, dy) subpixel shift of every pixel center —
+        the GUI's anti-aliasing spp passes (data/rays.get_all_rays)."""
         if self._render_chunk_fn is None:
             self._render_chunk_fn = self._build_render_chunk()
-        rays = get_all_rays(jnp.asarray(pose), jnp.asarray(intrinsics), H, W)
+        rays = get_all_rays(jnp.asarray(pose), jnp.asarray(intrinsics), H, W,
+                            offset=pixel_offset)
         n = H * W
         chunk = self.rcfg.max_ray_batch
         pad = (-n) % chunk
@@ -698,9 +702,12 @@ class Trainer:
                 "steps_per_sec": step / max(dt, 1e-9)}
 
     def test_gui(self, pose, intrinsics, W, H, bg_color=1.0, spp=1,
-                 downscale=1.0, crop_aabb=None):
+                 downscale=1.0, crop_aabb=None, pixel_offset=None):
         """Render one interactive frame at `downscale` resolution — the
-        viewer's render hook (reference utils.py:703-752 `test_gui`)."""
+        viewer's render hook (reference utils.py:703-752 `test_gui`).
+
+        pixel_offset: optional (dx, dy) subpixel jitter for anti-aliasing
+        accumulation passes (the viewer varies it per spp)."""
         rh, rw = max(int(H * downscale), 8), max(int(W * downscale), 8)
         intr = np.asarray(intrinsics, np.float32) * downscale
         params = self.state.ema_params if self.state else self.params
@@ -708,7 +715,8 @@ class Trainer:
         if crop_aabb is not None:
             crop_aabb = jnp.asarray(crop_aabb, jnp.float32)
         image, depth = self.render_full(params, pose, intr, rh, rw, bg_color,
-                                        crop_aabb=crop_aabb)
+                                        crop_aabb=crop_aabb,
+                                        pixel_offset=pixel_offset)
         dt = time.time() - t0
         img = np.asarray(image)
         if (rh, rw) != (H, W):

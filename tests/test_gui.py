@@ -60,7 +60,18 @@ class TestNeRFGUI:
         assert out is not None and np.isfinite(out["loss"])
         frame = gui.render_frame()
         assert frame.shape == (48, 48, 3)
-        # spp accumulates while the camera is still
+        assert gui.spp == 1 and gui._acc_scale < 1.0
+        # idle passes spend compute on progressive-resolution refinement
+        # first (the renderer is deterministic — averaging identical frames
+        # would be dead work); spp holds at 1 while the scale doubles
+        gui.render_frame()
+        assert gui.spp == 1 and gui._acc_scale > 0.25
+        for _ in range(8):
+            if gui._acc_scale >= 1.0:
+                break
+            gui.render_frame()
+        assert gui._acc_scale == 1.0
+        # at full resolution, jittered anti-aliasing passes accumulate spp
         gui.render_frame()
         assert gui.spp == 2
         # camera move resets accumulation
@@ -68,6 +79,29 @@ class TestNeRFGUI:
         gui.touch()
         gui.render_frame()
         assert gui.spp == 1
+
+    def test_halton_offsets_centered(self):
+        from nerfnav_tpu.gui.viewer import _halton_offset
+
+        offs = np.array([_halton_offset(i) for i in range(1, 17)])
+        assert np.all(offs >= -0.5) and np.all(offs < 0.5)
+        # low-discrepancy: the mean of the first 16 offsets is near zero
+        assert np.all(np.abs(offs.mean(axis=0)) < 0.1)
+        # offsets are distinct across passes
+        assert len({tuple(o) for o in offs}) == 16
+
+    def test_pixel_offset_shifts_rays(self):
+        import jax.numpy as jnp
+
+        from nerfnav_tpu.data.rays import get_all_rays
+
+        pose = jnp.eye(4)
+        intr = jnp.asarray([32.0, 32.0, 16.0, 16.0])
+        r0 = get_all_rays(pose, intr, 32, 32)
+        r1 = get_all_rays(pose, intr, 32, 32, offset=(0.25, -0.25))
+        assert not np.allclose(r0["rays_d"], r1["rays_d"])
+        # a subpixel offset must move directions by less than a pixel pitch
+        assert float(jnp.abs(r0["rays_d"] - r1["rays_d"]).max()) < 1.0 / 16
 
     def test_web_server_smoke(self, tiny_trainer):
         trainer, ds = tiny_trainer
