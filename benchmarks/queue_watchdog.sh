@@ -1,8 +1,7 @@
 #!/bin/bash
-# Keeps the round-2 chip-experiment queues alive across relay outages.
-# - If run_r2_queue.sh dies without logging QUEUE DONE, relaunch it.
-# - If run_r2_queue2.sh dies without QUEUE2 DONE, relaunch it (it waits for
-#   queue 1 itself).
+# Keeps the round-2 chip-experiment queues alive across relay outages: if a
+# queue script dies before logging its DONE marker, relaunch it (each queue
+# script itself waits for its predecessor's marker, so relaunching is safe).
 # One watchdog instance only; guards with a pidfile.
 set -u
 cd /root/repo
@@ -15,19 +14,26 @@ echo $$ > "$PIDFILE"
 log() { echo "[$(date +%H:%M:%S)] $*" >> /tmp/queue_watchdog.log; }
 log "watchdog up (pid $$)"
 
+# queue N -> (script, log file, done marker)
+SCRIPTS=(run_r2_queue.sh run_r2_queue2.sh run_r2_queue3.sh run_r2_queue4.sh)
+LOGS=(/tmp/r2_queue.log /tmp/r2_queue2.log /tmp/r2_queue3.log /tmp/r2_queue4.log)
+MARKS=("QUEUE DONE" "QUEUE2 DONE" "QUEUE3 DONE" "QUEUE4 DONE")
+
 while true; do
-  if ! grep -q "QUEUE DONE" /tmp/r2_queue.log 2>/dev/null; then
-    if ! pgrep -x -f "bash benchmarks/run_r2_queue.sh" >/dev/null 2>&1; then
-      log "queue 1 not running and not done -> relaunch"
-      nohup bash benchmarks/run_r2_queue.sh >> /tmp/r2_queue_stdout.log 2>&1 &
+  all_done=1
+  for qi in 0 1 2 3; do
+    if ! grep -q "${MARKS[$qi]}" "${LOGS[$qi]}" 2>/dev/null; then
+      all_done=0
+      if ! pgrep -x -f "bash benchmarks/${SCRIPTS[$qi]}" >/dev/null 2>&1; then
+        log "queue $((qi+1)) not running and not done -> relaunch"
+        nohup bash "benchmarks/${SCRIPTS[$qi]}" \
+          >> "/tmp/r2_queue$((qi+1))_stdout.log" 2>&1 &
+      fi
+      break   # only supervise the first unfinished queue
     fi
-  elif ! grep -q "QUEUE2 DONE" /tmp/r2_queue2.log 2>/dev/null; then
-    if ! pgrep -x -f "bash benchmarks/run_r2_queue2.sh" >/dev/null 2>&1; then
-      log "queue 2 not running and not done -> relaunch"
-      nohup bash benchmarks/run_r2_queue2.sh >> /tmp/r2_queue2_stdout.log 2>&1 &
-    fi
-  else
-    log "both queues done; watchdog exiting"
+  done
+  if [ "$all_done" = 1 ]; then
+    log "all queues done; watchdog exiting"
     rm -f "$PIDFILE"
     exit 0
   fi

@@ -18,7 +18,7 @@ enable_compilation_cache()
 
 def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
          levels=16, level_dim=2, log2=None, shell=False, budget=True,
-         grid_backward="xla"):
+         grid_backward="xla", coarse_segments=16, coarse_anchors=3):
     """shell=True replaces the random-init occupancy with a converged-scene
     sphere shell (valid-sample fraction ~0.1 like a trained scene) — the
     regime where the point-budget packed shade pays; budget=False disables
@@ -43,7 +43,9 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
                          num_rays=num_rays, use_checkpoint="scratch",
                          bg_train="random", point_budget=budget)
     occ = OccupancyConfig(bound=1.0)
-    march = MarchConfig(bound=1.0, samples_per_ray=32)
+    march = MarchConfig(bound=1.0, samples_per_ray=32,
+                        coarse_segments=coarse_segments,
+                        coarse_anchors=coarse_anchors)
     tr = Trainer(cfg, rcfg, opt, occupancy_cfg=occ, march_cfg=march)
 
     rng = np.random.default_rng(0)
@@ -115,7 +117,12 @@ if __name__ == "__main__":
     ap.add_argument("--shell", action="store_true")
     ap.add_argument("--no_budget", action="store_true")
     ap.add_argument("--grid_backward", default="xla", choices=["xla", "sort"])
+    ap.add_argument("--coarse_segments", type=int, default=16,
+                    help="march trim: phase-A segment budget (training keeps "
+                         "16 by default; the render flagship uses 12)")
+    ap.add_argument("--coarse_anchors", type=int, default=3)
     a = ap.parse_args()
     main(num_rays=a.num_rays, layout=a.layout, levels=a.levels,
          level_dim=a.level_dim, log2=a.log2, shell=a.shell,
-         budget=not a.no_budget, grid_backward=a.grid_backward)
+         budget=not a.no_budget, grid_backward=a.grid_backward,
+         coarse_segments=a.coarse_segments, coarse_anchors=a.coarse_anchors)
