@@ -53,6 +53,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="hash-table gradient strategy: xla scatter-add "
                    "(default) or sorted segment-sum (the TPU analogue of the "
                    "reference's atomicAdd backward, gridencoder.cu:299-312)")
+    p.add_argument("--eval_table_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="hash-table dtype for eval/test/GUI rendering "
+                   "(training masters stay fp32); bfloat16 halves gathered "
+                   "table bytes and is quality-free on converged scenes "
+                   "(benchmarks/eval_table_dtype.py: -0.0003 dB)")
     p.add_argument("--ff", action="store_true", help="fused-MLP backend")
     p.add_argument("--tcnn", action="store_true",
                    help="parity flag; maps to the fused backend on TPU")

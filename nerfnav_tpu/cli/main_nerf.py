@@ -30,6 +30,7 @@ def main(argv=None):
         error_map=opt.error_map,
         update_extra_interval=opt.update_extra_interval, tensorboard=True,
         rand_pose=opt.rand_pose, clip_text=opt.clip_text,
+        eval_table_dtype=opt.eval_table_dtype,
     )
     # Poseless/CLIP mode needs a jax-differentiable scorer; the Trainer
     # raises a gated error when none is injectable (offline weights).

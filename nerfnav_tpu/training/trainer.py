@@ -94,6 +94,12 @@ class TrainerOptions:
     rand_pose: int = -1
     clip_text: str = ""
     rand_pose_radius: float = 1.0
+    # Hash-table storage dtype for eval/test/GUI rendering: "bfloat16" halves
+    # the gathered table bytes (training always keeps fp32 masters; the cast
+    # is applied once per params version in render_full). Quality-free on
+    # converged scenes: 26.7038 -> 26.7035 dB on the 30k cluttered checkpoint
+    # (benchmarks/eval_table_dtype.py).
+    eval_table_dtype: str = "float32"
 
 
 class TrainState(NamedTuple):
@@ -185,6 +191,7 @@ class Trainer:
 
         self._train_step_fns = {}  # (H, W, C, dt_mult, budget) -> jitted step
         self._render_chunk_fn = None
+        self._table_cast_cache = None  # (params, cast_params) for eval dtype
         self._mean_count_host = 0.0  # host mirror of state.mean_count
         self.state = None  # built on first train()/resume
 
@@ -559,6 +566,20 @@ class Trainer:
             )
         )
 
+    def _cast_eval_tables(self, params):
+        """Cast hash tables to opt.eval_table_dtype, cached per params
+        version (the cache holds the source params, so identity comparison
+        is safe against id reuse)."""
+        if "encoder" not in params:
+            return params  # frequency-encoded field: no tables to cast
+        if (self._table_cast_cache is None
+                or self._table_cast_cache[0] is not params):
+            dtype = jnp.dtype(self.opt.eval_table_dtype)
+            cast = dict(params)
+            cast["encoder"] = [t.astype(dtype) for t in params["encoder"]]
+            self._table_cast_cache = (params, cast)
+        return self._table_cast_cache[1]
+
     def render_full(self, params, pose, intrinsics, H, W, bg_color=1.0,
                     crop_aabb=None, pixel_offset=None):
         """Staged full-image render with a cached jitted chunk fn
@@ -568,6 +589,8 @@ class Trainer:
         the GUI's anti-aliasing spp passes (data/rays.get_all_rays)."""
         if self._render_chunk_fn is None:
             self._render_chunk_fn = self._build_render_chunk()
+        if self.opt.eval_table_dtype != "float32":
+            params = self._cast_eval_tables(params)
         rays = get_all_rays(jnp.asarray(pose), jnp.asarray(intrinsics), H, W,
                             offset=pixel_offset)
         n = H * W

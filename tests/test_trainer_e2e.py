@@ -57,6 +57,29 @@ def test_training_improves_psnr(scene_dir, cfg, tmp_path):
     assert tr.stats["loss"][-1] < tr.stats["loss"][0]
 
 
+def test_eval_table_dtype_bf16_matches_fp32(scene_dir, cfg, tmp_path):
+    """eval_table_dtype=bfloat16 must render within quantization tolerance
+    of fp32 (the converged-checkpoint A/B measured -0.0003 dB; here the
+    plumbing is checked: cast applied, cache keyed on params version)."""
+    val_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "val")
+    tr = make_trainer(cfg, str(tmp_path / "ws"))
+    tr.state = tr._init_state(1)
+    img32, _ = tr.render_full(tr.state.params, val_ds.poses[0],
+                              val_ds.intrinsics, val_ds.H, val_ds.W)
+    tr.opt.eval_table_dtype = "bfloat16"
+    img16, _ = tr.render_full(tr.state.params, val_ds.poses[0],
+                              val_ds.intrinsics, val_ds.H, val_ds.W)
+    assert tr._table_cast_cache is not None
+    assert tr._table_cast_cache[1]["encoder"][0].dtype.name == "bfloat16"
+    np.testing.assert_allclose(np.asarray(img16), np.asarray(img32),
+                               atol=0.05)
+    # cache invalidates when params change
+    new_params = dict(tr.state.params)
+    tr.render_full(new_params, val_ds.poses[0], val_ds.intrinsics,
+                   val_ds.H, val_ds.W)
+    assert tr._table_cast_cache[0] is new_params
+
+
 def test_checkpoint_resume(scene_dir, cfg, tmp_path):
     ws = str(tmp_path / "ws2")
     train_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "train")
