@@ -35,11 +35,15 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--filter_render", default="dense",
-                   choices=["dense", "grid", "both"],
+                   choices=["dense", "grid", "frozen", "both", "all"],
                    help="filter measurement path(s): the reference uses the "
                         "dense differentiable renderer (simulate.py:163-166);"
                         " grid routes through the occupancy fast path "
-                        "(chip A/B round 1: dense wins for this workload)")
+                        "(chip A/B round 1: dense wins — the march re-runs "
+                        "every iteration); frozen marches ONCE per update at "
+                        "the predicted pose and shades K pruned samples per "
+                        "LM iteration (GN only); both = dense+grid, all = "
+                        "dense+grid+frozen")
     p.add_argument("--filter_opt", default="both", choices=["adam", "gn", "both"],
                    help="pose optimizer A/B: reference 300-iter Adam vs "
                         "Levenberg-Marquardt (EstimatorConfig.optimizer)")
@@ -94,6 +98,12 @@ def main():
     }
     grid_render = lambda ro, rd: render_rays_grid(  # noqa: E731
         field, occupancy, mcfg, ro, rd, bg_color=1.0)
+    from nerfnav_tpu.models import render_rays_frozen
+    from nerfnav_tpu.ops.marching import march as march_op
+
+    march_fn = lambda ro, rd: march_op(ro, rd, occupancy, mcfg)  # noqa: E731
+    frozen_render = lambda ro, rd, z, dt, valid: render_rays_frozen(  # noqa: E731
+        field, 1.0, ro, rd, z, dt, valid, bg_color=1.0)
 
     get_rays_fn = lambda pose: get_all_rays(pose, intr, H, W)  # noqa: E731
     from nerfnav_tpu.data.rays import get_rays_at
@@ -113,19 +123,25 @@ def main():
             rays["rays_o"][i : i + 8192], rays["rays_d"][i : i + 8192])["image"]))
     obs = (np.concatenate(obs_chunks).reshape(H, W, 3) * 255).astype(np.uint8)
 
-    paths = (["dense", "grid"] if args.filter_render == "both"
-             else [args.filter_render])
+    paths = {"both": ["dense", "grid"],
+             "all": ["dense", "grid", "frozen"]}.get(
+        args.filter_render, [args.filter_render])
     opts = (["adam", "gn"] if args.filter_opt == "both" else [args.filter_opt])
     filt_s = None
     for path in paths:
         for optimizer in opts:
+            if path == "frozen" and optimizer != "gn":
+                continue  # frozen mode is GN-only
             render_fn = dense_render if path == "dense" else grid_render
             import dataclasses
 
             cfg_i = dataclasses.replace(ecfg, optimizer=optimizer)
             est = Estimator(cfg_i, dyn, render_fn, get_rays_fn,
                             body_state_to_camera_pose,
-                            get_rays_at_fn=get_rays_at_fn)
+                            get_rays_at_fn=get_rays_at_fn,
+                            march_fn=march_fn if path == "frozen" else None,
+                            render_frozen_fn=(frozen_render
+                                              if path == "frozen" else None))
             est.set_initial_state(x0)
             est.estimate_state(obs, pose, np.array([10.0, 0, 0, 0]))  # warm jit
             est.set_initial_state(x0)

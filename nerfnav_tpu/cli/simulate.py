@@ -82,15 +82,19 @@ def main(argv=None):
     parser.add_argument("--analytic", action="store_true",
                         help="run against the built-in analytic scene (no ckpt)")
     parser.add_argument("--filter_render", type=str, default="dense",
-                        choices=["dense", "grid"],
+                        choices=["dense", "grid", "frozen"],
                         help="pose-filter render path: 'dense' = the "
                         "reference's differentiable run() (simulate.py:163-"
                         "166 sets cuda_ray=False for exactly this); 'grid' = "
                         "the occupancy fast path, which here IS pose-"
                         "differentiable (sample positions are stop-gradded "
-                        "but o + d*z keeps ray grads) — ~K/num_steps of the "
-                        "dense cost. Needs a full checkpoint with occupancy "
-                        "state (falls back to dense with a warning).")
+                        "but o + d*z keeps ray grads) — but re-marches every "
+                        "iteration (measured slower than dense at nav batch "
+                        "sizes); 'frozen' = march ONCE per update at the "
+                        "predicted pose, then every LM iteration shades only "
+                        "the K occupancy-pruned samples (GN optimizer only). "
+                        "grid/frozen need a full checkpoint with occupancy "
+                        "state (fall back to dense with a warning).")
     opt = parser.parse_args(argv)
     opt.cuda_ray = False
     cfg, rcfg, _, _ = make_configs(opt, for_nav=True)
@@ -153,6 +157,7 @@ def main(argv=None):
     def density_fn(x):
         return field.density_fn(x)[0]
 
+    march_fn = render_frozen_fn = None
     if opt.filter_render == "grid" and occupancy_state is not None:
         from nerfnav_tpu.models import render_rays_grid
         from nerfnav_tpu.ops.marching import MarchConfig
@@ -164,10 +169,27 @@ def main(argv=None):
         def render_fn(ro, rd):
             return render_rays_grid(field, occupancy_state, nav_mcfg, ro, rd,
                                     bg_color=1.0)
+    elif opt.filter_render == "frozen" and occupancy_state is not None:
+        from nerfnav_tpu.models import render_rays_frozen
+        from nerfnav_tpu.ops.marching import MarchConfig, march
+
+        nav_mcfg = MarchConfig(bound=opt.bound, max_steps=opt.max_steps,
+                               samples_per_ray=64, min_near=opt.min_near,
+                               grid_size=opt.grid_size)
+
+        def march_fn(ro, rd):
+            return march(ro, rd, occupancy_state, nav_mcfg)
+
+        def render_frozen_fn(ro, rd, z, dt, valid):
+            return render_rays_frozen(field, opt.bound, ro, rd, z, dt, valid,
+                                      bg_color=1.0)
+
+        def render_fn(ro, rd):   # debug/triptych renders stay dense
+            return render_rays(field, rcfg, ro, rd, bg_color=1.0)
     else:
-        if opt.filter_render == "grid":
-            print("[simulate] WARNING: --filter_render grid needs a full "
-                  "checkpoint with occupancy state; using dense path")
+        if opt.filter_render in ("grid", "frozen"):
+            print(f"[simulate] WARNING: --filter_render {opt.filter_render} "
+                  "needs a full checkpoint with occupancy state; using dense")
 
         def render_fn(ro, rd):
             return render_rays(field, rcfg, ro, rd, bg_color=1.0)
@@ -212,7 +234,8 @@ def main(argv=None):
                            batch_size=opt.estimator_batch)
     filt = Estimator(ecfg, dyn, render_fn, get_rays_fn,
                      body_state_to_camera_pose, workspace=ws,
-                     get_rays_at_fn=get_rays_at_fn)
+                     get_rays_at_fn=get_rays_at_fn,
+                     march_fn=march_fn, render_frozen_fn=render_frozen_fn)
     filt.set_initial_state(start12)
 
     def on_step(it, pair):

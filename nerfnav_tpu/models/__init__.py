@@ -12,6 +12,7 @@ from nerfnav_tpu.models.renderer import (
     RenderConfig,
     make_field,
     render_rays,
+    render_rays_frozen,
     render_rays_grid,
     render_rays_grid_rounds,
     render_image,
@@ -32,6 +33,7 @@ __all__ = [
     "RenderConfig",
     "make_field",
     "render_rays",
+    "render_rays_frozen",
     "render_rays_grid",
     "render_rays_grid_rounds",
     "render_image",

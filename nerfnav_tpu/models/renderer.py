@@ -410,6 +410,58 @@ def _shade_packed(field, rays_o, rays_d, z, dt, valid, budget: int,
     return buf[:, 0].reshape(n, k), buf[:, 1:].reshape(n, k, 3)
 
 
+def render_rays_frozen(field, bound, rays_o, rays_d, z, dt, valid,
+                       bg_color=1.0):
+    """Shade + composite at PRECOMPUTED sample depths — the march-free half
+    of render_rays_grid.
+
+    The pose filter's frozen-march mode marches ONCE per update at the
+    predicted pose and then optimizes the 12-dim state against these fixed
+    (z, dt, valid) buffers: positions o(pose) + d(pose) * z stay
+    differentiable (forward and reverse) w.r.t. the pose through the rays
+    while the sample lattice is constant. Within one filter update the pose
+    moves millimeters, so spans marched at the prediction stay on the
+    surface — unlike re-marching per iteration (the measured-slower
+    `--filter_render grid` mode), this costs K shaded samples per ray per
+    iteration and zero march work. Analogue of the reference's fixed
+    512-sample dense path (simulate.py:163-166) with occupancy-pruned
+    samples.
+
+    z, dt, valid: (N, K) from ops.marching.march. Returns the
+    render_rays_grid output dict (minus n_samples).
+    """
+    n, k = z.shape
+    z = jax.lax.stop_gradient(z)
+    dt = jax.lax.stop_gradient(dt)
+    pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    pos = jnp.clip(pos, -bound, bound)
+    sigmas, geo = field.density_fn(pos.reshape(-1, 3))
+    sigmas = jnp.where(valid.reshape(-1), sigmas, 0.0).reshape(n, k)
+
+    dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if field.encode_dir_fn is not None:
+        hd = field.encode_dir_fn(dirs)
+        hd = jnp.broadcast_to(
+            hd[:, None, :], (n, k, hd.shape[-1])
+        ).reshape(-1, hd.shape[-1])
+        rgbs = field.color_enc_fn(hd, geo).reshape(n, k, 3)
+    else:
+        dirs_b = jnp.broadcast_to(dirs[:, None, :], (n, k, 3)).reshape(-1, 3)
+        rgbs = field.color_fn(dirs_b, geo).reshape(n, k, 3)
+
+    image, depth, weights_sum, _ = composite(
+        sigmas, rgbs, dt, z, field.density_scale
+    )
+    if field.bg_fn is not None and field.bg_radius > 0:
+        sph = sph_from_ray(rays_o, rays_d, field.bg_radius)
+        bg = field.bg_fn(sph, rays_d)
+    else:
+        bg = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32), image.shape)
+    image = image + (1.0 - weights_sum)[:, None] * bg
+    image = jnp.clip(image, 0.0, 1.0)
+    return {"image": image, "depth": depth, "weights_sum": weights_sum}
+
+
 def render_rays_grid_rounds(
     field: Field,
     occupancy,

@@ -116,6 +116,8 @@ class Estimator:
         state_to_pose,
         workspace: str | None = None,
         get_rays_at_fn=None,
+        march_fn=None,
+        render_frozen_fn=None,
     ):
         """render_fn(rays_o, rays_d) -> {"image": (N,3)};
         get_rays_fn(pose 4x4) -> {"rays_o": (H*W,3), "rays_d": (H*W,3)};
@@ -123,12 +125,30 @@ class Estimator:
         reference injects (simulate.py:343-347).
         get_rays_at_fn (optional): (pose, flat pixel inds) -> rays for just
         those pixels; skips building all H*W ray directions per optimizer
-        iteration (data/rays.get_rays_at)."""
+        iteration (data/rays.get_rays_at).
+        march_fn + render_frozen_fn (optional, GN path only): frozen-march
+        mode. march_fn(rays_o, rays_d) -> {"z","dt","valid"} runs the
+        occupancy march ONCE per update at the PREDICTED pose;
+        render_frozen_fn(rays_o, rays_d, z, dt, valid) -> {"image"} shades
+        the frozen sample lattice (models.render_rays_frozen). Every LM
+        iteration then costs K occupancy-pruned samples per ray instead of
+        the dense path's num_steps, and no march — sound because one filter
+        update moves the pose millimeters. Requires get_rays_at_fn."""
         self.cfg = cfg
         self.dyn_cfg = dyn_cfg
         self.render_fn = render_fn
         self.get_rays_fn = get_rays_fn
         self.get_rays_at_fn = get_rays_at_fn
+        self.march_fn = march_fn
+        self.render_frozen_fn = render_frozen_fn
+        if (march_fn is not None) != (render_frozen_fn is not None):
+            raise ValueError("frozen-march mode needs BOTH march_fn and "
+                             "render_frozen_fn")
+        if march_fn is not None and get_rays_at_fn is None:
+            raise ValueError("frozen-march mode requires get_rays_at_fn")
+        if march_fn is not None and cfg.optimizer != "gn":
+            raise ValueError("frozen-march mode is a GN/LM-path feature "
+                             "(the Adam path resamples pixels per iteration)")
         self.state_to_pose = state_to_pose
         self.workspace = workspace
         if workspace:
@@ -218,11 +238,18 @@ class Estimator:
                 x, pool_inds, pool_count, gt_pixels, x_pred, sig_inv, key
             )
 
-        def residuals_of(x, inds, gt, x_pred, sig_chol):
+        march_fn = self.march_fn
+        render_frozen_fn = self.render_frozen_fn
+        frozen = march_fn is not None
+
+        def residuals_of(x, inds, gt, x_pred, sig_chol, frozen_zdv=None):
             """Stacked residual vector r with sum(r^2) == measurement_loss:
             photometric rows scaled so their square-sum is
             measurement_weight * mse, prior rows are the Cholesky-whitened
-            state error (r_p = C^T d with sig_inv = C C^T)."""
+            state error (r_p = C^T d with sig_inv = C C^T).
+
+            frozen_zdv: optional (z, dt, valid) sample lattice marched once
+            at the predicted pose (frozen-march mode)."""
             pose = state_to_pose(x)
             if get_rays_at_fn is not None:
                 rays = get_rays_at_fn(pose, inds)
@@ -231,7 +258,10 @@ class Estimator:
                 rays = get_rays_fn(pose)
                 ro = rays["rays_o"][inds]
                 rd = rays["rays_d"][inds]
-            out = render_fn(ro, rd)
+            if frozen_zdv is not None:
+                out = render_frozen_fn(ro, rd, *frozen_zdv)
+            else:
+                out = render_fn(ro, rd)
             scale = jnp.sqrt(cfg.measurement_weight / (gt.shape[0] * 3.0))
             r_photo = ((out["image"] - gt) * scale).reshape(-1)
             r_prior = sig_chol.T @ (x - x_pred)
@@ -255,11 +285,22 @@ class Estimator:
             bj = min(cfg.gn_jac_batch, cfg.batch_size)
             inds_j, gt_j = inds[:bj], gt[:bj]
 
+            zdv = zdv_j = None
+            if frozen:
+                # march ONCE at the predicted pose (x0 == x_pred at entry);
+                # the lattice is a constant through every LM iteration and
+                # through the linearization (no march inside the solve)
+                rays0 = get_rays_at_fn(state_to_pose(x0), inds)
+                m = march_fn(rays0["rays_o"], rays0["rays_d"])
+                zdv = (jax.lax.stop_gradient(m["z"]),
+                       jax.lax.stop_gradient(m["dt"]), m["valid"])
+                zdv_j = tuple(a[:bj] for a in zdv)
+
             def res(x):
-                return residuals_of(x, inds, gt, x_pred, sig_chol)
+                return residuals_of(x, inds, gt, x_pred, sig_chol, zdv)
 
             def res_j(x):
-                return residuals_of(x, inds_j, gt_j, x_pred, sig_chol)
+                return residuals_of(x, inds_j, gt_j, x_pred, sig_chol, zdv_j)
 
             eye = jnp.eye(12, dtype=jnp.float32)
 

@@ -180,6 +180,80 @@ class TestEstimator:
         assert np.all(np.isfinite(x_est))
         assert np.all(np.isfinite(est.sig))
 
+    def test_frozen_march_filter_recovers_pose(self, field, closures):
+        """Frozen-march mode: march once at the predicted pose, optimize the
+        pose against the frozen sample lattice. Must recover a perturbed
+        pose like the dense path (the lattice marched at the prediction
+        still covers the surface for mm-to-cm pose errors)."""
+        from nerfnav_tpu.data.rays import get_rays_at
+        from nerfnav_tpu.models import render_rays_frozen
+        from nerfnav_tpu.ops.marching import MarchConfig, march
+        from nerfnav_tpu.ops.morton import pack_blocks, packbits
+
+        render_fn, get_rays_fn = closures
+        mcfg = MarchConfig(bound=1.0, grid_size=32, max_steps=128,
+                           samples_per_ray=24, min_near=0.05)
+        Hg = mcfg.grid_size
+        ii = np.arange(Hg**3)
+        cells = (np.stack([ii // (Hg * Hg), (ii // Hg) % Hg, ii % Hg], -1)
+                 + 0.5) / Hg * 2 - 1
+        sig = np.asarray(field.density_fn(jnp.asarray(cells, jnp.float32))[0])
+        occ = (sig > 2.0)[None]
+        hc = Hg // mcfg.coarse_factor
+        f = mcfg.coarse_factor
+        occ_c = occ.reshape(1, hc, f, hc, f, hc, f).max(
+            axis=(2, 4, 6)).reshape(1, -1)
+        occupancy = {
+            "bitfield": packbits(jnp.asarray(occ.astype(np.float32))),
+            "blocks": pack_blocks(jnp.asarray(occ), Hg),
+            "blocks_coarse": pack_blocks(jnp.asarray(occ_c), hc, block=8),
+        }
+
+        intr = jnp.asarray([FOCAL, FOCAL, W / 2, H / 2])
+        x_true = start_state()
+        cfg = AgentConfig(dyn=DynamicsConfig(), H=H, W=W, focal=FOCAL,
+                          backend="nerf")
+        agent = Agent(x_true, cfg, field=field, render_chunk=H * W)
+        pose_true = np.asarray(body_state_to_camera_pose(jnp.asarray(x_true)))
+        obs = agent.get_img(pose_true)
+
+        est_cfg = EstimatorConfig(batch_size=512, pool_size=4096,
+                                  optimizer="gn")
+        est = Estimator(
+            est_cfg, DynamicsConfig(), render_fn, get_rays_fn,
+            body_state_to_camera_pose,
+            get_rays_at_fn=lambda pose, inds: get_rays_at(pose, intr, W, inds),
+            march_fn=lambda ro, rd: march(ro, rd, occupancy, mcfg),
+            render_frozen_fn=lambda ro, rd, z, dt, valid: render_rays_frozen(
+                field, 1.0, ro, rd, z, dt, valid, bg_color=1.0),
+        )
+        x0 = x_true.copy()
+        x0[0:3] += [0.05, -0.03, 0.04]
+        x0[6:9] += [0.0, 0.0, 0.04]
+        est.set_initial_state(x0)
+        err_before = np.linalg.norm(x0[0:3] - x_true[0:3])
+        x_est = est.estimate_state(obs, pose_true, np.array([10.0, 0, 0, 0]))
+        err_after = np.linalg.norm(x_est[0:3] - x_true[0:3])
+        assert err_after < err_before * 0.5, (err_before, err_after)
+        assert np.all(np.isfinite(est.sig))
+
+    def test_frozen_march_mode_validation(self, closures):
+        """Frozen mode demands both closures, get_rays_at_fn, and GN."""
+        render_fn, get_rays_fn = closures
+        dummy = lambda *a: None  # noqa: E731
+        with pytest.raises(ValueError, match="BOTH"):
+            Estimator(EstimatorConfig(), DynamicsConfig(), render_fn,
+                      get_rays_fn, body_state_to_camera_pose, march_fn=dummy)
+        with pytest.raises(ValueError, match="get_rays_at_fn"):
+            Estimator(EstimatorConfig(), DynamicsConfig(), render_fn,
+                      get_rays_fn, body_state_to_camera_pose,
+                      march_fn=dummy, render_frozen_fn=dummy)
+        with pytest.raises(ValueError, match="GN"):
+            Estimator(EstimatorConfig(optimizer="adam"), DynamicsConfig(),
+                      render_fn, get_rays_fn, body_state_to_camera_pose,
+                      get_rays_at_fn=dummy, march_fn=dummy,
+                      render_frozen_fn=dummy)
+
     def test_no_features_returns_prior(self, closures):
         render_fn, get_rays_fn = closures
         est = Estimator(EstimatorConfig(), DynamicsConfig(), render_fn,
