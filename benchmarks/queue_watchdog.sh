@@ -15,13 +15,15 @@ log() { echo "[$(date +%H:%M:%S)] $*" >> /tmp/queue_watchdog.log; }
 log "watchdog up (pid $$)"
 
 # queue N -> (script, log file, done marker)
-SCRIPTS=(run_r2_queue.sh run_r2_queue2.sh run_r2_queue3.sh run_r2_queue4.sh)
-LOGS=(/tmp/r2_queue.log /tmp/r2_queue2.log /tmp/r2_queue3.log /tmp/r2_queue4.log)
-MARKS=("QUEUE DONE" "QUEUE2 DONE" "QUEUE3 DONE" "QUEUE4 DONE")
+SCRIPTS=(run_r2_queue.sh run_r2_queue2.sh run_r2_queue3.sh run_r2_queue4.sh
+         run_r2_queue5.sh)
+LOGS=(/tmp/r2_queue.log /tmp/r2_queue2.log /tmp/r2_queue3.log
+      /tmp/r2_queue4.log /tmp/r2_queue5.log)
+MARKS=("QUEUE DONE" "QUEUE2 DONE" "QUEUE3 DONE" "QUEUE4 DONE" "QUEUE5 DONE")
 
 while true; do
   all_done=1
-  for qi in 0 1 2 3; do
+  for qi in 0 1 2 3 4; do
     if ! grep -q "${MARKS[$qi]}" "${LOGS[$qi]}" 2>/dev/null; then
       all_done=0
       if ! pgrep -x -f "bash benchmarks/${SCRIPTS[$qi]}" >/dev/null 2>&1; then

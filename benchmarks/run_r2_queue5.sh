@@ -1,0 +1,27 @@
+#!/bin/bash
+# Fifth chip wave: frozen-march filter A/B (nav loop) + any flagship combo
+# re-bench. Starts after QUEUE4 DONE; one TPU process at a time.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+log() { echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/r2_queue5.log; }
+
+log "waiting for queue 4..."
+for i in $(seq 1 600); do
+  grep -q "QUEUE4 DONE" /tmp/r2_queue4.log 2>/dev/null && break
+  sleep 60
+done
+grep -q "QUEUE4 DONE" /tmp/r2_queue4.log || { log "queue 4 never finished"; exit 1; }
+
+run() {
+  name=$1; shift
+  log "START $name: $*"
+  timeout 1800 "$@" > "/tmp/q5_$name.log" 2>&1
+  rc=$?
+  log "END $name rc=$rc: $(tail -1 /tmp/q5_$name.log)"
+}
+
+# dense vs grid vs frozen filter under the LM optimizer (dense/gn was 227 ms)
+run nav_frozen python benchmarks/nav_bench.py --filter_render all --filter_opt gn
+log "QUEUE5 DONE"
