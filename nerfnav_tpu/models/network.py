@@ -70,6 +70,10 @@ class NetworkConfig:
     grid_layout: str = "corner"      # "corner" (reference-exact) | "cell" (TPU-fast)
     # table-gradient strategy: "xla" scatter-add | "sort" segment-sum
     grid_backward: str = "xla"
+    # lattice convention: "vertex" (native) | "ngp" (reference CUDA kernel —
+    # required for checkpoints imported from torch-ngp, see
+    # ops/hashgrid.HashGridConfig.coord_convention)
+    grid_coord_convention: str = "vertex"
 
     @cached_property
     def grid(self) -> HashGridConfig:
@@ -83,6 +87,7 @@ class NetworkConfig:
             gridtype="tiled" if self.encoding == "tiledgrid" else "hash",
             layout=self.grid_layout,
             backward=self.grid_backward,
+            coord_convention=self.grid_coord_convention,
         )
 
     @cached_property
@@ -95,6 +100,7 @@ class NetworkConfig:
             base_resolution=16,
             log2_hashmap_size=19,
             desired_resolution=2048,
+            coord_convention=self.grid_coord_convention,
         )
 
     @cached_property

@@ -59,6 +59,18 @@ class HashGridConfig:
     #          rows via cumsum-diff, then ONE unique-sorted scatter — trades
     #          the collision-serialized scatter for a sort+gathers.
     backward: str = "xla"  # "xla" | "sort"
+    # Lattice coordinate convention:
+    #  "vertex": pos = x01 * R — cells of width 1/R from the domain edge
+    #            (this framework's native convention; all round-1/2
+    #            checkpoints use it).
+    #  "ngp":    pos = x01 * (base * s^l - 1) + 0.5 with the FRACTIONAL
+    #            per-level scale — bit-matches the reference CUDA kernel
+    #            (gridencoder.cu:126-138: scale = exp2f(level*S)*H - 1,
+    #            pos = input*scale + 0.5), including its d-ascending dense
+    #            index strides (gridencoder.cu:55-62). Required to evaluate
+    #            tables imported from reference torch-ngp checkpoints
+    #            (scripts/import_torch_ckpt.py).
+    coord_convention: str = "vertex"  # "vertex" | "ngp"
 
     @cached_property
     def scale(self) -> float:
@@ -192,6 +204,13 @@ def _corner_indices(config: HashGridConfig, level: int, grid_coords: jnp.ndarray
         for d in range(1, config.input_dim):
             idx = idx ^ (gc[..., d] * np.uint32(_PRIMES[d]))
         idx = idx & np.uint32(2**config.log2_hashmap_size - 1)
+    elif config.coord_convention == "ngp":
+        # reference dense order: x + y*(R+1) + z*(R+1)^2 (gridencoder.cu:55-62)
+        idx = gc[..., config.input_dim - 1]
+        for d in range(config.input_dim - 2, -1, -1):
+            idx = idx * np.uint32(r + 1) + gc[..., d]
+        if not stride_fits:  # tiled overflow: wrap by modulo
+            idx = idx % np.uint32(size)
     else:
         idx = gc[..., 0]
         for d in range(1, config.input_dim):
@@ -252,7 +271,14 @@ def hash_grid_encode(
     outs = []
     for level in range(config.num_levels):
         r = config.resolutions[level]
-        pos = x01c * r  # grid of r+1 vertices per axis
+        if config.coord_convention == "ngp":
+            # reference kernel lattice (gridencoder.cu:130-138): fractional
+            # per-level scale, half-cell offset; floor lands in 0..R-1 and
+            # corner +1 reaches R — the (R+1)^D vertex table
+            scale_l = config.base_resolution * (config.scale**level) - 1.0
+            pos = x01c * scale_l + 0.5
+        else:
+            pos = x01c * r  # grid of r+1 vertices per axis
         pf = jnp.clip(jnp.floor(pos), 0, r - 1)
         frac = pos - pf  # (N, D) in [0, 1]
         # trilinear weights: prod over dims of (bit ? frac : 1-frac)

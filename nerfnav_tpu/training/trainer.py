@@ -819,11 +819,17 @@ class Trainer:
             "level_dim": self.cfg.grid_level_dim,
             "log2_hashmap_size": self.cfg.grid_log2_hashmap_size,
             "layout": self.cfg.grid_layout,
+            "coord_convention": self.cfg.grid_coord_convention,
+            "max_resolution": self.cfg.grid_max_resolution,
         }
 
     def _check_grid_meta(self, meta: dict, path: str):
         saved = meta.get("grid")
-        if saved and saved != self._grid_meta():
+        # compare only keys the file recorded: older checkpoints predate
+        # some fields (e.g. coord_convention) and must keep loading
+        if saved and any(
+            v != saved[k] for k, v in self._grid_meta().items() if k in saved
+        ):
             raise ValueError(
                 f"checkpoint {path} was trained with grid architecture "
                 f"{saved}, but the resolved config is {self._grid_meta()} — "
