@@ -40,21 +40,40 @@ class PSNRMeter:
 
 
 class LPIPSMeter:
-    """LPIPS perceptual metric (utils.py:221-255). Requires pretrained weights;
-    unavailable offline — `available` is False and update() raises with a
-    clear message rather than silently returning garbage."""
+    """LPIPS perceptual metric (utils.py:221-255).
 
-    def __init__(self, net: str = "alex"):
+    Weight sources, in order:
+      1. `weights_path` — an `lpips.LPIPS(net='alex').state_dict()` file the
+         user supplies (see training/lpips_jax.py for the one-liner that
+         produces it on an online machine); runs the native JAX
+         implementation.
+      2. the `lpips` pip package, if installed with its pretrained weights.
+    With neither, `available` is False and update() raises with a clear
+    message rather than silently returning garbage (pretrained weights
+    cannot be fetched in this zero-egress environment)."""
+
+    def __init__(self, net: str = "alex", weights_path: str | None = None):
         self.net = net
         self.V = 0.0
         self.N = 0
+        self._fn = None
+        self._jax_fn = None
+        if weights_path is not None:
+            from nerfnav_tpu.training.lpips_jax import LPIPS
+
+            if net != "alex":
+                raise ValueError(
+                    "the native JAX LPIPS implements the 'alex' backbone; "
+                    "use the lpips package for vgg/squeeze")
+            self._jax_fn = LPIPS(weights_path)
+            self.available = True
+            return
         try:
             import lpips  # noqa: F401
 
             self._fn = lpips.LPIPS(net=net)
             self.available = True
         except Exception:
-            self._fn = None
             self.available = False
 
     def clear(self):
@@ -64,14 +83,21 @@ class LPIPSMeter:
     def update(self, preds, truths):
         if not self.available:
             raise RuntimeError(
-                "LPIPS requires the `lpips` package with pretrained weights, "
-                "unavailable in this offline environment"
+                "LPIPS needs pretrained weights: pass "
+                "LPIPSMeter(weights_path=...) with a saved "
+                "lpips.LPIPS(net='alex').state_dict() (see "
+                "training/lpips_jax.py), or install the `lpips` package — "
+                "weights cannot be fetched in this offline environment"
             )
-        import torch
+        if self._jax_fn is not None:
+            v = self._jax_fn(np.asarray(preds, np.float32),
+                             np.asarray(truths, np.float32))
+        else:
+            import torch
 
-        p = torch.from_numpy(np.asarray(preds)).permute(2, 0, 1)[None] * 2 - 1
-        t = torch.from_numpy(np.asarray(truths)).permute(2, 0, 1)[None] * 2 - 1
-        v = float(self._fn(p.float(), t.float()).item())
+            p = torch.from_numpy(np.asarray(preds)).permute(2, 0, 1)[None] * 2 - 1
+            t = torch.from_numpy(np.asarray(truths)).permute(2, 0, 1)[None] * 2 - 1
+            v = float(self._fn(p.float(), t.float()).item())
         self.V += v
         self.N += 1
         return v
