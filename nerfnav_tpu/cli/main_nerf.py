@@ -32,9 +32,21 @@ def main(argv=None):
         rand_pose=opt.rand_pose, clip_text=opt.clip_text,
         eval_table_dtype=opt.eval_table_dtype,
     )
-    # Poseless/CLIP mode needs a jax-differentiable scorer; the Trainer
-    # raises a gated error when none is injectable (offline weights).
-    trainer = Trainer(cfg, rcfg, topt, occupancy_cfg=occ_cfg, march_cfg=march_cfg)
+    # Poseless/CLIP mode: with --clip_weights + --clip_text_embed the native
+    # JAX vision tower scores renders (training/clip_jax.py); without them
+    # the Trainer raises its gated error (weights unfetchable offline).
+    clip_loss_fn = None
+    if opt.clip_weights is not None:
+        from nerfnav_tpu.training.clip_jax import make_clip_loss_fn
+
+        if opt.clip_text_embed is None:
+            raise SystemExit(
+                "--clip_weights needs --clip_text_embed (a .npy text "
+                "embedding precomputed with the text tower; see "
+                "training/clip_jax.py)")
+        clip_loss_fn = make_clip_loss_fn(opt.clip_weights, opt.clip_text_embed)
+    trainer = Trainer(cfg, rcfg, topt, occupancy_cfg=occ_cfg,
+                      march_cfg=march_cfg, clip_loss_fn=clip_loss_fn)
 
     if opt.test:
         val_ds = NeRFDataset(ds_opt, split="val")
