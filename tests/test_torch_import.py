@@ -259,6 +259,39 @@ class TestImportStateDict:
                                 np.asarray([32.0, 32.0, 16.0, 16.0]), 32, 32)
         assert np.all(np.isfinite(np.asarray(img)))
 
+    def test_export_roundtrip(self, tmp_path):
+        """torch -> import -> export -> torch must reproduce every tensor
+        (incl. the Morton-indexed density grid)."""
+        torch = pytest.importorskip("torch")
+
+        rng = np.random.default_rng(5)
+        sd_np, _, _ = make_ref_state_dict(rng, with_grid=True, grid_size=32)
+        # the density EMA in _finish_update leaves values intact only where
+        # grid >= 0; imported grids pass through exactly
+        pth = str(tmp_path / "ref.pth")
+        torch.save({"model": {k: torch.from_numpy(v)
+                              for k, v in sd_np.items()}}, pth)
+
+        from nerfnav_tpu.scripts.export_torch_ckpt import main as export_main
+        from nerfnav_tpu.scripts.import_torch_ckpt import main as import_main
+
+        mid = str(tmp_path / "ngp_ep0001.npz")
+        import_main([pth, "--out", mid, "--bound", "1.0",
+                     "--log2_hashmap_size", "12", "--grid_size", "32",
+                     "--desired_resolution", "256"])
+        out = str(tmp_path / "back.pth")
+        export_main([mid, "--out", out, "--grid_size", "32"])
+
+        back = {k: v.numpy() for k, v in
+                torch.load(out, weights_only=False)["model"].items()}
+        for k, v in sd_np.items():
+            if k == "encoder.offsets":
+                np.testing.assert_array_equal(back[k], v)
+            elif k == "density_grid":
+                np.testing.assert_allclose(back[k], v, rtol=1e-6)
+            else:
+                np.testing.assert_allclose(back[k], v, rtol=1e-6, err_msg=k)
+
     def test_grid_meta_mismatch_fails_loudly(self, tmp_path):
         """Loading an imported (ngp) checkpoint under the native vertex
         convention must raise, not render garbage."""
