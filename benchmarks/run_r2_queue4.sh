@@ -9,12 +9,12 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/r2_queue4.log; }
 
-log "waiting for queue 3..."
+log "waiting for queue 5 (frozen-filter A/B runs first; this is the long run)..."
 for i in $(seq 1 600); do
-  grep -q "QUEUE3 DONE" /tmp/r2_queue3.log 2>/dev/null && break
+  grep -q "QUEUE5 DONE" /tmp/r2_queue5.log 2>/dev/null && break
   sleep 60
 done
-grep -q "QUEUE3 DONE" /tmp/r2_queue3.log || { log "queue 3 never finished"; exit 1; }
+grep -q "QUEUE5 DONE" /tmp/r2_queue5.log || { log "queue 5 never finished"; exit 1; }
 
 log "START stonehenge800: quality_check 800^2 x50 views, 30k steps, flagship"
 timeout 7200 python benchmarks/quality_check.py --layout cell --levels 4 \

@@ -7,12 +7,12 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/r2_queue5.log; }
 
-log "waiting for queue 4..."
+log "waiting for queue 3..."
 for i in $(seq 1 600); do
-  grep -q "QUEUE4 DONE" /tmp/r2_queue4.log 2>/dev/null && break
+  grep -q "QUEUE3 DONE" /tmp/r2_queue3.log 2>/dev/null && break
   sleep 60
 done
-grep -q "QUEUE4 DONE" /tmp/r2_queue4.log || { log "queue 4 never finished"; exit 1; }
+grep -q "QUEUE3 DONE" /tmp/r2_queue3.log || { log "queue 3 never finished"; exit 1; }
 
 run() {
   name=$1; shift
