@@ -324,21 +324,8 @@ def render_rays_grid(
             field, rays_o, rays_d, z, dt, valid, sample_budget, mcfg.bound
         )
     else:
-        pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-        pos = jnp.clip(pos, -mcfg.bound, mcfg.bound)
-        sigmas, geo = field.density_fn(pos.reshape(-1, 3))
-        sigmas = jnp.where(valid.reshape(-1), sigmas, 0.0).reshape(n, k)
-
-        dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        if field.encode_dir_fn is not None:
-            hd = field.encode_dir_fn(dirs)               # (N, E) once per ray
-            hd = jnp.broadcast_to(
-                hd[:, None, :], (n, k, hd.shape[-1])
-            ).reshape(-1, hd.shape[-1])
-            rgbs = field.color_enc_fn(hd, geo).reshape(n, k, 3)
-        else:
-            dirs = jnp.broadcast_to(dirs[:, None, :], (n, k, 3)).reshape(-1, 3)
-            rgbs = field.color_fn(dirs, geo).reshape(n, k, 3)
+        sigmas, rgbs = _shade_dense(field, rays_o, rays_d, z, valid,
+                                    mcfg.bound)
 
     image, depth, weights_sum, _ = composite(
         sigmas, rgbs, dt, z, field.density_scale
@@ -352,6 +339,30 @@ def render_rays_grid(
     image = jnp.clip(image, 0.0, 1.0)
     return {"image": image, "depth": depth, "weights_sum": weights_sum,
             "n_samples": n_samples}
+
+
+def _shade_dense(field, rays_o, rays_d, z, valid, bound: float):
+    """Field evaluation over the full (N, K) sample lattice: density at
+    o + d*z (invalid slots zeroed), color from per-ray-encoded directions
+    broadcast over samples. Shared by render_rays_grid (unpacked branch)
+    and render_rays_frozen."""
+    n, k = z.shape
+    pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    pos = jnp.clip(pos, -bound, bound)
+    sigmas, geo = field.density_fn(pos.reshape(-1, 3))
+    sigmas = jnp.where(valid.reshape(-1), sigmas, 0.0).reshape(n, k)
+
+    dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if field.encode_dir_fn is not None:
+        hd = field.encode_dir_fn(dirs)                   # (N, E) once per ray
+        hd = jnp.broadcast_to(
+            hd[:, None, :], (n, k, hd.shape[-1])
+        ).reshape(-1, hd.shape[-1])
+        rgbs = field.color_enc_fn(hd, geo).reshape(n, k, 3)
+    else:
+        dirs_b = jnp.broadcast_to(dirs[:, None, :], (n, k, 3)).reshape(-1, 3)
+        rgbs = field.color_fn(dirs_b, geo).reshape(n, k, 3)
+    return sigmas, rgbs
 
 
 def _shade_packed(field, rays_o, rays_d, z, dt, valid, budget: int,
@@ -430,24 +441,9 @@ def render_rays_frozen(field, bound, rays_o, rays_d, z, dt, valid,
     z, dt, valid: (N, K) from ops.marching.march. Returns the
     render_rays_grid output dict (minus n_samples).
     """
-    n, k = z.shape
     z = jax.lax.stop_gradient(z)
     dt = jax.lax.stop_gradient(dt)
-    pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-    pos = jnp.clip(pos, -bound, bound)
-    sigmas, geo = field.density_fn(pos.reshape(-1, 3))
-    sigmas = jnp.where(valid.reshape(-1), sigmas, 0.0).reshape(n, k)
-
-    dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    if field.encode_dir_fn is not None:
-        hd = field.encode_dir_fn(dirs)
-        hd = jnp.broadcast_to(
-            hd[:, None, :], (n, k, hd.shape[-1])
-        ).reshape(-1, hd.shape[-1])
-        rgbs = field.color_enc_fn(hd, geo).reshape(n, k, 3)
-    else:
-        dirs_b = jnp.broadcast_to(dirs[:, None, :], (n, k, 3)).reshape(-1, 3)
-        rgbs = field.color_fn(dirs_b, geo).reshape(n, k, 3)
+    sigmas, rgbs = _shade_dense(field, rays_o, rays_d, z, valid, bound)
 
     image, depth, weights_sum, _ = composite(
         sigmas, rgbs, dt, z, field.density_scale
