@@ -82,6 +82,19 @@ def main():
         g = jax.grad(lambda t: enc(t, x).sum())(tables)
         return sum(t.sum() for t in g)
 
+    # ---- bf16 scatter variant: take from bf16 tables so the backward
+    # scatter-add runs on bf16 rows (half the scattered bytes; per-row cost
+    # question). Master tables would stay fp32 and receive the cast-up sum.
+    tables_bf16 = [t.astype(jnp.bfloat16) for t in tables]
+
+    @jax.jit
+    def f_gt_bf16(x):
+        def loss(t):
+            return enc(t, x).astype(jnp.float32).sum()
+
+        g = jax.grad(loss)(tables_bf16)
+        return sum(t.astype(jnp.float32).sum() for t in g)
+
     # ---- sort-based manual table grad (per level)
     def table_grad_sort(x):
         x01 = (x + BOUND) / (2 * BOUND)
@@ -183,6 +196,7 @@ def main():
     bench(f_fwd, "fwd encode")
     bench(f_gx, "grad wrt x only")
     bench(f_gt_xla, "grad tables (xla)")
+    bench(f_gt_bf16, "grad tables (bf16)")
     bench(f_gt_sort, "grad tables (sort)")
     bench(f_gt_matmul, "grad tables (matmul)")
     bench(f_full, "grad full density")
