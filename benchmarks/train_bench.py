@@ -18,7 +18,8 @@ enable_compilation_cache()
 
 def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
          levels=16, level_dim=2, log2=None, shell=False, budget=True,
-         grid_backward="xla", coarse_segments=16, coarse_anchors=3):
+         grid_backward="xla", coarse_segments=16, coarse_anchors=3,
+         table_dtype="float32"):
     """shell=True replaces the random-init occupancy with a converged-scene
     sphere shell (valid-sample fraction ~0.1 like a trained scene) — the
     regime where the point-budget packed shade pays; budget=False disables
@@ -37,7 +38,8 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
                             log2 if log2 is not None
                             else 16 if layout == "cell" else 19
                         ),
-                        grid_backward=grid_backward)
+                        grid_backward=grid_backward,
+                        grid_table_dtype=table_dtype)
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.2)
     opt = TrainerOptions(name="bench", workspace="/tmp/nerfnav_train_bench",
                          num_rays=num_rays, use_checkpoint="scratch",
@@ -121,8 +123,12 @@ if __name__ == "__main__":
                     help="march trim: phase-A segment budget (training keeps "
                          "16 by default; the render flagship uses 12)")
     ap.add_argument("--coarse_anchors", type=int, default=3)
+    ap.add_argument("--table_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bf16 table gathers/scatters (fp32 masters)")
     a = ap.parse_args()
     main(num_rays=a.num_rays, layout=a.layout, levels=a.levels,
          level_dim=a.level_dim, log2=a.log2, shell=a.shell,
          budget=not a.no_budget, grid_backward=a.grid_backward,
-         coarse_segments=a.coarse_segments, coarse_anchors=a.coarse_anchors)
+         coarse_segments=a.coarse_segments, coarse_anchors=a.coarse_anchors,
+         table_dtype=a.table_dtype)

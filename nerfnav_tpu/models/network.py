@@ -74,6 +74,10 @@ class NetworkConfig:
     # required for checkpoints imported from torch-ngp, see
     # ops/hashgrid.HashGridConfig.coord_convention)
     grid_coord_convention: str = "vertex"
+    # table compute dtype: "bfloat16" gathers/scatters table rows in bf16
+    # while the fp32 masters feed the optimizer (HashGridConfig
+    # .table_compute_dtype)
+    grid_table_dtype: str = "float32"
 
     @cached_property
     def grid(self) -> HashGridConfig:
@@ -88,6 +92,7 @@ class NetworkConfig:
             layout=self.grid_layout,
             backward=self.grid_backward,
             coord_convention=self.grid_coord_convention,
+            table_compute_dtype=self.grid_table_dtype,
         )
 
     @cached_property

@@ -71,6 +71,13 @@ class HashGridConfig:
     #            tables imported from reference torch-ngp checkpoints
     #            (scripts/import_torch_ckpt.py).
     coord_convention: str = "vertex"  # "vertex" | "ngp"
+    # Table compute dtype for the encode (master params stay fp32 for the
+    # optimizer): "bfloat16" casts each level's table before the gather, so
+    # the forward gathers and — the training bottleneck — the backward
+    # scatter-add rows run on half the bytes; the cast-up of the summed
+    # gradient back to fp32 happens once per table per step. Interpolation
+    # weights and accumulation stay fp32 either way.
+    table_compute_dtype: str = "float32"  # "float32" | "bfloat16"
 
     @cached_property
     def scale(self) -> float:
@@ -270,6 +277,10 @@ def hash_grid_encode(
     # tensor (which OOMs HBM at marching-scale N ~ 10^6 points).
     outs = []
     for level in range(config.num_levels):
+        lvl_table = table[level]
+        if (config.table_compute_dtype == "bfloat16"
+                and lvl_table.dtype == jnp.float32):
+            lvl_table = lvl_table.astype(jnp.bfloat16)
         r = config.resolutions[level]
         if config.coord_convention == "ngp":
             # reference kernel lattice (gridencoder.cu:130-138): fractional
@@ -288,13 +299,13 @@ def hash_grid_encode(
         )  # (N, 2^D)
         if config.layout == "cell":
             idx = _cell_indices(config, level, pf)  # (N,)
-            feats = _take_rows(table[level], idx, config).reshape(
+            feats = _take_rows(lvl_table, idx, config).reshape(
                 n, num_corners, config.level_dim
             )
         else:
             corners = pf[:, None, :] + bits[None]  # (N, 2^D, D)
             idx = _corner_indices(config, level, corners)  # (N, 2^D)
-            feats = _take_rows(table[level], idx.reshape(-1), config).reshape(
+            feats = _take_rows(lvl_table, idx.reshape(-1), config).reshape(
                 n, num_corners, config.level_dim
             )
         outs.append(jnp.sum(feats.astype(jnp.float32) * w[..., None], axis=1))

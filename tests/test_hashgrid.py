@@ -237,3 +237,31 @@ class TestEncode:
         # x-gradients still flow (interp weights bypass the custom vjp)
         gx = jax.grad(lambda xx: loss(c2)(table, xx))(x)
         assert np.any(np.asarray(gx) != 0)
+
+    def test_bf16_table_compute_close_to_fp32(self):
+        """table_compute_dtype="bfloat16": forward within bf16 tolerance of
+        fp32 and table gradients flow (fp32 leaves, bf16 scatter inside)."""
+        import dataclasses
+
+        c = HashGridConfig(num_levels=4, level_dim=4, base_resolution=4,
+                           desired_resolution=32, log2_hashmap_size=7,
+                           layout="cell")
+        c16 = dataclasses.replace(c, table_compute_dtype="bfloat16")
+        table = hash_grid_init(jax.random.PRNGKey(0), c)
+        # magnify features beyond the 1e-4 init so bf16 tolerance is visible
+        table = [t * 1e3 for t in table]
+        x = jax.random.uniform(jax.random.PRNGKey(1), (129, 3),
+                               minval=-0.9, maxval=0.9)
+        o32 = np.asarray(hash_grid_encode(table, x, c))
+        o16 = np.asarray(hash_grid_encode(table, x, c16))
+        np.testing.assert_allclose(o16, o32, rtol=2e-2, atol=1e-3)
+        assert not np.array_equal(o16, o32)  # the cast actually happened
+
+        g = jax.grad(lambda t: jnp.sum(hash_grid_encode(t, x, c16) ** 2))(
+            table)
+        g32 = jax.grad(lambda t: jnp.sum(hash_grid_encode(t, x, c) ** 2))(
+            table)
+        for a, b in zip(g, g32):
+            assert a.dtype == jnp.float32  # master-param gradient dtype
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=2e-2 * 1e3)
