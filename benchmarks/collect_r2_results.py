@@ -12,7 +12,9 @@ import os
 
 def main():
     rows = []
-    for path in sorted(glob.glob("/tmp/q*_*.log")):
+    paths = sorted(set(glob.glob("/tmp/q_*.log"))
+                   | set(glob.glob("/tmp/q[0-9]_*.log")))
+    for path in paths:
         name = os.path.basename(path)[:-4]
         jsons = []
         try:

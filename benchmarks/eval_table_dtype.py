@@ -68,7 +68,8 @@ def main():
     tr.stats["best_result"] = 1e9   # don't clobber the stored best ckpt
 
     out = {}
-    out["fp32"] = round(tr.evaluate(val_ds, use_ema=True), 2)
+    # 4 decimals: the delta this A/B measures is ~1e-4 dB
+    out["fp32"] = round(tr.evaluate(val_ds, use_ema=True), 4)
     print(json.dumps({"fp32": out["fp32"]}), flush=True)
 
     # cast the trained tables (eval uses ema_params)
@@ -76,7 +77,7 @@ def main():
     ema["encoder"] = [t.astype(jnp.bfloat16) for t in ema["encoder"]]
     tr.state = tr.state._replace(ema_params=ema)
     tr._render_chunk_fn = None
-    out["bf16_tables"] = round(tr.evaluate(val_ds, use_ema=True), 2)
+    out["bf16_tables"] = round(tr.evaluate(val_ds, use_ema=True), 4)
     print(json.dumps(out))
 
 

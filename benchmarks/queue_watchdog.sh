@@ -29,9 +29,9 @@ while true; do
     if ! grep -q "${MARKS[$qi]}" "${LOGS[$qi]}" 2>/dev/null; then
       all_done=0
       if ! pgrep -x -f "bash benchmarks/${SCRIPTS[$qi]}" >/dev/null 2>&1; then
-        log "queue $((qi+1)) not running and not done -> relaunch"
+        log "${SCRIPTS[$qi]} not running and not done -> relaunch"
         nohup bash "benchmarks/${SCRIPTS[$qi]}" \
-          >> "/tmp/r2_queue$((qi+1))_stdout.log" 2>&1 &
+          >> "/tmp/${SCRIPTS[$qi]%.sh}_stdout.log" 2>&1 &
       fi
       break   # only supervise the first unfinished queue
     fi

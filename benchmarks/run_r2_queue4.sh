@@ -1,8 +1,8 @@
 #!/bin/bash
-# Fourth chip wave: the Stonehenge-class at-scale quality run (VERDICT weak
+# LONG chip wave: the Stonehenge-class at-scale quality run (VERDICT weak
 # #3: no real-scale PSNR evidence existed — 800^2, 50 views, reference 30k
-# schedule, flagship grid). Starts after QUEUE3 DONE; one TPU process at a
-# time.
+# schedule, flagship grid). Starts after QUEUE5 DONE (the quick waves run
+# first); one TPU process at a time.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site

@@ -1,6 +1,6 @@
 #!/bin/bash
-# Fifth chip wave: frozen-march filter A/B (nav loop) + any flagship combo
-# re-bench. Starts after QUEUE4 DONE; one TPU process at a time.
+# Quick chip wave: frozen-march filter A/B (nav loop). Starts after
+# QUEUE3 DONE and BEFORE the long queue-4 run; one TPU process at a time.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site

@@ -48,6 +48,17 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="table layout: corner = reference-exact vertex "
                    "hashing (default); cell = TPU-fast one-wide-gather-per-"
                    "level (default under -O)")
+    p.add_argument("--grid_max_resolution", type=int, default=2048,
+                   help="finest hash level resolution per unit bound "
+                   "(desired_resolution = this * bound; reference "
+                   "network.py:31 hardcodes 2048). Match a checkpoint "
+                   "imported with a nonstandard --desired_resolution")
+    p.add_argument("--grid_coord_convention", type=str, default="vertex",
+                   choices=["vertex", "ngp"],
+                   help="hash-lattice convention: vertex (native) or ngp "
+                   "(reference CUDA kernel — REQUIRED when loading a "
+                   "checkpoint imported from torch-ngp via "
+                   "scripts/import_torch_ckpt.py)")
     p.add_argument("--grid_backward", type=str, default="xla",
                    choices=["xla", "sort"],
                    help="hash-table gradient strategy: xla scatter-add "
@@ -150,6 +161,8 @@ def make_configs(opt, for_nav: bool = False):
         grid_level_dim=opt.grid_level_dim,
         grid_log2_hashmap_size=opt.grid_hashmap_log2,
         grid_layout=opt.grid_layout,
+        grid_max_resolution=opt.grid_max_resolution,
+        grid_coord_convention=opt.grid_coord_convention,
         # nav never trains tables, and the sorted-scatter backward is a
         # reverse-mode-only custom_vjp that would block the LM filter's
         # forward-mode jax.linearize — force the plain gather there.

@@ -36,14 +36,14 @@ def main(argv=None):
     # JAX vision tower scores renders (training/clip_jax.py); without them
     # the Trainer raises its gated error (weights unfetchable offline).
     clip_loss_fn = None
+    if (opt.clip_weights is None) != (opt.clip_text_embed is None):
+        raise SystemExit(
+            "--clip_weights and --clip_text_embed come as a pair (the "
+            ".npy text embedding is precomputed with the text tower; see "
+            "training/clip_jax.py)")
     if opt.clip_weights is not None:
         from nerfnav_tpu.training.clip_jax import make_clip_loss_fn
 
-        if opt.clip_text_embed is None:
-            raise SystemExit(
-                "--clip_weights needs --clip_text_embed (a .npy text "
-                "embedding precomputed with the text tower; see "
-                "training/clip_jax.py)")
         clip_loss_fn = make_clip_loss_fn(opt.clip_weights, opt.clip_text_embed)
     trainer = Trainer(cfg, rcfg, topt, occupancy_cfg=occ_cfg,
                       march_cfg=march_cfg, clip_loss_fn=clip_loss_fn)

@@ -138,7 +138,11 @@ def main(argv=None):
                 f"no checkpoint at {ckpt_path}; train first or pass --analytic"
             )
         if "best" in os.path.basename(ckpt_path):
-            params, _, _ = ckpt_lib.load_checkpoint(ckpt_path, params_tmpl)
+            params, meta, _ = ckpt_lib.load_checkpoint(ckpt_path, params_tmpl)
+            # a checkpoint trained under other --grid_* flags (or a torch-ngp
+            # import needing --grid_coord_convention ngp) must fail loudly —
+            # the nav stack on a mis-latticed field fails silently otherwise
+            ckpt_lib.check_grid_meta(meta, cfg, ckpt_path)
         else:
             # full trainer checkpoint: take the EMA params (what the
             # reference evaluates with) + occupancy state for the fast path
@@ -147,7 +151,8 @@ def main(argv=None):
                                 grid_size=opt.grid_size)
             )
             tmpl = {"ema_params": params_tmpl, "occupancy": occ_tmpl}
-            tree, _, report = ckpt_lib.load_checkpoint(ckpt_path, tmpl)
+            tree, meta, report = ckpt_lib.load_checkpoint(ckpt_path, tmpl)
+            ckpt_lib.check_grid_meta(meta, cfg, ckpt_path)
             params = tree["ema_params"]
             if not any("occupancy" in r for r in report):
                 occupancy_state = tree["occupancy"]

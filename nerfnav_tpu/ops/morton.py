@@ -53,6 +53,20 @@ def morton3d_invert(codes):
     )
 
 
+def rowmajor_to_morton(grid_size: int) -> np.ndarray:
+    """(H^3,) int64: Morton code of each row-major cell index
+    (x*H + y)*H + z — the permutation between this framework's row-major
+    density-grid layout and the reference's Morton-indexed one
+    (renderer.py update_extra_state writes at raymarching.morton3D(coords)).
+    Used by the torch-ngp checkpoint import/export converters:
+    ours[i] == theirs[rowmajor_to_morton(H)[i]]."""
+    h = grid_size
+    idx = np.arange(h**3, dtype=np.int64)
+    coords = np.stack([idx // (h * h), (idx // h) % h, idx % h], axis=-1)
+    return np.asarray(morton3d(jnp.asarray(coords, jnp.uint32))).astype(
+        np.int64)
+
+
 def packbits(occupied):
     """(..., 8*m) bool/float occupancy -> (..., m) uint8 bitfield.
 

@@ -52,19 +52,12 @@ def export_params(params, grid_size: int = 128, density_grid=None):
     if density_grid is not None:
         # ours is row-major (x*H + y)*H + z; the reference grid is
         # Morton-indexed (renderer.py update_extra_state)
-        import jax.numpy as jnp
-
-        from nerfnav_tpu.ops.morton import morton3d
+        from nerfnav_tpu.ops.morton import rowmajor_to_morton
 
         dens = np.asarray(density_grid, np.float32)
-        cas, n = dens.shape
-        h = grid_size
-        assert n == h**3
-        idx = np.arange(n, dtype=np.int64)
-        coords = np.stack([idx // (h * h), (idx // h) % h, idx % h], axis=-1)
-        codes = np.asarray(morton3d(jnp.asarray(coords, jnp.uint32)))
+        assert dens.shape[1] == grid_size**3
         out = np.zeros_like(dens)
-        out[:, codes] = dens
+        out[:, rowmajor_to_morton(grid_size)] = dens
         sd["density_grid"] = out
     return sd
 
@@ -86,11 +79,16 @@ def main(argv=None):
     info = json.loads(bytes(data["__meta__"].tobytes()).decode())
     meta = info.get("meta", {})
     grid_meta = meta.get("grid", {})
-    if grid_meta.get("layout", "corner") != "corner" or (
-            grid_meta.get("coord_convention", "ngp") != "ngp"):
+    # require the meta to RECORD the reference architecture: legacy
+    # checkpoints without a coord_convention entry were trained on the
+    # native vertex lattice and would render garbage in torch-ngp
+    if (grid_meta.get("layout") != "corner"
+            or grid_meta.get("coord_convention") != "ngp"):
         raise SystemExit(
-            f"checkpoint grid {grid_meta} is not representable in torch-ngp "
-            "(needs layout=corner + coord_convention=ngp; see module doc)")
+            f"checkpoint grid meta {grid_meta} is not the torch-ngp "
+            "representable architecture (needs recorded layout=corner + "
+            "coord_convention=ngp — train with those flags or start from "
+            "an imported checkpoint; see module doc)")
 
     # rebuild the params pytree from the path-keyed arrays (prefer EMA —
     # what the reference evaluates with)

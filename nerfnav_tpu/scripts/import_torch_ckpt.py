@@ -153,7 +153,7 @@ def _import_density_grid(dens_morton, bound, grid_size, density_thresh,
     from nerfnav_tpu.models.occupancy import (
         OccupancyConfig, _finish_update, init_occupancy_state,
     )
-    from nerfnav_tpu.ops.morton import morton3d
+    from nerfnav_tpu.ops.morton import rowmajor_to_morton
 
     cas, n = dens_morton.shape
     h = grid_size
@@ -164,10 +164,7 @@ def _import_density_grid(dens_morton, bound, grid_size, density_thresh,
         raise ValueError(
             f"checkpoint has {cas} density cascades but bound={bound} "
             f"implies {cfg.cascades} — pass the reference's --bound")
-    idx = np.arange(n, dtype=np.int64)
-    coords = np.stack([idx // (h * h), (idx // h) % h, idx % h], axis=-1)
-    codes = np.asarray(morton3d(jnp.asarray(coords, jnp.uint32)))
-    dens = dens_morton[:, codes]  # row-major layout
+    dens = dens_morton[:, rowmajor_to_morton(h)]  # row-major layout
 
     state = init_occupancy_state(cfg)
     grid = jnp.asarray(dens)

@@ -62,6 +62,38 @@ def load_checkpoint(path: str, like):
     return jax.tree_util.tree_unflatten(treedef, leaves), info["meta"], report
 
 
+def grid_meta_of(cfg) -> dict:
+    """Grid-architecture fingerprint recorded in checkpoint meta and checked
+    at load (a checkpoint trained under different --grid_* flags must fail
+    loudly, not keep random template params)."""
+    return {
+        "levels": cfg.grid_levels,
+        "level_dim": cfg.grid_level_dim,
+        "log2_hashmap_size": cfg.grid_log2_hashmap_size,
+        "layout": cfg.grid_layout,
+        "coord_convention": cfg.grid_coord_convention,
+        "max_resolution": cfg.grid_max_resolution,
+    }
+
+
+def check_grid_meta(meta: dict, cfg, path: str):
+    """Raise when the checkpoint's recorded grid architecture disagrees with
+    the resolved config. Compares only keys the file recorded — older
+    checkpoints predate some fields (e.g. coord_convention) and keep
+    loading."""
+    saved = (meta or {}).get("grid")
+    current = grid_meta_of(cfg)
+    if saved and any(v != saved[k] for k, v in current.items() if k in saved):
+        raise ValueError(
+            f"checkpoint {path} was trained with grid architecture "
+            f"{saved}, but the resolved config is {current} — loading "
+            "would keep random template params and render garbage. Pass "
+            "matching --grid_* flags (incl. --grid_coord_convention ngp "
+            "for torch-ngp imports) or the same -O setting used at "
+            "training time."
+        )
+
+
 def prune_checkpoints(ckpt_dir: str, name: str, max_keep: int = 2):
     """Rolling window: delete oldest ngp_ep*.npz beyond max_keep."""
     files = sorted(glob.glob(os.path.join(ckpt_dir, f"{name}_ep*.npz")))

@@ -814,29 +814,10 @@ class Trainer:
         ckpt_lib.prune_checkpoints(self.ckpt_dir, self.opt.name, self.opt.max_keep_ckpt)
 
     def _grid_meta(self) -> dict:
-        return {
-            "levels": self.cfg.grid_levels,
-            "level_dim": self.cfg.grid_level_dim,
-            "log2_hashmap_size": self.cfg.grid_log2_hashmap_size,
-            "layout": self.cfg.grid_layout,
-            "coord_convention": self.cfg.grid_coord_convention,
-            "max_resolution": self.cfg.grid_max_resolution,
-        }
+        return ckpt_lib.grid_meta_of(self.cfg)
 
     def _check_grid_meta(self, meta: dict, path: str):
-        saved = meta.get("grid")
-        # compare only keys the file recorded: older checkpoints predate
-        # some fields (e.g. coord_convention) and must keep loading
-        if saved and any(
-            v != saved[k] for k, v in self._grid_meta().items() if k in saved
-        ):
-            raise ValueError(
-                f"checkpoint {path} was trained with grid architecture "
-                f"{saved}, but the resolved config is {self._grid_meta()} — "
-                "loading would keep random template params and render "
-                "garbage. Pass matching --grid_* flags (or the same -O "
-                "setting) used at training time."
-            )
+        ckpt_lib.check_grid_meta(meta, self.cfg, path)
 
     def _maybe_resume(self):
         """Reference load_checkpoint dispatch (utils.py:361-379, 1000-1060)."""
