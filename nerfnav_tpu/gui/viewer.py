@@ -157,6 +157,14 @@ class NeRFGUI:
             raise KeyError(name)
         self.touch()
 
+    def reset_model(self):
+        """Reset button: reinitialize weights + occupancy state
+        (reference gui.py:215-228)."""
+        self.trainer.reset_model()
+        self.touch()
+        self.status = "model reset"
+        return self.status
+
     def save_checkpoint(self):
         """Checkpoint-save button (reference gui.py:180-190)."""
         self.trainer.save_checkpoint(full=True)
@@ -309,6 +317,9 @@ class NeRFGUI:
                     elif self.path == "/set":
                         for k, v in body.items():
                             gui.set_option(k, v)
+                    elif self.path == "/reset":
+                        reply = json.dumps(
+                            {"status": gui.reset_model()}).encode()
                     elif self.path == "/save_ckpt":
                         reply = json.dumps(
                             {"status": gui.save_checkpoint()}).encode()
@@ -336,7 +347,8 @@ _PAGE = """<!doctype html><html><body style="margin:0;background:#111;color:#ccc
 <div id=panel style="padding:8px;min-width:230px">
   <b>nerfnav_tpu viewer</b><br>
   drag=orbit &middot; shift-drag=pan &middot; wheel=zoom &middot; t=train<br><br>
-  <button onclick="post('/train',{})">start/stop training</button><br>
+  <button onclick="post('/train',{})">start/stop training</button>
+  <button onclick="act('/reset')">reset model</button><br>
   <button onclick="act('/save_ckpt')">save checkpoint</button>
   <button onclick="act('/save_mesh')">export mesh</button><br>
   <label><input id=dyn type=checkbox checked

@@ -225,6 +225,27 @@ class Trainer:
                         if self.march_cfg is not None else None),
         )
 
+    def reset_model(self):
+        """Reinitialize weights + occupancy/extra state — the GUI's reset
+        button (reference gui.py:215-228: weight_reset over the modules +
+        model.reset_extra_state)."""
+        from nerfnav_tpu.models import init_network
+
+        self.key, init_key = jax.random.split(self.key)
+        self.params = init_network(init_key, self.cfg)
+        n_images = (
+            self.state.error_maps.shape[0]
+            if self.state is not None and self.state.error_maps is not None
+            else 1
+        )
+        self.state = self._init_state(n_images)
+        self.epoch = 0
+        self.global_step = 0
+        self._mean_count_host = 0.0
+        self._table_cast_cache = None
+        self.stats = {"loss": [], "valid_loss": [], "results": [],
+                      "best_result": None}
+
     # ------------------------------------------------------------- train step
     def _step_fn(self, H, W, C):
         """Jitted train step for the current anneal phase + point budget

@@ -166,6 +166,27 @@ class TestWidgets:
         assert cropped.shape == full.shape
         np.testing.assert_allclose(cropped, np.ones_like(cropped), atol=1e-3)
 
+    def test_reset_reinitializes_model(self, tiny_trainer):
+        """Reset button (reference gui.py:215-228): new weights, zeroed
+        occupancy/step counters, view marked dirty."""
+        trainer, ds = tiny_trainer
+        gui = NeRFGUI(trainer, ds, W=32, H=32)
+        gui.train_step()
+        before = np.asarray(trainer.state.params["sigma_net"][0])
+        step_before = trainer.global_step
+        assert step_before > 0
+        msg = gui.reset_model()
+        assert "reset" in msg
+        assert trainer.global_step == 0
+        after = np.asarray(trainer.state.params["sigma_net"][0])
+        assert not np.allclose(before, after)
+        if trainer.state.occupancy is not None:
+            assert float(trainer.state.occupancy["density_grid"].max()) == 0.0
+        assert gui._dirty
+        # training still works after a reset
+        out = gui.train_step()
+        assert out is not None and np.isfinite(out["loss"])
+
     def test_ckpt_and_mesh_endpoints(self, tiny_trainer, tmp_path):
         trainer, ds = tiny_trainer
         gui = NeRFGUI(trainer, ds, W=32, H=32)
