@@ -67,6 +67,10 @@ class TrainerOptions:
     # max_ray_batch/tile settings held fixed; compare metrics across configs
     # with eval_rounds pinned.
     eval_rounds: bool = True
+    # hash-gather issue order inside the rounds shading: "ray" (default) or
+    # "depth" (cross-ray spatial coherence — adjacent rays at the same depth
+    # gather near-identical table rows; bench.py --shade_order A/B)
+    shade_order: str = "ray"
     # Coarse-to-fine marching-step annealing for the grid fast path:
     # ((threshold, dt_multiplier), ...) — marching starts coarse (the static
     # budget then spans every ray without field-dependent stride, which
@@ -467,6 +471,8 @@ class Trainer:
         if mcfg is not None and self.opt.eval_rounds:
             from nerfnav_tpu.models import render_rays_grid_rounds
 
+            shade_order = self.opt.shade_order
+
             @partial(jax.jit, static_argnums=(4,))
             def render_chunk(params, occupancy, rays_o, rays_d, bg_color: float,
                              crop_aabb=None):
@@ -474,6 +480,7 @@ class Trainer:
                 return render_rays_grid_rounds(
                     make_field(params, cfg), occupancy, mcfg, rays_o, rays_d,
                     bg_color=bg_color, crop_aabb=crop_aabb,
+                    shade_order=shade_order,
                 )
         elif mcfg is not None:
             from nerfnav_tpu.models import render_rays_grid
