@@ -1,0 +1,95 @@
+"""Late-schedule drift probe (RESULTS.md round-2 quality section).
+
+The 30k-step reference-schedule run ends 0.47 dB BELOW its own 3k-step
+checkpoint on the cluttered scene. error_map is ruled out (off by default and
+never enabled in quality_check). Remaining suspects:
+
+  H-occ:   occupancy over-carving — the update threshold min(mean_density,
+           density_thresh) rises as the field sharpens (reference
+           renderer.py:508), so late sweeps carve thin surface cells.
+  H-noise: stratified stride-phase noise at the dt-anneal floor (reached at
+           0.2*iters = 6k) with lr still ~1e-3..1e-2 for most of the run.
+
+This probe trains the flagship config in 3k-step epochs with a val eval per
+epoch, producing the drift CURVE for each variant:
+
+  control     — exactly the quality_check protocol
+  occ_freeze  — occupancy maintenance frozen after 6k steps (tests H-occ)
+  lr_fast     — iters=20000 lr horizon (final lr 3.2e-4; tests H-noise x lr)
+
+One TPU process at a time; ~17 min/variant on chip plus evals.
+"""
+import argparse
+import json
+import tempfile
+
+from nerfnav_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
+                occ_freeze_after: int = 0, lr_iters: int = 30000):
+    from nerfnav_tpu.data import NeRFDataset
+    from nerfnav_tpu.data.provider import DatasetOptions
+    from nerfnav_tpu.models import NetworkConfig, RenderConfig
+    from nerfnav_tpu.models.occupancy import OccupancyConfig
+    from nerfnav_tpu.ops.marching import MarchConfig
+    from nerfnav_tpu.training import Trainer, TrainerOptions
+
+    train_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "train")
+    val_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "val")
+    cfg = NetworkConfig(bound=1.0, mlp_dtype="bfloat16", grid_layout="cell",
+                        grid_log2_hashmap_size=17, grid_levels=4,
+                        grid_level_dim=8)
+    rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
+    opt = TrainerOptions(name=f"drift_{name}", workspace=tempfile.mkdtemp(),
+                         lr=1e-2, iters=lr_iters, num_rays=4096,
+                         use_checkpoint="scratch", bg_train="white",
+                         eval_interval=1, occ_freeze_after=occ_freeze_after)
+    tr = Trainer(cfg, rcfg, opt,
+                 occupancy_cfg=OccupancyConfig(bound=1.0, min_near=0.05,
+                                               density_thresh=5.0),
+                 march_cfg=MarchConfig(bound=1.0, samples_per_ray=32,
+                                       min_near=0.05))
+    tr.train(train_ds, valid_ds=val_ds,
+             max_epochs=total_steps // epoch_steps,
+             steps_per_epoch=epoch_steps)
+    curve = [round(float(p), 3) for p in tr.stats["results"]]
+    print(json.dumps({"variant": name, "curve_every": epoch_steps,
+                      "curve": curve,
+                      "best": max(curve), "final": curve[-1]}), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="control",
+                    choices=["control", "occ_freeze", "lr_fast"])
+    ap.add_argument("--steps", type=int, default=30000)
+    ap.add_argument("--epoch_steps", type=int, default=3000)
+    ap.add_argument("--scene", default="cluttered")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from nerfnav_tpu.data.synthetic import (
+        cluttered_field, make_synthetic_scene, textured_sphere_field,
+    )
+    scene = tempfile.mkdtemp()
+    field = cluttered_field() if args.scene == "cluttered" \
+        else textured_sphere_field()
+    make_synthetic_scene(scene, field=field, n_train=24, n_val=2,
+                         H=128, W=128, num_steps=256)
+
+    kw = {}
+    if args.variant == "occ_freeze":
+        kw["occ_freeze_after"] = 6000
+    elif args.variant == "lr_fast":
+        kw["lr_iters"] = 20000
+    run_variant(args.variant, scene, args.steps, args.epoch_steps, **kw)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,12 @@ class TrainerOptions:
     use_checkpoint: str = "latest"  # latest | best | scratch | <path>
     error_map: bool = False
     update_extra_interval: int = 16
+    # Stop occupancy-grid maintenance after this step (0 = never). Diagnostic
+    # knob for late-schedule drift: the update threshold min(mean_density,
+    # density_thresh) RISES as training sharpens the field (reference
+    # renderer.py:508), so late sweeps can carve thin surface cells that
+    # early training kept. Freezing pins the carved set once converged.
+    occ_freeze_after: int = 0
     seed: int = 0
     tensorboard: bool = False
     # eval/test/GUI rendering uses the early-termination rounds renderer
@@ -579,6 +585,9 @@ class Trainer:
         if self.state.occupancy is None:
             return
         if self.global_step % self.opt.update_extra_interval != 0:
+            return
+        if (self.opt.occ_freeze_after > 0
+                and self.global_step > self.opt.occ_freeze_after):
             return
         if self.state.mean_count is not None:
             # refresh the host budget mirror on the same cadence (this
