@@ -145,6 +145,31 @@ def test_grid_fast_path_training(scene_dir, cfg, tmp_path):
     assert 0.001 < frac < 0.9, frac
 
 
+def test_occ_freeze_after_stops_maintenance(scene_dir, cfg, tmp_path):
+    """occ_freeze_after halts occupancy updates past the threshold step while
+    training continues (late-drift diagnostic knob; benchmarks/drift_probe.py)."""
+    from nerfnav_tpu.models.occupancy import OccupancyConfig
+    from nerfnav_tpu.ops.marching import MarchConfig
+
+    train_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "train")
+    rcfg = RenderConfig(num_steps=48, upsample_steps=0, min_near=0.05,
+                        max_ray_batch=1600)
+    opt = TrainerOptions(
+        name="gridfrz", workspace=str(tmp_path / "wsf"), lr=1e-2, iters=1000,
+        num_rays=512, bg_train="white", use_checkpoint="scratch",
+        update_extra_interval=8, occ_freeze_after=16,
+    )
+    occ_cfg = OccupancyConfig(bound=1.0, grid_size=32, update_chunk=8192,
+                              density_thresh=2.0, min_near=0.05)
+    mcfg = MarchConfig(bound=1.0, grid_size=32, max_steps=256,
+                       samples_per_ray=32, min_near=0.05)
+    tr = Trainer(cfg, rcfg, opt, occupancy_cfg=occ_cfg, march_cfg=mcfg)
+    tr.train(train_ds, max_epochs=1, steps_per_epoch=20)
+    snap = np.asarray(tr.state.occupancy["density_grid"]).copy()
+    tr.train(train_ds, max_epochs=1, steps_per_epoch=24)
+    assert np.array_equal(snap, np.asarray(tr.state.occupancy["density_grid"]))
+
+
 def test_test_renders_frames(scene_dir, cfg, tmp_path):
     val_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "val")
     tr = make_trainer(cfg, str(tmp_path / "ws4"))
