@@ -62,6 +62,11 @@ class PlannerConfig:
     w_torque: float = 0.01 / 1e6
     w_collision: float = 1.0         # density * speed term (1e6 / 1e6)
     save_every: int = 50
+    # MPC re-rooting mode: True keeps every array at T_max and passes a traced
+    # `active` waypoint count (one compiled replan program for the whole
+    # mission); False reproduces the reference's pop-and-shrink (one recompile
+    # per MPC step, reference quad_plot.py:302-308)
+    static_horizon: bool = True
 
 
 def _safe_norm(v, axis=-1, keepdims=False, eps=1e-12):
@@ -80,7 +85,8 @@ def body_points(cfg: PlannerConfig) -> jnp.ndarray:
     return jnp.asarray(grid, jnp.float32)
 
 
-def calc_everything(start_state, end_state, states, initial_accel, cfg: PlannerConfig):
+def calc_everything(start_state, end_state, states, initial_accel, cfg: PlannerConfig,
+                    active=None):
     """Differential flatness: waypoints [pos, yaw] -> full rigid-body states.
 
     start_state/end_state: (18,) [pos, vel, R.flatten(), omega];
@@ -88,6 +94,16 @@ def calc_everything(start_state, end_state, states, initial_accel, cfg: PlannerC
     Returns dict with shapes:
       pos (T+5, 3), vel (T+5, 3), accel (T+4, 3), rot (T+4, 3, 3),
       omega (T+3, 3), actions (T+2, 4) [thrust, tau_xyz].
+
+    active: optional traced waypoint count for the STATIC-HORIZON mode: the
+    first `active` rows of `states` are live decision variables, the goal sits
+    at sequence index 4+active, and every later slot pads out as hover-at-goal
+    (pos = end_pos, vel = end_v). The reference re-roots its MPC by popping a
+    waypoint and shrinking T (quad_plot.py:302-308) — under XLA that is one
+    recompile per MPC step; passing a traced `active` keeps every shape at
+    T_max so the whole mission reuses ONE compiled replan program. With
+    active == T (or None) the outputs equal the legacy dynamic-shape path on
+    the full sequence.
     """
     dt, g, m = cfg.dt, cfg.g, cfg.mass
     e3 = jnp.array([0.0, 0.0, 1.0])
@@ -113,13 +129,29 @@ def calc_everything(start_state, end_state, states, initial_accel, cfg: PlannerC
     p2 = p1 + (start_v + a0 * dt) * dt
     p3 = p2 + (start_v + (a0 + a1) * dt) * dt
 
+    if active is None:
+        wpos = states[:, :3]
+        wyaw = states[:, 3]
+    else:
+        a = jnp.asarray(active, jnp.int32)
+        w_mask = jnp.arange(states.shape[0]) < a
+        wpos = jnp.where(w_mask[:, None], states[:, :3], end_pos[None])
+        wyaw = jnp.where(w_mask, states[:, 3], 0.0)
+
     pos = jnp.concatenate(
-        [jnp.stack([p0, p1, p2, p3]), states[:, :3], end_pos[None]], axis=0
+        [jnp.stack([p0, p1, p2, p3]), wpos, end_pos[None]], axis=0
     )  # (T+5, 3)
 
-    vel = jnp.concatenate(
+    vel_fd = jnp.concatenate(
         [(pos[1:] - pos[:-1]) / dt, end_v[None]], axis=0
     )  # (T+5, 3): last entry is the terminal velocity constraint
+    if active is None:
+        vel = vel_fd
+    else:
+        # the terminal-velocity constraint moves to the arrival step 4+active;
+        # the hover-at-goal pad keeps vel = end_v so pad accelerations vanish
+        seq = jnp.arange(vel_fd.shape[0])
+        vel = jnp.where((seq < 4 + a)[:, None], vel_fd, end_v[None])
 
     accel = (vel[1:] - vel[:-1]) / dt  # (T+4, 3)
     needed = accel - g_vec[None]       # thrust vector = accel + g e3 (T+4, 3)
@@ -128,7 +160,7 @@ def calc_everything(start_state, end_state, states, initial_accel, cfg: PlannerC
     # attitude: z from thrust direction, x from yaw heading
     z_b = needed / _safe_norm(needed, axis=-1, keepdims=True, eps=1e-8)
     yaw = jnp.concatenate(
-        [jnp.zeros((3,)), states[:, 3], jnp.zeros((1,))], axis=0
+        [jnp.zeros((3,)), wyaw, jnp.zeros((1,))], axis=0
     )  # (T+4,): indices 0-2 are start-derived steps, last is the endpoint
     heading = jnp.stack([jnp.cos(yaw), jnp.sin(yaw), jnp.zeros_like(yaw)], axis=-1)
     y_b = jnp.cross(z_b, heading)
@@ -161,10 +193,15 @@ def calc_everything(start_state, end_state, states, initial_accel, cfg: PlannerC
 
 def total_cost(
     start_state, end_state, states, initial_accel, density_fn, cfg: PlannerConfig,
-    body: jnp.ndarray, fade_mask=None,
+    body: jnp.ndarray, fade_mask=None, active=None,
 ):
-    """reference quad_plot.py:224-250."""
-    out = calc_everything(start_state, end_state, states, initial_accel, cfg)
+    """reference quad_plot.py:224-250.
+
+    active: static-horizon waypoint count (see calc_everything) — cost terms
+    past the arrival step are masked out and the mean renormalizes to the
+    active step count, so the loss equals the legacy dynamic-shape loss."""
+    out = calc_everything(start_state, end_state, states, initial_accel, cfg,
+                          active=active)
     # thrust over ALL T+4 intervals: the last two intervals have no torque
     # (the differentiation chain ends) but MUST still carry a thrust penalty,
     # otherwise the optimizer parks unbounded accelerations in the
@@ -174,6 +211,11 @@ def total_cost(
     )  # (T+4,)
     torque2 = jnp.sum(out["actions"][:, 1:] ** 2, axis=-1)  # (T+2,)
     s_all = fz_all.shape[0]
+    if active is not None:
+        # torque rows past the active chain are pad-boundary artifacts
+        # (hover-at-goal transition); zero them before they enter the sum
+        t_live = jnp.arange(torque2.shape[0]) < jnp.asarray(active) + 2
+        torque2 = jnp.where(t_live, torque2, 0.0)
     control = cfg.w_thrust * fz_all**2
     control = control.at[: torque2.shape[0]].add(cfg.w_torque * torque2**2)
 
@@ -189,7 +231,11 @@ def total_cost(
     per_step = control + collision[:s_all]
     if fade_mask is not None:
         per_step = per_step * fade_mask[: per_step.shape[0]]
-    return jnp.mean(per_step), out
+    if active is None:
+        return jnp.mean(per_step), out
+    a = jnp.asarray(active, jnp.int32)
+    live = (jnp.arange(s_all) < a + 4).astype(per_step.dtype)
+    return jnp.sum(per_step * live) / (a + 4), out
 
 
 class Planner:
@@ -224,6 +270,14 @@ class Planner:
         self.opt = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(cfg.lr))
         self._step = None
         self.epoch = 0
+        # live waypoint count for the static-horizon MPC mode; always tracked
+        # host-side (it equals cfg.T until update_state starts popping)
+        self.active = cfg.T
+
+    def _active_arg(self):
+        """`active` to thread into planner math: None in legacy mode (arrays
+        already carry exactly the live horizon)."""
+        return self.active if self.cfg.static_horizon else None
 
     # ----------------------------------------------------------------- A*
     def a_star_init(self):
@@ -283,8 +337,10 @@ class Planner:
                 )
             return jnp.ones((t,))
 
+        use_active = cfg.static_horizon
+
         @partial(jax.jit, static_argnums=(4,))
-        def chunk(params, opt_state, start_state, end_state, n, ep0):
+        def chunk(params, opt_state, start_state, end_state, n, ep0, active):
             def scan_body(carry, ep):
                 params, opt_state = carry
 
@@ -292,6 +348,7 @@ class Planner:
                     loss, _ = total_cost(
                         start_state, end_state, p["states"], p["initial_accel"],
                         density_fn, cfg, body, fade_for(ep),
+                        active=active if use_active else None,
                     )
                     return loss
 
@@ -322,7 +379,7 @@ class Planner:
                 n = 1 if ep == 0 else min(chunk, epochs - ep)
                 params, opt_state, chunk_losses = self._step(
                     params, opt_state, self.start_state, self.end_state,
-                    n, jnp.float32(ep),
+                    n, jnp.float32(ep), jnp.int32(self.active),
                 )
                 losses.extend(np.asarray(chunk_losses, np.float64).tolist())
                 ep += n
@@ -356,7 +413,14 @@ class Planner:
                 [est_state[0:3], est_state[3:6], R.reshape(-1), est_state[9:12]]
             )
         self.start_state = est_state
-        if self.states.shape[0] > 1:
+        if self.cfg.static_horizon:
+            if self.active > 1:
+                # shift the live waypoints left; the vacated tail row is dead
+                # (index >= active masks to hover-at-goal inside the math)
+                self.states = jnp.roll(self.states, -1, axis=0)
+                self.active -= 1
+            # self._step stays valid: active is a traced argument
+        elif self.states.shape[0] > 1:
             import dataclasses
 
             self.states = self.states[1:]
@@ -365,22 +429,40 @@ class Planner:
 
     def get_next_action(self):
         out = calc_everything(
-            self.start_state, self.end_state, self.states, self.initial_accel, self.cfg
+            self.start_state, self.end_state, self.states, self.initial_accel,
+            self.cfg, active=self._active_arg(),
         )
         return out["actions"][0]
 
     def get_full_states(self):
-        return calc_everything(
-            self.start_state, self.end_state, self.states, self.initial_accel, self.cfg
+        """Full differential-flatness rollup; in static-horizon mode the
+        padded tail rows are trimmed so callers see exactly the live
+        trajectory (same shapes as legacy mode)."""
+        out = calc_everything(
+            self.start_state, self.end_state, self.states, self.initial_accel,
+            self.cfg, active=self._active_arg(),
         )
+        if self.cfg.static_horizon and self.active < self.cfg.T:
+            out = self._trim(out)
+        return out
+
+    def _trim(self, out):
+        """Cut hover-at-goal pad rows: live lengths are pos a+5, vel a+5,
+        accel/rot a+4, omega a+3, actions a+2 (a = active waypoints)."""
+        a = self.active
+        keep = {"pos": a + 5, "vel": a + 5, "accel": a + 4, "rot": a + 4,
+                "omega": a + 3, "actions": a + 2}
+        return {k: (v[: keep[k]] if k in keep else v) for k, v in out.items()}
 
     # ------------------------------------------------------------ artifacts
     def _save_artifacts(self, tag, ep, params, loss):
         """JSON pose/cost dumps (reference quad_plot.py:344-369)."""
         out = calc_everything(
             self.start_state, self.end_state, params["states"],
-            params["initial_accel"], self.cfg,
+            params["initial_accel"], self.cfg, active=self._active_arg(),
         )
+        if self.cfg.static_horizon and self.active < self.cfg.T:
+            out = self._trim(out)
         kind = "init" if tag == "init" else "replan"
         pose_dir = os.path.join(self.workspace, f"{kind}_poses", self.exp_name)
         cost_dir = os.path.join(self.workspace, f"{kind}_costs", self.exp_name)
@@ -404,6 +486,7 @@ class Planner:
             initial_accel=np.asarray(self.initial_accel),
             start_state=np.asarray(self.start_state),
             end_state=np.asarray(self.end_state),
+            active=np.asarray(self.active),
         )
 
     def load_progress(self, path):
@@ -412,3 +495,5 @@ class Planner:
         self.initial_accel = jnp.asarray(data["initial_accel"])
         self.start_state = jnp.asarray(data["start_state"])
         self.end_state = jnp.asarray(data["end_state"])
+        self.active = (int(data["active"]) if "active" in data
+                       else self.states.shape[0])

@@ -159,6 +159,36 @@ class TestPlanner:
         np.testing.assert_allclose(pos[-1], [0.5, 0, 0.1], atol=1e-5)
 
     def test_mpc_update_state(self, cfg):
+        """Static-horizon (default) MPC: arrays keep their T_max shape, the
+        live count drops, and the compiled replan program is reused."""
+        start = make_state([-0.5, 0.0, 0.1])
+        end = make_state([0.5, 0.0, 0.1])
+        planner = Planner(start, end, cfg, empty_density)
+        planner.learn_update(iteration=0)  # builds self._step
+        step0 = planner._step
+        t0 = planner.states.shape[0]
+        est = np.zeros(12, np.float32)
+        est[0:3] = [-0.4, 0.01, 0.1]
+        planner.update_state(est)
+        assert planner.states.shape[0] == t0       # shape is static
+        assert planner.active == t0 - 1            # one waypoint popped
+        assert planner._step is step0              # no retrace scheduled
+        np.testing.assert_allclose(np.asarray(planner.start_state[0:3]),
+                                   [-0.4, 0.01, 0.1], atol=1e-6)
+        losses = planner.learn_update(iteration=1)
+        assert np.isfinite(losses[-1])
+        # trimmed rollup exposes exactly the live horizon
+        out = planner.get_full_states()
+        assert out["pos"].shape[0] == planner.active + 5
+        assert out["actions"].shape[0] == planner.active + 2
+        np.testing.assert_allclose(np.asarray(out["pos"][-1]),
+                                   [0.5, 0, 0.1], atol=1e-5)
+
+    def test_mpc_legacy_shrink(self, cfg):
+        """static_horizon=False reproduces the reference's pop-and-shrink."""
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, static_horizon=False)
         start = make_state([-0.5, 0.0, 0.1])
         end = make_state([0.5, 0.0, 0.1])
         planner = Planner(start, end, cfg, empty_density)
@@ -167,11 +197,47 @@ class TestPlanner:
         est[0:3] = [-0.4, 0.01, 0.1]
         planner.update_state(est)
         assert planner.states.shape[0] == t0 - 1
-        np.testing.assert_allclose(np.asarray(planner.start_state[0:3]),
-                                   [-0.4, 0.01, 0.1], atol=1e-6)
-        # replan still works on the shorter horizon
+        assert planner.cfg.T == t0 - 1
         losses = planner.learn_update(iteration=1)
         assert np.isfinite(losses[-1])
+
+    def test_static_horizon_matches_legacy(self, cfg):
+        """With one waypoint popped, the static-horizon loss and trajectory
+        equal the legacy shrunk-array computation on the live rows."""
+        import dataclasses
+
+        from nerfnav_tpu.nav.planner import body_points, total_cost
+
+        rng = np.random.RandomState(0)
+        start = jnp.asarray(make_state([-0.4, 0.01, 0.1], vel=(0.3, 0, 0)))
+        end = jnp.asarray(make_state([0.5, 0.0, 0.1]))
+        T = cfg.T
+        states = jnp.asarray(
+            np.concatenate(
+                [np.linspace([-0.4, 0, 0.1], [0.45, 0, 0.1], T)
+                 + rng.randn(T, 3) * 0.01,
+                 rng.randn(T, 1) * 0.05], axis=-1), jnp.float32)
+        ia = jnp.asarray([cfg.g * 1.1, cfg.g * 0.9], jnp.float32)
+        body = body_points(cfg)
+
+        # legacy: horizon T-1 on the popped array
+        cfg_small = dataclasses.replace(cfg, T=T - 1)
+        loss_ref, out_ref = total_cost(
+            start, end, states[1:], ia, cylinder_density, cfg_small, body)
+        # static: full array rolled left, active = T-1
+        rolled = jnp.roll(states, -1, axis=0)
+        loss_st, out_st = total_cost(
+            start, end, rolled, ia, cylinder_density, cfg, body,
+            active=T - 1)
+        np.testing.assert_allclose(float(loss_st), float(loss_ref),
+                                   rtol=1e-5)
+        a = T - 1
+        for key, n in [("pos", a + 5), ("vel", a + 5), ("accel", a + 4),
+                       ("rot", a + 4), ("omega", a + 3), ("actions", a + 2)]:
+            np.testing.assert_allclose(
+                np.asarray(out_st[key][:n]), np.asarray(out_ref[key]),
+                atol=1e-5,
+                err_msg=f"{key} diverges between static and legacy modes")
 
     def test_artifacts_written(self, cfg, tmp_path):
         start = make_state([-0.5, 0.0, 0.1])
