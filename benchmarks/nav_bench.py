@@ -47,6 +47,12 @@ def main():
     p.add_argument("--filter_opt", default="both", choices=["adam", "gn", "both"],
                    help="pose optimizer A/B: reference 300-iter Adam vs "
                         "Levenberg-Marquardt (EstimatorConfig.optimizer)")
+    p.add_argument("--horizon", default="static",
+                   choices=["static", "legacy", "both"],
+                   help="MPC re-root mode for the mpc_step measurement: "
+                        "static reuses one compiled replan program (traced "
+                        "active count); legacy pops+shrinks like the "
+                        "reference, recompiling every step")
     args = p.parse_args()
 
     field = textured_sphere_field(radius=0.35)
@@ -70,6 +76,35 @@ def main():
         "unit": "ms (250 Adam iters)",
         "per_iter_ms": round(replan_s / 250 * 1e3, 3),
     }))
+
+    # ---------------- MPC re-rooting: update_state + learn_update per step.
+    # The steady-state replan above never pops a waypoint; real missions do,
+    # and the reference's pop-and-shrink forces a fresh trace+compile per MPC
+    # step. static_horizon (default) replays ONE compiled program.
+    import dataclasses as _dc
+
+    modes = (["static", "legacy"] if args.horizon == "both"
+             else [args.horizon])
+    for mode in modes:
+        # legacy recompiles per step (minutes each through the remote-compile
+        # relay) — keep it to 2 steps; static gets a representative 5
+        n_steps = 5 if mode == "static" else 2
+        mcfg_p = _dc.replace(pcfg, static_horizon=(mode == "static"))
+        pl = Planner(s18, e18, mcfg_p, density_fn)
+        pl.learn_init()  # warms the full-horizon program
+        t0 = time.perf_counter()
+        for it in range(n_steps):
+            full = pl.get_full_states()
+            est12 = np.zeros(12, np.float32)
+            est12[0:3] = np.asarray(full["pos"][4])
+            pl.update_state(est12)
+            pl.learn_update(it)
+        step_ms = (time.perf_counter() - t0) / n_steps * 1e3
+        print(json.dumps({
+            "metric": f"mpc_step_ms_{mode}",
+            "value": round(step_ms, 1),
+            "unit": f"ms (update_state + 250-iter replan, {n_steps} steps)",
+        }))
 
     # ---------------- filter
     H = W = 800
