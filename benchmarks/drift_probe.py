@@ -43,8 +43,12 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                         grid_log2_hashmap_size=17, grid_levels=4,
                         grid_level_dim=8)
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
+    # iters stays 30000 so the fractional dt-anneal thresholds are IDENTICAL
+    # across variants; only the lr horizon moves (lr_iters) — otherwise the
+    # lr_fast A/B would also shift the marching schedule and confound H-noise
     opt = TrainerOptions(name=f"drift_{name}", workspace=tempfile.mkdtemp(),
-                         lr=1e-2, iters=lr_iters, num_rays=4096,
+                         lr=1e-2, iters=30000, lr_iters=lr_iters,
+                         num_rays=4096,
                          use_checkpoint="scratch", bg_train="white",
                          eval_interval=1, occ_freeze_after=occ_freeze_after)
     tr = Trainer(cfg, rcfg, opt,

@@ -24,8 +24,9 @@ run() {
   log "END $name rc=$rc: $(tail -1 /tmp/q8_$name.log)"
 }
 
-# legacy mode recompiles the replan program per MPC step through the
-# remote-compile relay — the 2-step cap inside nav_bench keeps it bounded
+# static only: the legacy A/B was settled on CPU (1.9 vs 21 s/step,
+# RESULTS.md) and its chip number would mostly measure remote-relay compile
+# time — not worth the chip minutes
 run nav_mpc python benchmarks/nav_bench.py --filter_render all \
-  --filter_opt gn --horizon both
+  --filter_opt gn --horizon static
 log "QUEUE8 DONE"

@@ -328,10 +328,14 @@ class Planner:
         (quad_plot.py:344-369)."""
         cfg, density_fn, body = self.cfg, self.density_fn, self.body
 
-        def fade_for(ep):
+        def fade_for(ep, live_t):
+            """Progressive collision fade-in front (quad_plot.py:243-247).
+            live_t = live step count (active+4): the front must sweep the
+            LIVE horizon, not T_max, or the static mode fades in more rows
+            per epoch than the legacy shrunk-array computation."""
             t = cfg.T + 4
             if cfg.fade_out_epoch > 0:
-                progress = jnp.minimum(ep / cfg.fade_out_epoch, 1.0) * t
+                progress = jnp.minimum(ep / cfg.fade_out_epoch, 1.0) * live_t
                 return jax.nn.sigmoid(
                     (progress - jnp.arange(t)) * cfg.fade_out_sharpness
                 )
@@ -344,10 +348,12 @@ class Planner:
             def scan_body(carry, ep):
                 params, opt_state = carry
 
+                live_t = (active + 4) if use_active else (cfg.T + 4)
+
                 def loss_fn(p):
                     loss, _ = total_cost(
                         start_state, end_state, p["states"], p["initial_accel"],
-                        density_fn, cfg, body, fade_for(ep),
+                        density_fn, cfg, body, fade_for(ep, live_t),
                         active=active if use_active else None,
                     )
                     return loss
@@ -490,10 +496,37 @@ class Planner:
         )
 
     def load_progress(self, path):
+        """Restore a save_progress file, reconciling horizon modes: a
+        static-horizon file carries dead rolled-out tail rows past `active`
+        that a legacy planner must NOT treat as live waypoints, and a legacy
+        (shrunk) file must be padded back to T_max for a static planner."""
         data = np.load(path)
-        self.states = jnp.asarray(data["states"])
+        states = jnp.asarray(data["states"])
+        active = int(data["active"]) if "active" in data else states.shape[0]
+        active = min(active, states.shape[0])
         self.initial_accel = jnp.asarray(data["initial_accel"])
         self.start_state = jnp.asarray(data["start_state"])
         self.end_state = jnp.asarray(data["end_state"])
-        self.active = (int(data["active"]) if "active" in data
-                       else self.states.shape[0])
+        if self.cfg.static_horizon:
+            T = self.cfg.T
+            if active > T:
+                raise ValueError(
+                    f"progress file has {active} live waypoints but this "
+                    f"planner's static horizon is T={T}; construct the "
+                    f"Planner with cfg.T >= {active} to load it")
+            if states.shape[0] > T:
+                states = states[:T]  # dead static-file tail rows
+            elif states.shape[0] < T:  # legacy file: pad dead (masked) rows
+                pad = jnp.tile(states[-1:], (T - states.shape[0], 1))
+                states = jnp.concatenate([states, pad], axis=0)
+            self.states = states
+            self.active = active
+        else:
+            states = states[:active]  # drop dead static-file tail rows
+            if states.shape[0] != self.cfg.T:
+                import dataclasses
+
+                self.cfg = dataclasses.replace(self.cfg, T=states.shape[0])
+                self._step = None  # horizon changed: retrace
+            self.states = states
+            self.active = states.shape[0]

@@ -47,6 +47,9 @@ class TrainerOptions:
     workspace: str = "workspace"
     lr: float = 1e-2
     iters: int = 30000            # lr decays 0.1^(step/iters)
+    lr_iters: int = 0             # lr-horizon override: 0 = use `iters`.
+    # `iters` also anchors the fractional dt-anneal thresholds below, so an
+    # lr-schedule A/B must vary THIS knob to leave the marching schedule fixed
     num_rays: int = 4096
     eval_interval: int = 50
     max_keep_ckpt: int = 2
@@ -182,7 +185,8 @@ class Trainer:
             params = init_network(init_key, cfg)
         self.params = params
 
-        schedule = lambda step: opt.lr * (0.1 ** (step / opt.iters))  # noqa: E731
+        lr_horizon = opt.lr_iters or opt.iters
+        schedule = lambda step: opt.lr * (0.1 ** (step / lr_horizon))  # noqa: E731
         self.optimizer = optax.adam(schedule, b1=0.9, b2=0.99, eps=1e-15)
 
         self.workspace = opt.workspace
@@ -239,16 +243,14 @@ class Trainer:
         """Reinitialize weights + occupancy/extra state — the GUI's reset
         button (reference gui.py:215-228: weight_reset over the modules +
         model.reset_extra_state)."""
-        from nerfnav_tpu.models import init_network
-
         self.key, init_key = jax.random.split(self.key)
         self.params = init_network(init_key, self.cfg)
-        n_images = (
-            self.state.error_maps.shape[0]
-            if self.state is not None and self.state.error_maps is not None
-            else 1
-        )
-        self.state = self._init_state(n_images)
+        if self.state is not None:
+            n_images = (self.state.error_maps.shape[0]
+                        if self.state.error_maps is not None else 1)
+            self.state = self._init_state(n_images)
+        # else: leave state None — train() sizes it from the dataset, so a
+        # pre-training reset can't pin error_maps to the wrong image count
         self.epoch = 0
         self.global_step = 0
         self._mean_count_host = 0.0
@@ -586,13 +588,15 @@ class Trainer:
             return
         if self.global_step % self.opt.update_extra_interval != 0:
             return
+        if self.state.mean_count is not None:
+            # refresh the host budget mirror on the same cadence (this
+            # boundary already synchronizes on the update counter); keep it
+            # ahead of the freeze return — occ_freeze_after halts occupancy
+            # CARVING only, not point-budget adaptation
+            self._mean_count_host = float(self.state.mean_count)
         if (self.opt.occ_freeze_after > 0
                 and self.global_step > self.opt.occ_freeze_after):
             return
-        if self.state.mean_count is not None:
-            # refresh the host budget mirror on the same cadence (this
-            # boundary already synchronizes on the update counter)
-            self._mean_count_host = float(self.state.mean_count)
         from nerfnav_tpu.models.occupancy import update_extra_state
 
         self.key, sub = jax.random.split(self.key)

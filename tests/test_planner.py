@@ -239,6 +239,67 @@ class TestPlanner:
                 atol=1e-5,
                 err_msg=f"{key} diverges between static and legacy modes")
 
+    def test_static_horizon_fade_matches_legacy(self, cfg):
+        """End-to-end with a progressive collision fade (fade_out_epoch > 0):
+        after one MPC pop, static and legacy optimizations must follow the
+        same loss trajectory — the fade front scales with the LIVE horizon,
+        not T_max."""
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, T=6, fade_out_epoch=40,
+                                  epochs_update=20, save_every=10)
+        start = make_state([-0.5, 0.0, 0.1])
+        end = make_state([0.5, 0.0, 0.1])
+        est = np.zeros(12, np.float32)
+        est[0:3] = [-0.42, 0.01, 0.1]
+
+        def run(static):
+            c = dataclasses.replace(cfg, static_horizon=static)
+            pl = Planner(start, end, c, cylinder_density)
+            pl.update_state(est)
+            return pl.learn_update(0)
+
+        losses_static, losses_legacy = run(True), run(False)
+        np.testing.assert_allclose(losses_static, losses_legacy, rtol=2e-4)
+
+    def test_load_progress_across_horizon_modes(self, cfg, tmp_path):
+        """A static-horizon progress file must not leak its dead tail rows
+        into a legacy planner (and a legacy file pads back up for static)."""
+        import dataclasses
+
+        start = make_state([-0.5, 0.0, 0.1])
+        end = make_state([0.5, 0.0, 0.1])
+        est = np.zeros(12, np.float32)
+        est[0:3] = [-0.45, 0.0, 0.1]
+
+        pl_static = Planner(start, end, cfg, empty_density)
+        pl_static.update_state(est)
+        pl_static.update_state(est)  # 2 pops: active = T-2, 2 dead tail rows
+        path = str(tmp_path / "prog.npz")
+        pl_static.save_progress(path)
+
+        legacy_cfg = dataclasses.replace(cfg, static_horizon=False)
+        pl_legacy = Planner(start, end, legacy_cfg, empty_density)
+        pl_legacy.load_progress(path)
+        assert pl_legacy.states.shape[0] == cfg.T - 2
+        assert pl_legacy.cfg.T == cfg.T - 2
+        np.testing.assert_allclose(
+            np.asarray(pl_legacy.states),
+            np.asarray(pl_static.states[: cfg.T - 2]), atol=1e-6)
+
+        # round-trip: the legacy planner's file loads back into static mode
+        path2 = str(tmp_path / "prog2.npz")
+        pl_legacy.save_progress(path2)
+        pl_static2 = Planner(start, end, cfg, empty_density)
+        pl_static2.load_progress(path2)
+        assert pl_static2.states.shape[0] == cfg.T   # padded back to T_max
+        assert pl_static2.active == cfg.T - 2
+        # trimmed rollups agree
+        out_a = pl_legacy.get_full_states()
+        out_b = pl_static2.get_full_states()
+        np.testing.assert_allclose(np.asarray(out_a["pos"]),
+                                   np.asarray(out_b["pos"]), atol=1e-5)
+
     def test_artifacts_written(self, cfg, tmp_path):
         start = make_state([-0.5, 0.0, 0.1])
         end = make_state([0.5, 0.0, 0.1])

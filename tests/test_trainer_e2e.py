@@ -114,6 +114,20 @@ def test_error_map_mode_runs(scene_dir, cfg, tmp_path):
     assert not np.allclose(em, 0.1)  # got updated
 
 
+def test_reset_before_training_keeps_error_map_sizing(scene_dir, cfg,
+                                                      tmp_path):
+    """A reset_model before the first train step must not pin error_maps to
+    a placeholder image count: train() still sizes state from the dataset."""
+    train_ds = NeRFDataset(
+        DatasetOptions(path=scene_dir, scale=1.0, error_map=True), "train"
+    )
+    tr = make_trainer(cfg, str(tmp_path / "ws_reset"), error_map=True)
+    tr.reset_model()  # state is None here — must stay deferred
+    assert tr.state is None
+    tr.train(train_ds, max_epochs=1, steps_per_epoch=5)
+    assert np.asarray(tr.state.error_maps).shape == (8, 128 * 128)
+
+
 def test_grid_fast_path_training(scene_dir, cfg, tmp_path):
     """Occupancy-grid accelerated training (the reference -O mode) end-to-end:
     grid updates every 16 steps, marching + static-budget rendering, PSNR
