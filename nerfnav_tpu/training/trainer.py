@@ -737,7 +737,16 @@ class Trainer:
                     np.stack(frames), fps=25, quality=8,
                 )
             except Exception as e:  # codec availability varies
-                self.log(f"mp4 write failed ({e}); pngs saved")
+                # GIF needs only the Pillow backend — still a playable
+                # artifact on hosts without an ffmpeg/pyav imageio plugin
+                try:
+                    import imageio.v2 as imageio
+
+                    gif = os.path.join(out_dir, f"{name or self.opt.name}.gif")
+                    imageio.mimwrite(gif, np.stack(frames), fps=25, loop=0)
+                    self.log(f"mp4 write failed ({e}); wrote {gif} instead")
+                except Exception:
+                    self.log(f"mp4 write failed ({e}); pngs saved")
         return frames
 
     # ------------------------------------------------------------- GUI hooks
