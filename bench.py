@@ -71,8 +71,23 @@ def main():
     p.add_argument("--a0", type=int, default=0,
                    help="phase-A0 super-coarse prefilter: keep this many "
                         "block spans (0 = off)")
+    p.add_argument("--prepass", action="store_true",
+                   help="depth-prepass tile planning: march a stride-8 ray "
+                        "subgrid once per frame, skip empty tiles, and "
+                        "render each chunk with the smallest phase-A ladder "
+                        "bucket covering its depth window "
+                        "(models/prepass.py)")
+    p.add_argument("--prepass_stride", type=int, default=8)
+    p.add_argument("--hw", type=int, default=800,
+                   help="image side (CPU smoke runs use a small value)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (smoke tests; never for "
+                        "recorded numbers)")
     args = p.parse_args()
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from nerfnav_tpu.data.rays import get_all_rays, tile_order
@@ -84,7 +99,7 @@ def main():
     from nerfnav_tpu.ops.morton import pack_blocks, packbits
 
     BOUND = 2.0
-    H = W = 800
+    H = W = args.hw
     # TPU-flagship field config: cell-layout hash tables (one wide gather per
     # level instead of 8 narrow ones), 4 levels x 8 features (quarter the
     # gathers of 16x2; measured BEST quality of the three at scale —
@@ -203,6 +218,72 @@ def main():
         ro, rd = jnp.asarray(ro), jnp.asarray(rd)
         chunks = [(ro[i : i + CHUNK], rd[i : i + CHUNK])
                   for i in range(0, n + pad, CHUNK)]
+
+    if args.prepass:
+        # depth-prepass planning: per-frame subgrid march -> per-chunk
+        # phase-A bucket + depth window; empty chunks skip dispatch entirely
+        assert not args.row_major and args.path == "rounds", \
+            "--prepass needs tile chunks + rounds shading"
+        import dataclasses
+
+        from nerfnav_tpu.models.prepass import DepthPrepass
+
+        dp = DepthPrepass(mcfg, H, W, perm, CHUNK, tile=args.tile,
+                          stride=args.prepass_stride)
+
+        bucket_fns = {}
+
+        def render_chunk_bucket(t_a0):
+            if t_a0 not in bucket_fns:
+                mcfg_b = dataclasses.replace(mcfg, t_a0_steps=t_a0)
+
+                @jax.jit
+                def fn(ro, rd, zlo, zhi):
+                    return render_rays_grid_rounds(
+                        field, occupancy, mcfg_b, ro, rd, bg_color=1.0,
+                        round_samples=args.round_samples,
+                        round_compact=args.round_compact,
+                        shade_order=args.shade_order,
+                        z_window=(zlo, zhi),
+                    )["image"]
+
+                bucket_fns[t_a0] = fn
+            return bucket_fns[t_a0]
+
+        def render_frame():
+            plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
+            last = None
+            n_skip = 0
+            for (t_a0, zlo, zhi), (a, b) in zip(plan, chunks):
+                if t_a0 == 0:
+                    n_skip += 1
+                    continue
+                last = render_chunk_bucket(t_a0)(
+                    a, b, jnp.float32(zlo), jnp.float32(zhi))
+            if last is not None:
+                last.block_until_ready()
+            return plan, n_skip
+
+        # warmup: compile every bucket program this plan uses
+        plan0, n_skip0 = render_frame()
+        used = sorted({t for t, _, _ in plan0 if t})
+        print(json.dumps({"prepass_buckets": used, "skipped_chunks": n_skip0,
+                          "total_chunks": len(chunks)}))
+
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            render_frame()
+        dt = (time.perf_counter() - t0) / iters
+        rays_per_sec = n / dt
+
+        print(json.dumps({
+            "metric": "render_rays_per_sec_chip",
+            "value": round(rays_per_sec),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_sec / 1e7, 3),
+        }))
+        return
 
     # warmup/compile
     render_chunk(*chunks[0]).block_until_ready()

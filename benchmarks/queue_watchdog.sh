@@ -17,12 +17,13 @@ log "watchdog up (pid $$)"
 # queue N -> (script, log file, done marker) in EXECUTION order
 # (queue 5, the quick frozen-filter A/B, runs before the long queue-4 run)
 SCRIPTS=(run_r2_queue.sh run_r2_queue2.sh run_r2_queue3.sh run_r2_queue5.sh
-         run_r2_queue4.sh run_r2_queue6.sh run_r2_queue7.sh run_r2_queue8.sh)
+         run_r2_queue4.sh run_r2_queue6.sh run_r2_queue7.sh run_r2_queue8.sh
+         run_r2_queue9.sh)
 LOGS=(/tmp/r2_queue.log /tmp/r2_queue2.log /tmp/r2_queue3.log
       /tmp/r2_queue5.log /tmp/r2_queue4.log /tmp/r2_queue6.log
-      /tmp/r2_queue7.log /tmp/r2_queue8.log)
+      /tmp/r2_queue7.log /tmp/r2_queue8.log /tmp/r2_queue9.log)
 MARKS=("QUEUE DONE" "QUEUE2 DONE" "QUEUE3 DONE" "QUEUE5 DONE" "QUEUE4 DONE"
-       "QUEUE6 DONE" "QUEUE7 DONE" "QUEUE8 DONE")
+       "QUEUE6 DONE" "QUEUE7 DONE" "QUEUE8 DONE" "QUEUE9 DONE")
 
 while true; do
   all_done=1

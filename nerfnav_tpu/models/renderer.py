@@ -470,6 +470,7 @@ def render_rays_grid_rounds(
     crop_aabb=None,
     round_compact: int = 4,
     shade_order: str = "ray",
+    z_window=None,
 ):
     """Grid-path rendering with on-device early termination.
 
@@ -505,7 +506,8 @@ def render_rays_grid_rounds(
     from nerfnav_tpu.ops.marching import march
 
     n = rays_o.shape[0]
-    m = march(rays_o, rays_d, occupancy, mcfg, key=key, crop_aabb=crop_aabb)
+    m = march(rays_o, rays_d, occupancy, mcfg, key=key, crop_aabb=crop_aabb,
+              z_window=z_window)
     z, dt, valid = (
         jax.lax.stop_gradient(m["z"]),
         jax.lax.stop_gradient(m["dt"]),

@@ -85,6 +85,15 @@ class MarchConfig:
     #   occupancy margin BEFORE the surface, and the tail stride over the
     #   few remaining slots is far coarser than uniform thinning). Only a
     #   candidate for fully-converged thin-shell occupancies; keep False.
+    t_a0_steps: int = 0           # STATIC phase-A ladder length override
+    #   (normalized ladders only; 0 = auto ceil(2*sqrt(3)*bound / cap)).
+    #   The depth-prepass planner (models/prepass.py) compiles a few bucket
+    #   programs with short ladders and dispatches each image tile to the
+    #   smallest bucket whose ladder still covers the tile's measured
+    #   occupied-depth window. CALLER CONTRACT: every ray's [near, far]
+    #   span (after the z_window narrowing) must satisfy
+    #   ceil(span / phase_a_cap) <= t_a0_steps, or the ladder's cap-clamped
+    #   tail silently cuts far geometry.
     a0_segments: int = 0          # super-coarse phase-A0 prefilter (block
     #   marcher, normalized ladders only): walk a ~15-candidate ladder at one
     #   COARSE-BLOCK-edge step against the "any cell in block occupied" bit
@@ -274,6 +283,19 @@ def crop_near_far(near, far, rays_o, rays_d, crop_aabb):
     return near, far
 
 
+def apply_z_window(near, far, z_window):
+    """Narrow per-ray [near, far] to a depth window (z_lo, z_hi) — scalars
+    or (N,) arrays. A window that excludes a ray entirely degenerates to an
+    empty span (far == near), which every marcher masks to zero samples.
+    Produced by the depth-prepass planner (models/prepass.py)."""
+    if z_window is None:
+        return near, far
+    z_lo, z_hi = z_window
+    near = jnp.maximum(near, z_lo)
+    far = jnp.maximum(jnp.minimum(far, z_hi), near)
+    return near, far
+
+
 def near_far_aabb(rays_o, rays_d, bound: float, min_near: float,
                   crop_aabb=None):
     """Slab-test near/far against the bound cube, optionally intersected with
@@ -450,7 +472,7 @@ def _phase_a_ladder(near, far, cfg: MarchConfig, round_to: int = 1):
     # dt_a derives from the UN-padded count so the anchor-run padding below
     # only appends masked tail steps — the byte and block marchers (different
     # round_to) must produce identical candidate geometry
-    t_a0 = int(np.ceil(span / cap))
+    t_a0 = cfg.t_a0_steps or int(np.ceil(span / cap))
     t_a = t_a0 + (-t_a0) % round_to
     dt_a = jnp.clip((far - near)[:, None] / t_a0, base, cap)   # (N, 1)
     taus = jnp.arange(t_a, dtype=jnp.float32)
@@ -469,7 +491,8 @@ def _phase_a_cap(cfg: MarchConfig) -> float:
 
 
 def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
-                         cfg: MarchConfig, key=None, crop_aabb=None):
+                         cfg: MarchConfig, key=None, crop_aabb=None,
+                         z_window=None):
     """Coarse-to-fine two-phase march.
 
     Phase A walks a sparse ladder (coarse_step_mult * dt_min, or the static
@@ -490,6 +513,7 @@ def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
 
     near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near,
                               crop_aabb)
+    near, far = apply_z_window(near, far, z_window)
     k_phase = None
     if key is not None:
         key, k_phase = jax.random.split(key)
@@ -614,7 +638,8 @@ def _grouped_block_test(table, flat, local, group: int, anchors=None):
 
 
 def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
-                     key=None, density_coarse_min=None, crop_aabb=None):
+                     key=None, density_coarse_min=None, crop_aabb=None,
+                     z_window=None):
     """Two-phase march against 64-bit block-packed occupancy rows.
 
     Same candidate geometry as march_rays_two_phase (phase A: dt_a ladder vs
@@ -662,6 +687,7 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
 
     near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near,
                               crop_aabb)
+    near, far = apply_z_window(near, far, z_window)
     k_phase = None
     if key is not None:
         key, k_phase = jax.random.split(key)
@@ -812,7 +838,7 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
 
 
 def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None,
-               crop_aabb=None):
+               crop_aabb=None, z_window=None):
     """March N rays through the occupancy grid.
 
     Returns dict:
@@ -831,6 +857,7 @@ def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None,
 
     near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near,
                               crop_aabb)
+    near, far = apply_z_window(near, far, z_window)
     k_phase = None
     if key is not None:
         key, k_phase = jax.random.split(key)
@@ -846,8 +873,42 @@ def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None,
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
 
+def march_segments(rays_o, rays_d, occupancy, cfg: MarchConfig,
+                   crop_aabb=None):
+    """Phase A ONLY: per-ray occupied coarse segments (z, dt, valid) — the
+    cheap conservative depth probe the prepass planner (models/prepass.py)
+    marches at low resolution. Budget overflow stride-thins segments but
+    their dt scales to span the WHOLE occupied range (_compact_first_k), so
+    min(z)/max(z+dt) bound every sample the full march could produce."""
+    if isinstance(occupancy, dict):
+        bitfield = occupancy["bitfield"]
+        coarse = occupancy.get("bitfield_coarse")
+    else:
+        bitfield, coarse = occupancy, None
+    import dataclasses
+
+    near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near,
+                              crop_aabb)
+    if coarse is not None:
+        cfg_l = dataclasses.replace(cfg,
+                                    grid_size=cfg.grid_size // cfg.coarse_factor)
+        table = coarse
+    else:
+        cfg_l = cfg
+        table = bitfield
+    z_a, dt_a, _ = _phase_a_ladder(near, far, cfg)
+    pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
+    occ_a = occupancy_lookup(table, pos_a, dt_a, cfg_l)
+    occ_next = jnp.concatenate(
+        [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1)
+    occ_a = (occ_a | occ_next) & (z_a < far[:, None])
+    z_buf, dt_buf, valid = _compact_first_k(occ_a, z_a, dt_a,
+                                            cfg.coarse_segments)
+    return {"z": z_buf, "dt": dt_buf, "valid": valid}
+
+
 def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
-          crop_aabb=None):
+          crop_aabb=None, z_window=None):
     """Dispatch: block-packed two-phase march when 64-bit block tables are
     available (fastest; requires dt_gamma == 0), byte-bitfield two-phase when
     a coarse mirror is available (supports dt_gamma), single-phase ladder
@@ -873,15 +934,15 @@ def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
     if blocks is not None and blocks_coarse is not None and cfg.dt_gamma == 0.0:
         return march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg,
                                 key, density_coarse_min=density_coarse_min,
-                                crop_aabb=crop_aabb)
+                                crop_aabb=crop_aabb, z_window=z_window)
     if coarse is not None:
         # the byte two-phase marcher supports dt_gamma > 0 via the static
         # gamma ladder; only the block marcher requires dt_gamma == 0
         m = march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key,
-                                 crop_aabb=crop_aabb)
+                                 crop_aabb=crop_aabb, z_window=z_window)
     else:
         m = march_rays(rays_o, rays_d, bitfield, cfg, key,
-                       crop_aabb=crop_aabb)
+                       crop_aabb=crop_aabb, z_window=z_window)
     if cfg.proxy_terminate:
         # prefer the min-pooled coarse table: strictly conservative (see
         # proxy_terminate_valid's EMA-max silhouette caveat)

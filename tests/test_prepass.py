@@ -1,0 +1,130 @@
+"""Depth-prepass planner: window containment + image equivalence.
+
+The planner's guarantee is CONSERVATIVE WINDOWS: every sample the control
+march produces for a chunk must lie inside that chunk's planned depth
+window, and a chunk planned as skip must have no occupied samples at all.
+Image equivalence is tolerance-based (the shorter bucket ladders sample at
+different — finer — positions than the control ladder)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfnav_tpu.data.rays import get_all_rays, tile_order
+from nerfnav_tpu.data.synthetic import textured_sphere_field
+from nerfnav_tpu.models import render_rays_grid_rounds
+from nerfnav_tpu.models.prepass import DepthPrepass, full_ladder_steps
+from nerfnav_tpu.ops.marching import MarchConfig, march
+from nerfnav_tpu.ops.morton import pack_blocks, packbits
+
+H = W = 128
+TILE = 16
+CHUNK = TILE * TILE
+
+
+@pytest.fixture(scope="module")
+def scene():
+    field = textured_sphere_field(radius=0.35)
+    mcfg = MarchConfig(bound=1.0, grid_size=64, max_steps=512,
+                       samples_per_ray=32, min_near=0.05,
+                       coarse_segments=12, coarse_anchors=2)
+    Hg = mcfg.grid_size
+    ii = np.arange(Hg**3)
+    c = (np.stack([ii // (Hg * Hg), (ii // Hg) % Hg, ii % Hg], -1) + 0.5) \
+        / Hg * 2 - 1
+    r = np.linalg.norm(c, axis=-1)
+    occ = ((r > 0.30) & (r < 0.45))[None]
+    f = mcfg.coarse_factor
+    hc = Hg // f
+    occ_c = occ.reshape(1, hc, f, hc, f, hc, f).max(axis=(2, 4, 6))
+    occupancy = {
+        "bitfield": packbits(jnp.asarray(occ.astype(np.float32))),
+        "bitfield_coarse": packbits(
+            jnp.asarray(occ_c.reshape(1, -1).astype(np.float32))),
+        "blocks": pack_blocks(jnp.asarray(occ), Hg),
+        "blocks_coarse": pack_blocks(
+            jnp.asarray(occ_c.reshape(1, -1)), hc,
+            block=8 if hc % 8 == 0 else 4),
+    }
+    intr = jnp.asarray([90.0, 90.0, W / 2, H / 2])
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.6]))
+    rays = get_all_rays(pose, intr, H, W)
+    perm, inv = tile_order(H, W, TILE)
+    ro = jnp.asarray(np.asarray(rays["rays_o"])[perm])
+    rd = jnp.asarray(np.asarray(rays["rays_d"])[perm])
+    return field, mcfg, occupancy, rays, ro, rd, perm
+
+
+def chunks_of(ro, rd):
+    return [(ro[i: i + CHUNK], rd[i: i + CHUNK])
+            for i in range(0, H * W, CHUNK)]
+
+
+def test_windows_contain_control_samples(scene):
+    field, mcfg, occupancy, rays, ro, rd, perm = scene
+    dp = DepthPrepass(mcfg, H, W, perm, CHUNK, tile=TILE, stride=4)
+    plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
+    assert len(plan) == (H * W) // CHUNK
+    skipped = [t for t, _, _ in plan if t == 0]
+    bucketed = [t for t, _, _ in plan if 0 < t < full_ladder_steps(mcfg)]
+    assert skipped, "expected some background chunks on this framing"
+    assert bucketed, "expected some chunks on a shorter ladder bucket"
+
+    import jax
+
+    march_jit = jax.jit(lambda a, b: march(a, b, occupancy, mcfg))
+    for (t_a0, zlo, zhi), (a, b) in zip(plan, chunks_of(ro, rd)):
+        m = march_jit(a, b)  # control march, full ladder
+        z = np.asarray(m["z"])
+        valid = np.asarray(m["valid"])
+        if t_a0 == 0:
+            assert not valid.any(), "skipped chunk had occupied samples"
+            continue
+        zs = z[valid]
+        if zs.size:
+            assert zs.min() >= zlo - 1e-5, (zs.min(), zlo)
+            assert zs.max() <= zhi + 1e-5, (zs.max(), zhi)
+
+
+def test_prepass_image_matches_control(scene):
+    field, mcfg, occupancy, rays, ro, rd, perm = scene
+    dp = DepthPrepass(mcfg, H, W, perm, CHUNK, tile=TILE, stride=4)
+    plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
+
+    import jax
+
+    ctl_fn = jax.jit(lambda a, b: render_rays_grid_rounds(
+        field, occupancy, mcfg, a, b, bg_color=1.0)["image"])
+    bucket_fns = {}
+
+    def bucket_fn(t_a0):
+        if t_a0 not in bucket_fns:
+            mcfg_b = dataclasses.replace(mcfg, t_a0_steps=t_a0)
+            bucket_fns[t_a0] = jax.jit(
+                lambda a, b, zlo, zhi, m=mcfg_b: render_rays_grid_rounds(
+                    field, occupancy, m, a, b, bg_color=1.0,
+                    z_window=(zlo, zhi))["image"])
+        return bucket_fns[t_a0]
+
+    control, planned = [], []
+    for (t_a0, zlo, zhi), (a, b) in zip(plan, chunks_of(ro, rd)):
+        control.append(np.asarray(ctl_fn(a, b)))
+        if t_a0 == 0:
+            planned.append(np.ones_like(control[-1]))
+            continue
+        out = bucket_fn(t_a0)(a, b, jnp.float32(zlo), jnp.float32(zhi))
+        planned.append(np.asarray(out))
+    control = np.concatenate(control)
+    planned = np.concatenate(planned)
+    mse = float(np.mean((control - planned) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    # different ladder resolutions resample the same geometry: high-but-not-
+    # exact agreement is the expectation
+    assert psnr > 35.0, psnr
+    # skipped chunks must be exactly background in the control too
+    for (t_a0, _, _), c in zip(plan,
+                               control.reshape(-1, CHUNK, 3)):
+        if t_a0 == 0:
+            np.testing.assert_allclose(c, 1.0, atol=1e-5)
