@@ -70,6 +70,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    "(training masters stay fp32); bfloat16 halves gathered "
                    "table bytes and is quality-free on converged scenes "
                    "(benchmarks/eval_table_dtype.py: -0.0003 dB)")
+    p.add_argument("--eval_prepass", action="store_true",
+                   help="depth-prepass tile planning for eval/test/GUI "
+                   "rendering: skip empty tiles and shorten each tile's "
+                   "phase-A ladder to its measured depth window "
+                   "(models/prepass.py)")
     p.add_argument("--ff", action="store_true", help="fused-MLP backend")
     p.add_argument("--tcnn", action="store_true",
                    help="parity flag; maps to the fused backend on TPU")

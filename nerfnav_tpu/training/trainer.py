@@ -80,6 +80,13 @@ class TrainerOptions:
     # "depth" (cross-ray spatial coherence — adjacent rays at the same depth
     # gather near-identical table rows; bench.py --shade_order A/B)
     shade_order: str = "ray"
+    # depth-prepass tile planning for render_full (models/prepass.py):
+    # bound each tile's occupied depth with a low-res phase-A march, render
+    # each chunk with the smallest phase-A ladder bucket covering it, skip
+    # empty tiles. Eval/GUI only (needs eval_rounds tiles); off pending the
+    # queue-9 chip A/B.
+    eval_prepass: bool = False
+    eval_prepass_stride: int = 8
     # Coarse-to-fine marching-step annealing for the grid fast path:
     # ((threshold, dt_multiplier), ...) — marching starts coarse (the static
     # budget then spans every ray without field-dependent stride, which
@@ -206,6 +213,8 @@ class Trainer:
         self._train_step_fns = {}  # (H, W, C, dt_mult, budget) -> jitted step
         self._render_chunk_fn = None
         self._table_cast_cache = None  # (params, cast_params) for eval dtype
+        self._prepass_chunk_fns = {}   # t_a0 -> jitted windowed chunk fn
+        self._prepass_planners = {}    # (H, W, chunk) -> DepthPrepass
         self._mean_count_host = 0.0  # host mirror of state.mean_count
         self.state = None  # built on first train()/resume
 
@@ -621,6 +630,37 @@ class Trainer:
             self._table_cast_cache = (params, cast)
         return self._table_cast_cache[1]
 
+    def _prepass_chunk_fn(self, t_a0: int):
+        """Windowed bucket variant of the rounds render chunk (depth-prepass
+        planning, models/prepass.py): a STATIC short phase-A ladder plus a
+        traced per-chunk depth window."""
+        if t_a0 not in self._prepass_chunk_fns:
+            import dataclasses
+
+            from nerfnav_tpu.models import render_rays_grid_rounds
+
+            cfg = self.cfg
+            mcfg = dataclasses.replace(self.march_cfg, t_a0_steps=t_a0)
+            shade_order = self.opt.shade_order
+            mesh = self.mesh
+
+            @partial(jax.jit, static_argnums=(6,))
+            def render_chunk(params, occupancy, rays_o, rays_d, zlo, zhi,
+                             bg_color: float, crop_aabb=None):
+                if mesh is not None:
+                    from nerfnav_tpu.parallel.sharding import shard_rays
+
+                    t = shard_rays({"ro": rays_o, "rd": rays_d}, mesh)
+                    rays_o, rays_d = t["ro"], t["rd"]
+                return render_rays_grid_rounds(
+                    make_field(params, cfg), occupancy, mcfg, rays_o, rays_d,
+                    bg_color=bg_color, crop_aabb=crop_aabb,
+                    shade_order=shade_order, z_window=(zlo, zhi),
+                )
+
+            self._prepass_chunk_fns[t_a0] = render_chunk
+        return self._prepass_chunk_fns[t_a0]
+
     def render_full(self, params, pose, intrinsics, H, W, bg_color=1.0,
                     crop_aabb=None, pixel_offset=None):
         """Staged full-image render with a cached jitted chunk fn
@@ -660,12 +700,37 @@ class Trainer:
                 and self.state.occupancy is not None)
             else jnp.zeros((1, 1), jnp.uint8)
         )
+        plan = None
+        if (use_tiles and self.opt.eval_prepass and isinstance(occupancy, dict)):
+            from nerfnav_tpu.models.prepass import DepthPrepass
+
+            pkey = (H, W, chunk)
+            dp = self._prepass_planners.get(pkey)
+            if dp is None:
+                dp = DepthPrepass(self.march_cfg, H, W, perm, chunk, tile=64,
+                                  stride=self.opt.eval_prepass_stride)
+                self._prepass_planners[pkey] = dp
+            plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
         imgs, depths = [], []
-        for i in range(0, n + pad, chunk):
-            out = self._render_chunk_fn(
-                params, occupancy, ro[i : i + chunk], rd[i : i + chunk],
-                float(bg_color), crop_aabb
-            )
+        for ci, i in enumerate(range(0, n + pad, chunk)):
+            if plan is not None:
+                t_a0, zlo, zhi = plan[ci]
+                if t_a0 == 0:
+                    # no occupancy anywhere near this chunk's tiles:
+                    # background, exactly what the control render produces
+                    imgs.append(jnp.full((chunk, 3), bg_color, jnp.float32))
+                    depths.append(jnp.zeros((chunk,), jnp.float32))
+                    continue
+                out = self._prepass_chunk_fn(t_a0)(
+                    params, occupancy, ro[i : i + chunk], rd[i : i + chunk],
+                    jnp.float32(zlo), jnp.float32(zhi),
+                    float(bg_color), crop_aabb
+                )
+            else:
+                out = self._render_chunk_fn(
+                    params, occupancy, ro[i : i + chunk], rd[i : i + chunk],
+                    float(bg_color), crop_aabb
+                )
             imgs.append(out["image"])
             depths.append(out["depth"])
         image = jnp.concatenate(imgs)[:n]

@@ -88,6 +88,52 @@ def test_windows_contain_control_samples(scene):
             assert zs.max() <= zhi + 1e-5, (zs.max(), zhi)
 
 
+def test_trainer_render_full_prepass(tmp_path):
+    """Trainer.render_full with eval_prepass on must closely match the
+    control staged render on a trained grid-path state."""
+    from nerfnav_tpu.data import NeRFDataset
+    from nerfnav_tpu.data.provider import DatasetOptions
+    from nerfnav_tpu.data.synthetic import make_synthetic_scene
+    from nerfnav_tpu.models import NetworkConfig, RenderConfig
+    from nerfnav_tpu.models.occupancy import OccupancyConfig
+    from nerfnav_tpu.training import Trainer, TrainerOptions
+
+    d = str(tmp_path / "scene")
+    make_synthetic_scene(d, n_train=4, n_val=1, H=64, W=64, num_steps=48)
+    ds = NeRFDataset(DatasetOptions(path=d, scale=1.0), "train")
+    cfg = NetworkConfig(bound=1.0, grid_levels=4, grid_log2_hashmap_size=12,
+                        grid_max_resolution=64)
+    rcfg = RenderConfig(num_steps=32, upsample_steps=0, min_near=0.05,
+                        max_ray_batch=4096)
+
+    def mk(prepass):
+        opt = TrainerOptions(name="pp", workspace=str(tmp_path / "ws"),
+                             num_rays=256, use_checkpoint="scratch",
+                             bg_train="white", eval_prepass=prepass,
+                             eval_prepass_stride=4)
+        return Trainer(cfg, rcfg, opt,
+                       occupancy_cfg=OccupancyConfig(
+                           bound=1.0, min_near=0.05, density_thresh=5.0,
+                           grid_size=32),
+                       march_cfg=MarchConfig(bound=1.0, grid_size=32,
+                                             samples_per_ray=16,
+                                             min_near=0.05,
+                                             coarse_factor=4,
+                                             coarse_segments=8))
+
+    tr = mk(False)
+    tr.train(ds, max_epochs=1, steps_per_epoch=60)
+    img_ctl, dep_ctl = tr.render_full(tr.state.params, ds.poses[0],
+                                      ds.intrinsics, 64, 64)
+    tr2 = mk(True)
+    tr2.state = tr.state
+    img_pp, dep_pp = tr2.render_full(tr.state.params, ds.poses[0],
+                                     ds.intrinsics, 64, 64)
+    mse = float(np.mean((np.asarray(img_ctl) - np.asarray(img_pp)) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    assert psnr > 35.0, psnr
+
+
 def test_prepass_image_matches_control(scene):
     field, mcfg, occupancy, rays, ro, rd, perm = scene
     dp = DepthPrepass(mcfg, H, W, perm, CHUNK, tile=TILE, stride=4)
