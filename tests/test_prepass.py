@@ -88,6 +88,63 @@ def test_windows_contain_control_samples(scene):
             assert zs.max() <= zhi + 1e-5, (zs.max(), zhi)
 
 
+def test_windows_contain_samples_multicascade():
+    """bound=2 (two cascades, like the chip bench scene): windows must stay
+    conservative across cascade boundaries and the outer cascade's coarser
+    cells."""
+    import jax
+
+    mcfg = MarchConfig(bound=2.0, grid_size=32, max_steps=256,
+                       samples_per_ray=24, min_near=0.05,
+                       coarse_segments=10, coarse_anchors=2)
+    Hg = mcfg.grid_size
+    ii = np.arange(Hg**3)
+    c = (np.stack([ii // (Hg * Hg), (ii // Hg) % Hg, ii % Hg], -1) + 0.5) \
+        / Hg * 2 - 1
+    r = np.linalg.norm(c, axis=-1)
+    # inner cascade: shell; outer cascade (cells at 2x scale): far wall slab
+    occ0 = (r > 0.3) & (r < 0.5)
+    occ1 = np.abs(c[:, 2] - 0.7) < 0.08   # in cascade-1 coords: z ~ 1.4
+    occ = np.stack([occ0, occ1])
+    f = mcfg.coarse_factor
+    hc = Hg // f
+    occ_c = occ.reshape(2, hc, f, hc, f, hc, f).max(axis=(2, 4, 6))
+    occupancy = {
+        "bitfield": packbits(jnp.asarray(occ.astype(np.float32))),
+        "bitfield_coarse": packbits(
+            jnp.asarray(occ_c.reshape(2, -1).astype(np.float32))),
+        "blocks": pack_blocks(jnp.asarray(occ), Hg),
+        "blocks_coarse": pack_blocks(
+            jnp.asarray(occ_c.reshape(2, -1)), hc,
+            block=8 if hc % 8 == 0 else 4),
+    }
+    h = w = 64
+    t = 16
+    intr = jnp.asarray([45.0, 45.0, w / 2, h / 2])
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.8]))
+    rays = get_all_rays(pose, intr, h, w)
+    perm, _ = tile_order(h, w, t)
+    ro = jnp.asarray(np.asarray(rays["rays_o"])[perm])
+    rd = jnp.asarray(np.asarray(rays["rays_d"])[perm])
+    dp = DepthPrepass(mcfg, h, w, perm, t * t, tile=t, stride=4)
+    plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
+    march_jit = jax.jit(lambda a, b: march(a, b, occupancy, mcfg))
+    checked = 0
+    for (t_a0, zlo, zhi), i in zip(plan, range(0, h * w, t * t)):
+        m = march_jit(ro[i: i + t * t], rd[i: i + t * t])
+        z = np.asarray(m["z"])
+        valid = np.asarray(m["valid"])
+        if t_a0 == 0:
+            assert not valid.any()
+            continue
+        zs = z[valid]
+        if zs.size:
+            checked += 1
+            assert zs.min() >= zlo - 1e-5, (zs.min(), zlo)
+            assert zs.max() <= zhi + 1e-5, (zs.max(), zhi)
+    assert checked > 0
+
+
 def test_trainer_render_full_prepass(tmp_path):
     """Trainer.render_full with eval_prepass on must closely match the
     control staged render on a trained grid-path state."""
