@@ -80,6 +80,9 @@ def main():
     p.add_argument("--prepass_stride", type=int, default=8)
     p.add_argument("--hw", type=int, default=800,
                    help="image side (CPU smoke runs use a small value)")
+    p.add_argument("--yaw", type=float, default=0.0,
+                   help="camera yaw (degrees) around the scene Y axis — "
+                        "off-axis A/B framing, not the headline metric")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke tests; never for "
                         "recorded numbers)")
@@ -169,7 +172,18 @@ def main():
             .reshape(len(occs), -1))
 
     intr = jnp.asarray([1000.0, 1000.0, W / 2, H / 2], jnp.float32)
-    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.8]))
+    # default: on-axis framing (the headline metric). --yaw rotates the
+    # camera around the scene's Y axis at the same distance — an off-axis
+    # framing where part of the frame sees no occupancy (exercises the
+    # prepass empty-tile skip; A/B-only, never the headline number)
+    th = np.radians(args.yaw)
+    rot_y = np.array([[np.cos(th), 0, np.sin(th)],
+                      [0, 1, 0],
+                      [-np.sin(th), 0, np.cos(th)]], np.float32)
+    pose = jnp.eye(4)
+    pose = pose.at[:3, :3].set(jnp.asarray(rot_y))
+    pose = pose.at[:3, 3].set(jnp.asarray(
+        [-1.8 * np.sin(th), 0.0, -1.8 * np.cos(th)], dtype=np.float32))
     rays = get_all_rays(pose, intr, H, W)
 
     # smaller chunks keep more programs in flight through the dispatch
