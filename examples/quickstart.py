@@ -108,8 +108,10 @@ def main():
     losses = planner.learn_init()
     pos = np.asarray(planner.get_full_states()["pos"])
     clearance = float(np.sqrt((pos**2).sum(-1)).min())
+    # make_synthetic_scene trains against sphere_field(radius=0.5)
     print(f"[quickstart] planner: loss {losses[0]:.4f} -> {losses[-1]:.4f}, "
-          f"closest approach to the (r=0.35) sphere: {clearance:.3f}")
+          f"closest approach to the (r=0.5) sphere: {clearance:.3f}"
+          + ("  [CLEAR]" if clearance > 0.5 else "  [COLLISION!]"))
     print(f"[quickstart] trajectory JSON artifacts: {out}/plan/init_poses/demo")
     print("[quickstart] done.")
 

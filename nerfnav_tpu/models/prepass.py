@@ -70,6 +70,11 @@ class DepthPrepass:
     def __init__(self, mcfg: MarchConfig, H: int, W: int, perm, chunk: int,
                  tile: int = 64, stride: int = 8, margin_cells: float = 2.0,
                  bucket_divs=(8, 4, 2, 1)):
+        if not mcfg.coarse_normalized or mcfg.dt_gamma != 0.0:
+            raise ValueError(
+                "DepthPrepass needs the normalized phase-A ladder "
+                "(coarse_normalized=True, dt_gamma=0) — t_a0_steps buckets "
+                "are ignored by the fixed and gamma ladders")
         self.mcfg = mcfg
         self.H, self.W, self.chunk, self.tile = H, W, chunk, tile
         self.cap = _phase_a_cap(mcfg)
@@ -97,21 +102,24 @@ class DepthPrepass:
             for c in range(n_chunks)
         ]
 
+        sub = jnp.asarray(self.sub_idx)
+        # subgrid select runs ON DEVICE inside the jitted probe — shipping
+        # the full (H*W, 3) ray arrays to host every frame would cost more
+        # than the probe itself
         self._seg_fn = jax.jit(
-            lambda ro, rd, occ: march_segments(ro, rd, occ, mcfg))
+            lambda ro, rd, occ: march_segments(
+                jnp.take(ro, sub, axis=0), jnp.take(rd, sub, axis=0),
+                occ, mcfg))
 
     def plan(self, occupancy, rays_o, rays_d):
         """occupancy: state dict; rays_o/rays_d: (H*W, 3) ROW-MAJOR.
         Returns [(t_a0, z_lo, z_hi)] per chunk; t_a0 == 0 means the chunk's
         3x3-dilated tile neighborhood saw no occupancy — render background."""
-        ro = jnp.asarray(np.asarray(rays_o)[self.sub_idx])
-        rd = jnp.asarray(np.asarray(rays_d)[self.sub_idx])
-        seg = self._seg_fn(ro, rd, occupancy)
-        z, dt, valid = (np.asarray(seg["z"]), np.asarray(seg["dt"]),
-                        np.asarray(seg["valid"]))
-        zf = np.where(valid, z, np.inf).min(axis=1)
-        zl = np.where(valid, z + dt, -np.inf).max(axis=1)
-        hit = valid.any(axis=1)
+        seg = self._seg_fn(jnp.asarray(rays_o), jnp.asarray(rays_d),
+                           occupancy)
+        zf = np.asarray(seg["z_first"])
+        zl = np.asarray(seg["z_last"])
+        hit = np.asarray(seg["hit"])
 
         # per-tile reduction
         ny, nx = self.ny, self.nx

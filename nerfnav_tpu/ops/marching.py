@@ -875,36 +875,43 @@ def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None,
 
 def march_segments(rays_o, rays_d, occupancy, cfg: MarchConfig,
                    crop_aabb=None):
-    """Phase A ONLY: per-ray occupied coarse segments (z, dt, valid) — the
-    cheap conservative depth probe the prepass planner (models/prepass.py)
-    marches at low resolution. Budget overflow stride-thins segments but
-    their dt scales to span the WHOLE occupied range (_compact_first_k), so
-    min(z)/max(z+dt) bound every sample the full march could produce."""
+    """Phase A ONLY, reduced: per-ray occupied depth extent — the cheap
+    conservative probe the prepass planner (models/prepass.py) marches at
+    low resolution. Returns {"z_first", "z_last", "hit"} each (N,).
+
+    The reductions run on the UN-compacted candidate lattice: the budgeted
+    compaction (_compact_first_k) start-aligns its overflow stride and can
+    drop TRAILING occupied candidates past a gap, which would make z_last
+    non-conservative (far geometry clipped out of the planned window).
+
+    Requires a coarse occupancy mirror: the phase-A ladder steps at up to one
+    COARSE cell edge, whose endpoint-pair test has no no-miss guarantee
+    against the fine bitfield."""
     if isinstance(occupancy, dict):
-        bitfield = occupancy["bitfield"]
         coarse = occupancy.get("bitfield_coarse")
     else:
-        bitfield, coarse = occupancy, None
+        coarse = None
+    if coarse is None:
+        raise ValueError(
+            "march_segments needs occupancy['bitfield_coarse'] — the fine "
+            "bitfield alone cannot be probed safely at coarse ladder steps")
     import dataclasses
 
     near, far = near_far_aabb(rays_o, rays_d, cfg.bound, cfg.min_near,
                               crop_aabb)
-    if coarse is not None:
-        cfg_l = dataclasses.replace(cfg,
-                                    grid_size=cfg.grid_size // cfg.coarse_factor)
-        table = coarse
-    else:
-        cfg_l = cfg
-        table = bitfield
+    cfg_l = dataclasses.replace(cfg,
+                                grid_size=cfg.grid_size // cfg.coarse_factor)
     z_a, dt_a, _ = _phase_a_ladder(near, far, cfg)
     pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
-    occ_a = occupancy_lookup(table, pos_a, dt_a, cfg_l)
+    occ_a = occupancy_lookup(coarse, pos_a, dt_a, cfg_l)
     occ_next = jnp.concatenate(
         [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1)
     occ_a = (occ_a | occ_next) & (z_a < far[:, None])
-    z_buf, dt_buf, valid = _compact_first_k(occ_a, z_a, dt_a,
-                                            cfg.coarse_segments)
-    return {"z": z_buf, "dt": dt_buf, "valid": valid}
+    dt_b = jnp.broadcast_to(dt_a, z_a.shape)
+    z_first = jnp.min(jnp.where(occ_a, z_a, jnp.inf), axis=1)
+    z_last = jnp.max(jnp.where(occ_a, z_a + dt_b, -jnp.inf), axis=1)
+    return {"z_first": z_first, "z_last": z_last,
+            "hit": jnp.any(occ_a, axis=1)}
 
 
 def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,

@@ -470,9 +470,14 @@ class Trainer:
             self._train_step_fns[key] = (self._build_clip_step(rH, rW), s)
         return self._train_step_fns[key]
 
-    def _build_render_chunk(self):
+    def _build_render_chunk(self, t_a0: int | None = None):
+        """The cached jitted eval chunk renderer. t_a0 (rounds path only)
+        builds the depth-prepass bucket variant: static short ladder +
+        traced (zlo, zhi) window args."""
         cfg, rcfg, mcfg = self.cfg, self.rcfg, self.march_cfg
         mesh = self.mesh
+        if t_a0 is not None and not (mcfg is not None and self.opt.eval_rounds):
+            raise ValueError("prepass buckets need the rounds eval path")
 
         def shard_in(ro, rd):
             # eval/render sharding over the data axis: XLA SPMD splits the
@@ -486,19 +491,38 @@ class Trainer:
             return t["ro"], t["rd"]
 
         if mcfg is not None and self.opt.eval_rounds:
+            import dataclasses
+
             from nerfnav_tpu.models import render_rays_grid_rounds
 
             shade_order = self.opt.shade_order
+            mcfg_r = (mcfg if t_a0 is None
+                      else dataclasses.replace(mcfg, t_a0_steps=t_a0))
 
-            @partial(jax.jit, static_argnums=(4,))
-            def render_chunk(params, occupancy, rays_o, rays_d, bg_color: float,
-                             crop_aabb=None):
+            def core(params, occupancy, rays_o, rays_d, bg_color, crop_aabb,
+                     z_window):
                 rays_o, rays_d = shard_in(rays_o, rays_d)
                 return render_rays_grid_rounds(
-                    make_field(params, cfg), occupancy, mcfg, rays_o, rays_d,
-                    bg_color=bg_color, crop_aabb=crop_aabb,
-                    shade_order=shade_order,
+                    make_field(params, cfg), occupancy, mcfg_r, rays_o,
+                    rays_d, bg_color=bg_color, crop_aabb=crop_aabb,
+                    shade_order=shade_order, z_window=z_window,
                 )
+
+            if t_a0 is None:
+
+                @partial(jax.jit, static_argnums=(4,))
+                def render_chunk(params, occupancy, rays_o, rays_d,
+                                 bg_color: float, crop_aabb=None):
+                    return core(params, occupancy, rays_o, rays_d, bg_color,
+                                crop_aabb, None)
+            else:
+                # windowed bucket variant (depth-prepass planning): a STATIC
+                # short phase-A ladder + a traced per-chunk depth window
+                @partial(jax.jit, static_argnums=(6,))
+                def render_chunk(params, occupancy, rays_o, rays_d, zlo, zhi,
+                                 bg_color: float, crop_aabb=None):
+                    return core(params, occupancy, rays_o, rays_d, bg_color,
+                                crop_aabb, (zlo, zhi))
         elif mcfg is not None:
             from nerfnav_tpu.models import render_rays_grid
 
@@ -631,34 +655,10 @@ class Trainer:
         return self._table_cast_cache[1]
 
     def _prepass_chunk_fn(self, t_a0: int):
-        """Windowed bucket variant of the rounds render chunk (depth-prepass
-        planning, models/prepass.py): a STATIC short phase-A ladder plus a
-        traced per-chunk depth window."""
+        """Cached depth-prepass bucket variant of the eval chunk renderer
+        (models/prepass.py)."""
         if t_a0 not in self._prepass_chunk_fns:
-            import dataclasses
-
-            from nerfnav_tpu.models import render_rays_grid_rounds
-
-            cfg = self.cfg
-            mcfg = dataclasses.replace(self.march_cfg, t_a0_steps=t_a0)
-            shade_order = self.opt.shade_order
-            mesh = self.mesh
-
-            @partial(jax.jit, static_argnums=(6,))
-            def render_chunk(params, occupancy, rays_o, rays_d, zlo, zhi,
-                             bg_color: float, crop_aabb=None):
-                if mesh is not None:
-                    from nerfnav_tpu.parallel.sharding import shard_rays
-
-                    t = shard_rays({"ro": rays_o, "rd": rays_d}, mesh)
-                    rays_o, rays_d = t["ro"], t["rd"]
-                return render_rays_grid_rounds(
-                    make_field(params, cfg), occupancy, mcfg, rays_o, rays_d,
-                    bg_color=bg_color, crop_aabb=crop_aabb,
-                    shade_order=shade_order, z_window=(zlo, zhi),
-                )
-
-            self._prepass_chunk_fns[t_a0] = render_chunk
+            self._prepass_chunk_fns[t_a0] = self._build_render_chunk(t_a0)
         return self._prepass_chunk_fns[t_a0]
 
     def render_full(self, params, pose, intrinsics, H, W, bg_color=1.0,
