@@ -16,14 +16,18 @@ log "watchdog up (pid $$)"
 
 # queue N -> (script, log file, done marker) in EXECUTION order
 # (queue 5, the quick frozen-filter A/B, runs before the long queue-4 run)
-SCRIPTS=(run_r2_queue.sh run_r2_queue2.sh run_r2_queue3.sh run_r2_queue5.sh
-         run_r2_queue4.sh run_r2_queue6.sh run_r2_queue7.sh run_r2_queue8.sh
-         run_r2_queue9.sh)
-LOGS=(/tmp/r2_queue.log /tmp/r2_queue2.log /tmp/r2_queue3.log
-      /tmp/r2_queue5.log /tmp/r2_queue4.log /tmp/r2_queue6.log
-      /tmp/r2_queue7.log /tmp/r2_queue8.log /tmp/r2_queue9.log)
-MARKS=("QUEUE DONE" "QUEUE2 DONE" "QUEUE3 DONE" "QUEUE5 DONE" "QUEUE4 DONE"
-       "QUEUE6 DONE" "QUEUE7 DONE" "QUEUE8 DONE" "QUEUE9 DONE")
+# Execution order (reordered 08-18 ~11:10): the quick high-value A/Bs run
+# first — queue 9 (depth-prepass bench, potentially headline-changing) right
+# after queue 1; the multi-hour queue 4 at-scale run goes LAST so a late
+# relay recovery still lands the decisions that matter.
+SCRIPTS=(run_r2_queue.sh run_r2_queue9.sh run_r2_queue2.sh run_r2_queue3.sh
+         run_r2_queue5.sh run_r2_queue6.sh run_r2_queue8.sh run_r2_queue7.sh
+         run_r2_queue4.sh)
+LOGS=(/tmp/r2_queue.log /tmp/r2_queue9.log /tmp/r2_queue2.log
+      /tmp/r2_queue3.log /tmp/r2_queue5.log /tmp/r2_queue6.log
+      /tmp/r2_queue8.log /tmp/r2_queue7.log /tmp/r2_queue4.log)
+MARKS=("QUEUE DONE" "QUEUE9 DONE" "QUEUE2 DONE" "QUEUE3 DONE" "QUEUE5 DONE"
+       "QUEUE6 DONE" "QUEUE8 DONE" "QUEUE7 DONE" "QUEUE4 DONE")
 
 while true; do
   all_done=1

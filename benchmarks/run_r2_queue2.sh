@@ -1,18 +1,18 @@
 #!/bin/bash
 # Second chip-experiment wave: starts only after run_r2_queue.sh logs
-# QUEUE DONE (one TPU process at a time).
+# QUEUE9 DONE (one TPU process at a time).
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/r2_queue2.log; }
 
-log "waiting for queue 1..."
+log "waiting for queue 9..."
 for i in $(seq 1 600); do
-  grep -q "QUEUE DONE" /tmp/r2_queue.log 2>/dev/null && break
+  grep -q "QUEUE9 DONE" /tmp/r2_queue9.log 2>/dev/null && break
   sleep 60
 done
-grep -q "QUEUE DONE" /tmp/r2_queue.log || { log "queue 1 never finished"; exit 1; }
+grep -q "QUEUE9 DONE" /tmp/r2_queue9.log || { log "queue 9 never finished"; exit 1; }
 
 run() {
   name=$1; shift

@@ -1,18 +1,18 @@
 #!/bin/bash
 # Sixth chip wave: bf16 table-compute training A/B (knob landed after queue 3
-# was armed). Starts after QUEUE4 DONE; one TPU process at a time.
+# was armed). Starts after QUEUE5 DONE; one TPU process at a time.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/r2_queue6.log; }
 
-log "waiting for queue 4..."
+log "waiting for queue 5..."
 for i in $(seq 1 600); do
-  grep -q "QUEUE4 DONE" /tmp/r2_queue4.log 2>/dev/null && break
+  grep -q "QUEUE5 DONE" /tmp/r2_queue5.log 2>/dev/null && break
   sleep 60
 done
-grep -q "QUEUE4 DONE" /tmp/r2_queue4.log || { log "queue 4 never finished"; exit 1; }
+grep -q "QUEUE5 DONE" /tmp/r2_queue5.log || { log "queue 5 never finished"; exit 1; }
 
 run() {
   name=$1; shift

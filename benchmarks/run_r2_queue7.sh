@@ -1,6 +1,6 @@
 #!/bin/bash
 # Seventh chip wave: late-schedule drift curve + hypothesis A/Bs
-# (benchmarks/drift_probe.py). Starts after QUEUE6 DONE; one TPU process at
+# (benchmarks/drift_probe.py). Starts after QUEUE8 DONE; one TPU process at
 # a time.
 set -u
 cd /root/repo
@@ -8,12 +8,12 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/r2_queue7.log; }
 
-log "waiting for queue 6..."
+log "waiting for queue 8..."
 for i in $(seq 1 600); do
-  grep -q "QUEUE6 DONE" /tmp/r2_queue6.log 2>/dev/null && break
+  grep -q "QUEUE8 DONE" /tmp/r2_queue8.log 2>/dev/null && break
   sleep 60
 done
-grep -q "QUEUE6 DONE" /tmp/r2_queue6.log || { log "queue 6 never finished"; exit 1; }
+grep -q "QUEUE8 DONE" /tmp/r2_queue8.log || { log "queue 8 never finished"; exit 1; }
 
 run() {
   name=$1; shift

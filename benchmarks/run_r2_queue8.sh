@@ -1,7 +1,7 @@
 #!/bin/bash
 # Eighth chip wave: nav-loop benchmarks with the static-horizon MPC
 # (update_state + replan per step, static vs legacy recompile) plus the
-# frozen-march LM filter in the same run. Starts after QUEUE7 DONE; one TPU
+# frozen-march LM filter in the same run. Starts after QUEUE6 DONE; one TPU
 # process at a time.
 set -u
 cd /root/repo
@@ -9,12 +9,12 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/r2_queue8.log; }
 
-log "waiting for queue 7..."
+log "waiting for queue 6..."
 for i in $(seq 1 600); do
-  grep -q "QUEUE7 DONE" /tmp/r2_queue7.log 2>/dev/null && break
+  grep -q "QUEUE6 DONE" /tmp/r2_queue6.log 2>/dev/null && break
   sleep 60
 done
-grep -q "QUEUE7 DONE" /tmp/r2_queue7.log || { log "queue 7 never finished"; exit 1; }
+grep -q "QUEUE6 DONE" /tmp/r2_queue6.log || { log "queue 6 never finished"; exit 1; }
 
 run() {
   name=$1; shift

@@ -9,12 +9,12 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/r2_queue9.log; }
 
-log "waiting for queue 8..."
+log "waiting for queue 1..."
 for i in $(seq 1 600); do
-  grep -q "QUEUE8 DONE" /tmp/r2_queue8.log 2>/dev/null && break
+  grep -q "QUEUE DONE" /tmp/r2_queue.log 2>/dev/null && break
   sleep 60
 done
-grep -q "QUEUE8 DONE" /tmp/r2_queue8.log || { log "queue 8 never finished"; exit 1; }
+grep -q "QUEUE DONE" /tmp/r2_queue.log || { log "queue 1 never finished"; exit 1; }
 
 run() {
   name=$1; shift
