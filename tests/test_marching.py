@@ -313,6 +313,50 @@ class TestBlockMarch:
             assert not missing, (r, missing)
             assert len(s2) <= len(s1) + max(4, len(s1) // 4), r
 
+    @pytest.mark.parametrize("bound", [1.0, 2.0])
+    def test_z_window_identity_and_bounds(self, bound):
+        """A window covering the full span (and an explicit t_a0_steps equal
+        to the auto ladder) must reproduce the unwindowed march EXACTLY; a
+        tight window must confine every valid sample."""
+        import dataclasses
+
+        from nerfnav_tpu.models.prepass import full_ladder_steps
+        from nerfnav_tpu.ops.marching import march_rays_block
+
+        cfg = MarchConfig(bound=bound, grid_size=32, max_steps=256,
+                          samples_per_ray=48, min_near=0.05)
+        _, _, blocks, blocks_c = self._setup(cfg, bound=bound, coarse_block=4)
+        rng = np.random.default_rng(1)
+        o = jnp.asarray(
+            np.concatenate([rng.uniform(-0.4, 0.4, (16, 2)),
+                            np.full((16, 1), -1.6 * bound)], -1), jnp.float32)
+        d = rng.normal(size=(16, 3))
+        d[:, 2] = np.abs(d[:, 2]) + 1.2
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                        jnp.float32)
+
+        m0 = march_rays_block(o, d, blocks, blocks_c, cfg)
+        big = jnp.float32(100.0)
+        m_full = march_rays_block(o, d, blocks, blocks_c, cfg,
+                                  z_window=(jnp.float32(0.0), big))
+        cfg_t = dataclasses.replace(cfg, t_a0_steps=full_ladder_steps(cfg))
+        m_t = march_rays_block(o, d, blocks, blocks_c, cfg_t,
+                               z_window=(jnp.float32(0.0), big))
+        for m in (m_full, m_t):
+            np.testing.assert_array_equal(np.asarray(m["valid"]),
+                                          np.asarray(m0["valid"]))
+            np.testing.assert_allclose(np.asarray(m["z"]),
+                                       np.asarray(m0["z"]), atol=1e-6)
+
+        # tight window: all valid samples inside it
+        zlo, zhi = jnp.float32(1.0 * bound), jnp.float32(1.6 * bound)
+        m_w = march_rays_block(o, d, blocks, blocks_c, cfg,
+                               z_window=(zlo, zhi))
+        z = np.asarray(m_w["z"])[np.asarray(m_w["valid"])]
+        if z.size:
+            assert z.min() >= float(zlo) - 1e-5
+            assert z.max() <= float(zhi) + 1e-5
+
     @pytest.mark.parametrize("bound,coarse_block", [(1.0, 4), (2.0, 4), (2.0, 8)])
     def test_a0_keeps_byte_marcher_samples(self, bound, coarse_block):
         """Phase-A0 prefilter: the super-coarse span filter must not DROP any
