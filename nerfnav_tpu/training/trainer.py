@@ -710,7 +710,17 @@ class Trainer:
                 dp = DepthPrepass(self.march_cfg, H, W, perm, chunk, tile=64,
                                   stride=self.opt.eval_prepass_stride)
                 self._prepass_planners[pkey] = dp
-            plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
+            # plan reuse across same-pose re-renders (the GUI's AA passes
+            # jitter pixel centers sub-pixel — well inside the window
+            # margins); any occupancy update replaces the state dict object,
+            # invalidating the key
+            ck = (pkey, np.asarray(pose).tobytes(), id(occupancy))
+            cached = getattr(self, "_plan_cache", None)
+            if cached is not None and cached[0] == ck:
+                plan = cached[1]
+            else:
+                plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
+                self._plan_cache = (ck, plan)
         imgs, depths = [], []
         for ci, i in enumerate(range(0, n + pad, chunk)):
             if plan is not None:
