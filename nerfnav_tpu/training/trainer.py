@@ -215,6 +215,8 @@ class Trainer:
         self._table_cast_cache = None  # (params, cast_params) for eval dtype
         self._prepass_chunk_fns = {}   # t_a0 -> jitted windowed chunk fn
         self._prepass_planners = {}    # (H, W, chunk) -> DepthPrepass
+        self._occ_version = 0          # bumped on every occupancy replace
+        self._plan_cache = None        # ((geom, pose, occ_version), plan)
         self._mean_count_host = 0.0  # host mirror of state.mean_count
         self.state = None  # built on first train()/resume
 
@@ -258,6 +260,7 @@ class Trainer:
             n_images = (self.state.error_maps.shape[0]
                         if self.state.error_maps is not None else 1)
             self.state = self._init_state(n_images)
+            self._occ_version += 1
         # else: leave state None — train() sizes it from the dataset, so a
         # pre-training reset can't pin error_maps to the wrong image count
         self.epoch = 0
@@ -566,6 +569,7 @@ class Trainer:
                     arrays["poses"], arrays["intrinsics"], H, W,
                 )
             )
+            self._occ_version = getattr(self, "_occ_version", 0) + 1
 
         steps = steps_per_epoch or max(len(train_ds), 100)
         rng = np.random.default_rng(self.opt.seed + self.epoch)
@@ -639,6 +643,9 @@ class Trainer:
                 self.state.params, self.cfg, sub, mesh=self.mesh,
             )
         )
+        # invalidates cached prepass plans (id() of the new dict can be
+        # GC-reused, so an explicit version is the only safe cache key)
+        self._occ_version = getattr(self, "_occ_version", 0) + 1
 
     def _cast_eval_tables(self, params):
         """Cast hash tables to opt.eval_table_dtype, cached per params
@@ -714,7 +721,8 @@ class Trainer:
             # jitter pixel centers sub-pixel — well inside the window
             # margins); any occupancy update replaces the state dict object,
             # invalidating the key
-            ck = (pkey, np.asarray(pose).tobytes(), id(occupancy))
+            ck = (pkey, np.asarray(pose).tobytes(),
+                  getattr(self, "_occ_version", 0))
             cached = getattr(self, "_plan_cache", None)
             if cached is not None and cached[0] == ck:
                 plan = cached[1]
@@ -983,6 +991,7 @@ class Trainer:
                 error_maps=tree.get("error_maps", self.state.error_maps),
                 occupancy=tree.get("occupancy", self.state.occupancy),
             )
+            self._occ_version = getattr(self, "_occ_version", 0) + 1
         self.epoch = meta.get("epoch", 0)
         self.global_step = meta.get("global_step", 0)
         self.stats.update(meta.get("stats", {}))

@@ -191,6 +191,61 @@ def test_trainer_render_full_prepass(tmp_path):
     assert psnr > 35.0, psnr
 
 
+def test_plan_cache_reuses_same_pose(tmp_path, monkeypatch):
+    """Same-pose re-renders (GUI AA passes) reuse the cached plan; a new
+    pose or an occupancy update recomputes it."""
+    from nerfnav_tpu.data import NeRFDataset
+    from nerfnav_tpu.data.provider import DatasetOptions
+    from nerfnav_tpu.data.synthetic import make_synthetic_scene
+    from nerfnav_tpu.models import NetworkConfig, RenderConfig
+    from nerfnav_tpu.models.occupancy import OccupancyConfig
+    from nerfnav_tpu.models.prepass import DepthPrepass
+    from nerfnav_tpu.training import Trainer, TrainerOptions
+
+    d = str(tmp_path / "scene")
+    make_synthetic_scene(d, n_train=3, n_val=1, H=32, W=32, num_steps=32)
+    ds = NeRFDataset(DatasetOptions(path=d, scale=1.0), "train")
+    cfg = NetworkConfig(bound=1.0, grid_levels=4, grid_log2_hashmap_size=10,
+                        grid_max_resolution=32)
+    rcfg = RenderConfig(num_steps=16, upsample_steps=0, min_near=0.05,
+                        max_ray_batch=1024)
+    opt = TrainerOptions(name="pc", workspace=str(tmp_path / "ws"),
+                         num_rays=128, use_checkpoint="scratch",
+                         bg_train="white", eval_prepass=True,
+                         eval_prepass_stride=4)
+    tr = Trainer(cfg, rcfg, opt,
+                 occupancy_cfg=OccupancyConfig(bound=1.0, min_near=0.05,
+                                               density_thresh=5.0,
+                                               grid_size=32),
+                 march_cfg=MarchConfig(bound=1.0, grid_size=32,
+                                       samples_per_ray=16, min_near=0.05,
+                                       coarse_segments=8))
+    tr.train(ds, max_epochs=1, steps_per_epoch=20)
+
+    calls = {"n": 0}
+    orig = DepthPrepass.plan
+
+    def counting_plan(self, occ, ro, rd):
+        calls["n"] += 1
+        return orig(self, occ, ro, rd)
+
+    monkeypatch.setattr(DepthPrepass, "plan", counting_plan)
+    p = tr.state.params
+    tr.render_full(p, ds.poses[0], ds.intrinsics, 32, 32)
+    assert calls["n"] == 1
+    # same pose with an AA subpixel offset: cached plan reused
+    tr.render_full(p, ds.poses[0], ds.intrinsics, 32, 32,
+                   pixel_offset=(0.25, -0.25))
+    assert calls["n"] == 1
+    # new pose: recompute
+    tr.render_full(p, ds.poses[1], ds.intrinsics, 32, 32)
+    assert calls["n"] == 2
+    # occupancy update (new state dict object): recompute
+    tr.train(ds, max_epochs=1, steps_per_epoch=20)
+    tr.render_full(tr.state.params, ds.poses[1], ds.intrinsics, 32, 32)
+    assert calls["n"] == 3
+
+
 def test_prepass_image_matches_control(scene):
     field, mcfg, occupancy, rays, ro, rd, perm = scene
     dp = DepthPrepass(mcfg, H, W, perm, CHUNK, tile=TILE, stride=4)
