@@ -13,7 +13,8 @@ import os
 def main():
     rows = []
     paths = sorted(set(glob.glob("/tmp/q_*.log"))
-                   | set(glob.glob("/tmp/q[0-9]_*.log")))
+                   | set(glob.glob("/tmp/q[0-9]_*.log"))
+                   | set(glob.glob("/tmp/q[0-9][0-9]_*.log")))
     for path in paths:
         name = os.path.basename(path)[:-4]
         jsons = []
