@@ -48,7 +48,10 @@ def main():
     p.add_argument("--round_compact", type=int, default=4,
                    help="alive-ray compaction divisor for later rounds "
                         "(0/1 = off)")
-    p.add_argument("--chunk", type=int, default=8192)
+    p.add_argument("--chunk", type=int, default=4096,
+                   help="rays per dispatch chunk (default 4096: chip chunk "
+                        "re-sweep under --scan; 8192 was best for the "
+                        "pipelined per-chunk dispatch)")
     p.add_argument("--tile", type=int, default=64)
     p.add_argument("--coarse_factor", type=int, default=4)
     p.add_argument("--coarse_step_mult", type=int, default=8)
@@ -60,10 +63,12 @@ def main():
     p.add_argument("--coarse_first_k", action="store_true",
                    help="phase-A first-K hybrid compaction (front segments "
                         "at full resolution)")
-    p.add_argument("--table_dtype", default="float32",
+    p.add_argument("--table_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
-                   help="hash-table storage dtype (bf16 halves table bytes; "
-                        "gather-cache A/B)")
+                   help="hash-table storage dtype (default bfloat16: +17%% "
+                        "chip A/B over fp32 at zero quality cost — "
+                        "26.7038 -> 26.7035 dB on the 30k checkpoint; "
+                        "RESULTS.md round-2 queue table)")
     p.add_argument("--shade_order", default="ray", choices=["ray", "depth"],
                    help="hash-gather issue order in the rounds shading: "
                         "ray-major (default) or depth-major (cross-ray "
@@ -78,6 +83,16 @@ def main():
                         "bucket covering its depth window "
                         "(models/prepass.py)")
     p.add_argument("--prepass_stride", type=int, default=8)
+    p.add_argument("--scan", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="whole-frame single dispatch: lax.map over stacked "
+                        "chunks inside ONE jitted program (kills the "
+                        "~0.4 ms/chunk relay dispatch floor; composes with "
+                        "--prepass as one dispatch per ladder bucket). "
+                        "Default ON: +38%% chip A/B over the pipelined "
+                        "per-chunk dispatch at chunk 4096 (RESULTS.md "
+                        "round-2 queue-10 table); --no-scan for the A/B "
+                        "control")
     p.add_argument("--hw", type=int, default=800,
                    help="image side (CPU smoke runs use a small value)")
     p.add_argument("--yaw", type=float, default=0.0,
@@ -264,10 +279,59 @@ def main():
                 bucket_fns[t_a0] = fn
             return bucket_fns[t_a0]
 
+        # --scan: one dispatch per LADDER BUCKET — lax.map over that
+        # bucket's stacked chunks inside one jitted program. Specialized per
+        # (bucket, chunk count); a static pose reuses its programs, a moving
+        # camera pays a compile per new count (bench-only A/B; production
+        # would pad counts to coarse size classes).
+        group_fns = {}
+
+        def render_group_bucket(t_a0, count):
+            key = (t_a0, count)
+            if key not in group_fns:
+                mcfg_b = dataclasses.replace(mcfg, t_a0_steps=t_a0)
+
+                @jax.jit
+                def fn(ro_g, rd_g, zlo_g, zhi_g):
+                    def body(arg):
+                        ro, rd, zlo, zhi = arg
+                        return render_rays_grid_rounds(
+                            field, occupancy, mcfg_b, ro, rd, bg_color=1.0,
+                            round_samples=args.round_samples,
+                            round_compact=args.round_compact,
+                            shade_order=args.shade_order,
+                            z_window=(zlo, zhi),
+                        )["image"]
+
+                    return jax.lax.map(body, (ro_g, rd_g, zlo_g, zhi_g))
+
+                group_fns[key] = fn
+            return group_fns[key]
+
+        ro_all = ro.reshape(-1, CHUNK, 3)
+        rd_all = rd.reshape(-1, CHUNK, 3)
+
         def render_frame():
             plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
             last = None
             n_skip = 0
+            if args.scan:
+                groups = {}
+                for ci, (t_a0, zlo, zhi) in enumerate(plan):
+                    if t_a0 == 0:
+                        n_skip += 1
+                        continue
+                    groups.setdefault(t_a0, []).append((ci, zlo, zhi))
+                for t_a0, items in sorted(groups.items()):
+                    ci = jnp.asarray([i for i, _, _ in items], jnp.int32)
+                    zlo = jnp.asarray([z for _, z, _ in items], jnp.float32)
+                    zhi = jnp.asarray([z for _, _, z in items], jnp.float32)
+                    last = render_group_bucket(t_a0, len(items))(
+                        jnp.take(ro_all, ci, axis=0),
+                        jnp.take(rd_all, ci, axis=0), zlo, zhi)
+                if last is not None:
+                    last.block_until_ready()
+                return plan, n_skip
             for (t_a0, zlo, zhi), (a, b) in zip(plan, chunks):
                 if t_a0 == 0:
                     n_skip += 1
@@ -291,6 +355,35 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         rays_per_sec = n / dt
 
+        print(json.dumps({
+            "metric": "render_rays_per_sec_chip",
+            "value": round(rays_per_sec),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_sec / 1e7, 3),
+        }))
+        return
+
+    if args.scan:
+        # whole-frame single dispatch: every chunk marched+shaded by ONE
+        # jitted lax.map program (the rounds early-exit conds still fire
+        # per chunk inside the map). A/B against the pipelined per-chunk
+        # dispatch above; round-1 march-only lax.map was at par (143 vs
+        # 150 ms) BEFORE shading rode along.
+        ro_s = ro.reshape(-1, CHUNK, 3)
+        rd_s = rd.reshape(-1, CHUNK, 3)
+
+        @jax.jit
+        def render_frame_scan(ro_s, rd_s):
+            return jax.lax.map(
+                lambda ab: render_chunk(ab[0], ab[1]), (ro_s, rd_s))
+
+        render_frame_scan(ro_s, rd_s).block_until_ready()
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            render_frame_scan(ro_s, rd_s).block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        rays_per_sec = n / dt
         print(json.dumps({
             "metric": "render_rays_per_sec_chip",
             "value": round(rays_per_sec),

@@ -7,12 +7,12 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 
 log() { echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/r2_queue2.log; }
 
-log "waiting for queue 9..."
+log "waiting for queue 10..."
 for i in $(seq 1 600); do
-  grep -q "QUEUE9 DONE" /tmp/r2_queue9.log 2>/dev/null && break
+  grep -q "QUEUE10 DONE" /tmp/r2_queue10.log 2>/dev/null && break
   sleep 60
 done
-grep -q "QUEUE9 DONE" /tmp/r2_queue9.log || { log "queue 9 never finished"; exit 1; }
+grep -q "QUEUE10 DONE" /tmp/r2_queue10.log || { log "queue 10 never finished"; exit 1; }
 
 run() {
   name=$1; shift

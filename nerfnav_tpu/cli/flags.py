@@ -75,6 +75,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    "rendering: skip empty tiles and shorten each tile's "
                    "phase-A ladder to its measured depth window "
                    "(models/prepass.py)")
+    p.add_argument("--eval_scan", action="store_true",
+                   help="whole-frame scan dispatch for eval/test/GUI "
+                   "rendering: one jitted lax.map program over all chunks "
+                   "instead of a per-chunk dispatch loop (ignored on frames "
+                   "planned by --eval_prepass)")
     p.add_argument("--ff", action="store_true", help="fused-MLP backend")
     p.add_argument("--tcnn", action="store_true",
                    help="parity flag; maps to the fused backend on TPU")

@@ -32,6 +32,7 @@ def main(argv=None):
         rand_pose=opt.rand_pose, clip_text=opt.clip_text,
         eval_table_dtype=opt.eval_table_dtype,
         eval_prepass=opt.eval_prepass,
+        eval_scan=opt.eval_scan,
     )
     # Poseless/CLIP mode: with --clip_weights + --clip_text_embed the native
     # JAX vision tower scores renders (training/clip_jax.py); without them

@@ -87,6 +87,15 @@ class TrainerOptions:
     # queue-9 chip A/B.
     eval_prepass: bool = False
     eval_prepass_stride: int = 8
+    # Whole-frame scan dispatch for render_full: ONE jitted lax.map program
+    # over every stacked chunk instead of a host loop of per-chunk dispatches
+    # (each costs ~0.4 ms through the remote-dispatch relay; bench.py --scan
+    # A/B). The rounds early-exit conds still fire per chunk inside the map.
+    # Mutually exclusive with eval_prepass per frame: the prepass plans a
+    # DIFFERENT program per ladder bucket with per-pose chunk counts, which
+    # would recompile per view — when both are on, prepass wins and scan is
+    # ignored for that frame.
+    eval_scan: bool = False
     # Coarse-to-fine marching-step annealing for the grid fast path:
     # ((threshold, dt_multiplier), ...) — marching starts coarse (the static
     # budget then spans every ray without field-dependent stride, which
@@ -668,6 +677,30 @@ class Trainer:
             self._prepass_chunk_fns[t_a0] = self._build_render_chunk(t_a0)
         return self._prepass_chunk_fns[t_a0]
 
+    def _render_scan_fn(self):
+        """Whole-frame scan renderer (TrainerOptions.eval_scan): lax.map of
+        the cached chunk core over stacked (C, chunk, 3) ray arrays — one
+        dispatch per frame. jit re-specializes per chunk count, which is
+        fixed for a given (H, W, max_ray_batch)."""
+        if self._render_chunk_fn is None:
+            self._render_chunk_fn = self._build_render_chunk()
+        fn = getattr(self, "_render_scan_cache", None)
+        if fn is None:
+            chunk_core = self._render_chunk_fn
+
+            @partial(jax.jit, static_argnums=(4,))
+            def render_scan(params, occupancy, ro_s, rd_s, bg_color: float,
+                            crop_aabb=None):
+                def body(ab):
+                    out = chunk_core(params, occupancy, ab[0], ab[1],
+                                     bg_color, crop_aabb)
+                    return out["image"], out["depth"]
+
+                return jax.lax.map(body, (ro_s, rd_s))
+
+            fn = self._render_scan_cache = render_scan
+        return fn
+
     def render_full(self, params, pose, intrinsics, H, W, bg_color=1.0,
                     crop_aabb=None, pixel_offset=None):
         """Staged full-image render with a cached jitted chunk fn
@@ -729,6 +762,16 @@ class Trainer:
             else:
                 plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
                 self._plan_cache = (ck, plan)
+        if plan is None and self.opt.eval_scan:
+            out_i, out_d = self._render_scan_fn()(
+                params, occupancy, ro.reshape(-1, chunk, 3),
+                rd.reshape(-1, chunk, 3), float(bg_color), crop_aabb
+            )
+            image = out_i.reshape(-1, 3)[:n]
+            depth = out_d.reshape(-1)[:n]
+            if use_tiles:
+                image, depth = image[jnp.asarray(inv)], depth[jnp.asarray(inv)]
+            return image.reshape(H, W, 3), depth.reshape(H, W)
         imgs, depths = [], []
         for ci, i in enumerate(range(0, n + pad, chunk)):
             if plan is not None:
