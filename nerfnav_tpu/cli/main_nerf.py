@@ -26,6 +26,7 @@ def main(argv=None):
     )
     topt = TrainerOptions(
         name="ngp", workspace=opt.workspace, lr=opt.lr, iters=opt.iters,
+        lr_iters=opt.lr_iters,
         num_rays=opt.num_rays, use_checkpoint=opt.ckpt, seed=opt.seed,
         error_map=opt.error_map,
         update_extra_interval=opt.update_extra_interval, tensorboard=True,

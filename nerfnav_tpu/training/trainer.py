@@ -46,10 +46,17 @@ class TrainerOptions:
     name: str = "ngp"
     workspace: str = "workspace"
     lr: float = 1e-2
-    iters: int = 30000            # lr decays 0.1^(step/iters)
-    lr_iters: int = 0             # lr-horizon override: 0 = use `iters`.
+    iters: int = 30000            # lr decays 0.1^(step/lr_horizon)
+    # lr-horizon override: 0 = 2/3 * iters (default). The reference decays
+    # over the full run (0.1^(t/iters), main_nerf.py:23-26), but the 30k-step
+    # drift probe (benchmarks/drift_probe.py, RESULTS.md queue 7) shows that
+    # schedule COLLAPSES on the grid fast path (28.48 -> 23.55 dB after 9k:
+    # late-run lr ~1e-3 x stratified stride-phase noise at the dt-anneal
+    # floor); the 2/3 horizon holds 28.5 dB at 30k with a better peak. Pass
+    # lr_iters=iters explicitly for reference-parity decay.
     # `iters` also anchors the fractional dt-anneal thresholds below, so an
     # lr-schedule A/B must vary THIS knob to leave the marching schedule fixed
+    lr_iters: int = 0
     num_rays: int = 4096
     eval_interval: int = 50
     max_keep_ckpt: int = 2
@@ -201,7 +208,7 @@ class Trainer:
             params = init_network(init_key, cfg)
         self.params = params
 
-        lr_horizon = opt.lr_iters or opt.iters
+        lr_horizon = opt.lr_iters or max(1, (2 * opt.iters) // 3)
         schedule = lambda step: opt.lr * (0.1 ** (step / lr_horizon))  # noqa: E731
         self.optimizer = optax.adam(schedule, b1=0.9, b2=0.99, eps=1e-15)
 
