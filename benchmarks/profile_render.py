@@ -36,8 +36,15 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--res", type=int, default=800)
     ap.add_argument("--k", type=int, default=32)
-    ap.add_argument("--coarse_segments", type=int, default=16)
-    ap.add_argument("--coarse_anchors", type=int, default=3)
+    ap.add_argument("--coarse_segments", type=int, default=12)
+    ap.add_argument("--coarse_anchors", type=int, default=2)
+    ap.add_argument("--table_dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--scan", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="stage timing under the whole-frame lax.map "
+                         "dispatch (bench.py default); --no-scan for the "
+                         "per-chunk pipelined loop")
     ap.add_argument("--first_k", action="store_true")
     args = ap.parse_args()
 
@@ -52,6 +59,8 @@ def main():
                          coarse_anchors=args.coarse_anchors,
                          first_k=args.first_k)
     params = init_network(jax.random.PRNGKey(0), cfg)
+    if args.table_dtype == "bfloat16":
+        params["encoder"] = [t.astype(jnp.bfloat16) for t in params["encoder"]]
     field = make_field(params, cfg)
 
     Hg = mcfg.grid_size
@@ -160,12 +169,23 @@ def main():
         sig, _ = field.density_fn(pos.reshape(-1, 3))
         return sig.sum()
 
+    ro_s = ro.reshape(-1, CHUNK, 3)
+    rd_s = rd.reshape(-1, CHUNK, 3)
+
     def bench(fn, name):
-        fn(*chunks[0]).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            outs = [fn(a, b) for a, b in chunks]
-            jax.block_until_ready(outs[-1])
+        if args.scan:
+            scanned = jax.jit(lambda a_s, b_s: jax.lax.map(
+                lambda ab: fn(ab[0], ab[1]), (a_s, b_s)))
+            scanned(ro_s, rd_s).block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                scanned(ro_s, rd_s).block_until_ready()
+        else:
+            fn(*chunks[0]).block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                outs = [fn(a, b) for a, b in chunks]
+                jax.block_until_ready(outs[-1])
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{name:24s} {dt * 1e3:8.1f} ms/frame  "
               f"{n / dt / 1e3:8.0f} krays/s")
@@ -181,7 +201,8 @@ def main():
     @jax.jit
     def rounds_full(a, b):
         return render_rays_grid_rounds(field_s, occupancy, mcfg, a, b,
-                                       bg_color=1.0)["image"]
+                                       bg_color=1.0, round_samples=8,
+                                       round_compact=4)["image"]
 
     bench(rounds_full, "rounds render (flagship)")
     bench(full, "full render")
