@@ -1,17 +1,14 @@
-"""Decompose the block marcher's phase A + measure dispatch overhead.
+"""Sub-stage timing of the block marcher's phase A on the real chip.
 
-Stages (same ray workload as bench.py, trimmed config):
-  dispatch floor     trivial program x 157 chunks (relay dispatch cost)
-  ladder+pos         phase-A ladder and positions only
-  +coords            + block/cell coordinate math
-  +gathers           + anchor row gathers (no bit extract)
-  +extract           + bit extraction (= occupancy bits)
-  phase A full       + endpoint-or + segment compaction
-  march lax.map      full march, ONE dispatch for the whole frame
+profile_render.py shows phase A alone at ~129 ms/frame (48% of the flagship
+frame) — this probe splits that into: ladder+coords elementwise math, the
+anchor-row gathers, bit extraction, and compaction, plus a one-hot MXU
+row-fetch variant (dot(onehot(idx), table) — the idiomatic TPU alternative
+to gathers into SMALL tables; the coarse block table is ~128 rows).
 
-Inputs are rolled across iterations so the relay's identical-execution cache
-cannot serve a repeat.
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/probe_phase_a.py
 """
+
 import argparse
 import time
 
@@ -36,16 +33,17 @@ def main():
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--res", type=int, default=800)
-    ap.add_argument("--segments", type=int, default=8)
-    ap.add_argument("--anchors", type=int, default=2)
+    ap.add_argument("--coarse_segments", type=int, default=12)
+    ap.add_argument("--coarse_anchors", type=int, default=2)
     args = ap.parse_args()
 
     BOUND = 2.0
     H = W = args.res
     mcfg = M.MarchConfig(bound=BOUND, grid_size=128, max_steps=1024,
                          samples_per_ray=32, min_near=0.2,
-                         coarse_segments=args.segments,
-                         coarse_anchors=args.anchors)
+                         coarse_segments=args.coarse_segments,
+                         coarse_anchors=args.coarse_anchors)
+
     Hg = mcfg.grid_size
     idx = np.arange(Hg**3)
     c = (np.stack([idx // (Hg * Hg), (idx // Hg) % Hg, idx % Hg], -1) + 0.5) / Hg * 2 - 1
@@ -54,33 +52,11 @@ def main():
     occs = [occ0] + [(r < 0.3) for _ in range(1, mcfg.cascades)]
     f = mcfg.coarse_factor
     hc = Hg // f
-    occ_all = jnp.asarray(np.stack(occs))
     occ_coarse = jnp.asarray(np.stack([
         o.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
         for o in occs
     ]))
-    bitfield = jnp.stack([packbits(jnp.asarray(o.astype(np.float32))) for o in occs])
-    coarse = jnp.stack([
-        packbits(jnp.asarray(
-            o.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
-            .astype(np.float32)))
-        for o in occs
-    ])
-    occupancy = {
-        "bitfield": bitfield,
-        "bitfield_coarse": coarse,
-        "blocks": pack_blocks(occ_all, Hg),
-        "blocks_coarse": pack_blocks(occ_coarse, hc, block=8),
-    }
-    blocks_coarse = occupancy["blocks_coarse"]
-    bc = block_size_of(blocks_coarse)
-    c0 = min(1.0, mcfg.bound)
-    base = mcfg.dt_min * mcfg.coarse_step_mult
-    dt_a_max = M._phase_a_cap(mcfg)
-    sb_world = bc * 2.0 * c0 / hc
-    g_a = max(1, min(int(1.5 * sb_world / dt_a_max), 32))
-    anchors = [0, g_a - 1]
-    tbl = blocks_coarse.reshape(-1, blocks_coarse.shape[-1])
+    blocks_coarse = pack_blocks(occ_coarse, hc, block=8)
 
     intr = jnp.asarray([1000.0, 1000.0, W / 2, H / 2], jnp.float32)
     pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.8]))
@@ -93,122 +69,146 @@ def main():
                                      np.zeros((pad, 3), np.float32)]))
     rd = jnp.asarray(np.concatenate([np.asarray(rays["rays_d"])[perm],
                                      np.ones((pad, 3), np.float32)]))
-    n_chunks = (n + pad) // CHUNK
-    chunks = [(ro[i * CHUNK:(i + 1) * CHUNK], rd[i * CHUNK:(i + 1) * CHUNK])
-              for i in range(n_chunks)]
+    ro_s = ro.reshape(-1, CHUNK, 3)
+    rd_s = rd.reshape(-1, CHUNK, 3)
 
-    # ---- stage programs (each returns a scalar depending on all live work)
-    @jax.jit
-    def disp_floor(a, b):
-        return a[0, 0] + b[0, 0]
+    # shared geometry (mirrors march_rays_block phase A)
+    tbl = blocks_coarse.reshape(-1, blocks_coarse.shape[-1])
+    R, Wd = tbl.shape
+    bc = block_size_of(blocks_coarse)
+    c0 = min(1.0, mcfg.bound)
+    base = mcfg.dt_min * mcfg.coarse_step_mult
+    dt_a_max = M._phase_a_cap(mcfg)
+    sb_world = bc * 2.0 * c0 / hc
+    g_a = max(1, min(int(1.5 * sb_world / dt_a_max), 32))
+    anchors = [0, g_a - 1] if (args.coarse_anchors == 2 and g_a > 1) else None
+    print(f"table rows={R} words={Wd} g_a={g_a} anchors={anchors}")
 
-    @jax.jit
-    def s_nearfar(a, b):
-        near, far = M.near_far_aabb(a, b, mcfg.bound, mcfg.min_near)
-        return near.sum() + far.sum()
-
-    @jax.jit
-    def s_zladder(a, b):
-        near, far = M.near_far_aabb(a, b, mcfg.bound, mcfg.min_near)
-        z_a, dt_a, t_a = M._phase_a_ladder(near, far, mcfg, round_to=g_a)
-        return z_a.sum() + dt_a.sum()
+    # bf16-byte view of the table for the one-hot MXU fetch
+    shifts = np.arange(4, dtype=np.uint32) * 8
+    tbl_np = np.asarray(tbl)
+    tbl_bytes = ((tbl_np[:, :, None] >> shifts[None, None]) & 0xFF)
+    tbl_bytes = jnp.asarray(
+        tbl_bytes.reshape(R, 4 * Wd).astype(np.float32), jnp.bfloat16)
 
     def ladder(a, b):
         near, far = M.near_far_aabb(a, b, mcfg.bound, mcfg.min_near)
         z_a, dt_a, t_a = M._phase_a_ladder(near, far, mcfg, round_to=g_a)
         pos_a = a[:, None, :] + b[:, None, :] * z_a[..., None]
-        return near, far, z_a, dt_a, pos_a
+        flat_a, local_a = M._block_coords(pos_a, dt_a, hc, mcfg, block=bc)
+        return near, far, z_a, flat_a, local_a
 
     @jax.jit
     def s_ladder(a, b):
-        near, far, z_a, dt_a, pos_a = ladder(a, b)
-        return pos_a.sum()
+        near, far, z_a, flat_a, local_a = ladder(a, b)
+        return flat_a.sum() + local_a.sum() + z_a.sum()
 
     @jax.jit
-    def s_coords(a, b):
-        near, far, z_a, dt_a, pos_a = ladder(a, b)
-        flat, local = M._block_coords(pos_a, dt_a, hc, mcfg, block=bc)
-        return flat.sum() + local.sum()
-
-    def gather_rows(a, b):
-        near, far, z_a, dt_a, pos_a = ladder(a, b)
-        flat, local = M._block_coords(pos_a, dt_a, hc, mcfg, block=bc)
-        nn, t = flat.shape
-        fv = flat.reshape(nn, t // g_a, g_a)
-        lv = local.reshape(nn, t // g_a, g_a)
-        rows = [jnp.take(tbl, fv[:, :, a_].reshape(-1), axis=0)
-                .reshape(nn, t // g_a, tbl.shape[-1]) for a_ in anchors]
-        return fv, lv, rows
+    def s_gather_only(a, b):
+        _, _, _, flat_a, _ = ladder(a, b)
+        nn, t = flat_a.shape
+        fa = flat_a.reshape(nn, t // g_a, g_a)
+        acc = 0.0
+        for an in (anchors or [0]):
+            rows = jnp.take(tbl, fa[:, :, an].reshape(-1), axis=0)
+            acc = acc + rows.sum()
+        return acc
 
     @jax.jit
-    def s_gathers(a, b):
-        fv, lv, rows = gather_rows(a, b)
-        return sum(r.astype(jnp.uint64).sum() for r in rows)
-
-    @jax.jit
-    def s_extract(a, b):
-        fv, lv, rows = gather_rows(a, b)
-        occ = jnp.ones(fv.shape, bool)
-        matched = jnp.zeros(fv.shape, bool)
-        for a_, rws in zip(anchors, rows):
-            fa = fv[:, :, a_]
-            hit = fv == fa[:, :, None]
-            bit = block_bit_lookup(rws[:, :, None, :], lv)
+    def s_fake_bits(a, b):
+        # full phase A with the gather replaced by a data-free fake row
+        near, far, z_a, flat_a, local_a = ladder(a, b)
+        nn, t = flat_a.shape
+        f2 = flat_a.reshape(nn, t // g_a, g_a)
+        l2 = local_a.reshape(nn, t // g_a, g_a)
+        occ = jnp.ones(f2.shape, bool)
+        matched = jnp.zeros(f2.shape, bool)
+        for an in (anchors or [0]):
+            fa = f2[:, :, an]
+            rows = (fa[:, :, None] * jnp.arange(Wd, dtype=jnp.int32)[None, None]
+                    ).astype(jnp.uint32)  # fake, no memory touch
+            hit = f2 == fa[:, :, None]
+            bit = block_bit_lookup(rows[:, :, None, :], l2)
             occ = jnp.where(hit & ~matched, bit, occ)
             matched = matched | hit
-        return occ.sum()
+        occ = occ.reshape(nn, t)
+        occ = (occ | jnp.concatenate(
+            [occ[:, 1:], jnp.zeros_like(occ[:, :1])], axis=1)) \
+            & (z_a < far[:, None])
+        i, v, s = M._compact_idx(occ, mcfg.coarse_segments)
+        return i.sum() + v.sum() + s.sum()
 
     @jax.jit
-    def s_phase_a(a, b):
-        near, far = M.near_far_aabb(a, b, mcfg.bound, mcfg.min_near)
-        z_a, dt_a, t_a = M._phase_a_ladder(near, far, mcfg, round_to=g_a)
-        pos_a = a[:, None, :] + b[:, None, :] * z_a[..., None]
-        flat, local = M._block_coords(pos_a, dt_a, hc, mcfg, block=bc)
-        occ_a = M._grouped_block_test(tbl, flat, local, g_a, anchors=anchors)
-        occ_next = jnp.concatenate(
-            [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1)
-        occ_a = (occ_a | occ_next) & (z_a < far[:, None])
-        idx_a, valid_a, stride_a = M._compact_idx(occ_a, mcfg.coarse_segments)
-        return idx_a.sum() + valid_a.sum() + stride_a.sum()
+    def s_full(a, b):
+        near, far, z_a, flat_a, local_a = ladder(a, b)
+        occ = M._grouped_block_test(tbl, flat_a, local_a, g_a, anchors=anchors)
+        occ = (occ | jnp.concatenate(
+            [occ[:, 1:], jnp.zeros_like(occ[:, :1])], axis=1)) \
+            & (z_a < far[:, None])
+        i, v, s = M._compact_idx(occ, mcfg.coarse_segments)
+        return i.sum() + v.sum() + s.sum()
 
     @jax.jit
-    def s_march_map(ro_all, rd_all):
-        def one(ab):
-            a, b = ab
-            m = M.march(a, b, occupancy, mcfg)
-            return (m["z"] + m["dt"] + m["valid"]).sum()
+    def s_onehot(a, b):
+        # full phase A, rows fetched via dot(onehot(idx), byte_table)
+        near, far, z_a, flat_a, local_a = ladder(a, b)
+        nn, t = flat_a.shape
+        f2 = flat_a.reshape(nn, t // g_a, g_a)
+        l2 = local_a.reshape(nn, t // g_a, g_a)
+        occ = jnp.ones(f2.shape, bool)
+        matched = jnp.zeros(f2.shape, bool)
+        for an in (anchors or [0]):
+            fa = f2[:, :, an]
+            oh = jax.nn.one_hot(fa.reshape(-1), R, dtype=jnp.bfloat16)
+            by = jax.lax.dot_general(
+                oh, tbl_bytes, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            by = by.astype(jnp.int32).reshape(nn, t // g_a, 4 * Wd)
+            # byte select tree + bit extract
+            bidx = (l2.astype(jnp.uint32) >> 3).astype(jnp.uint32)
+            level = [by[:, :, w][:, :, None] for w in range(4 * Wd)]
+            # broadcast each byte over the g positions lazily via where tree
+            lvl = [jnp.broadcast_to(x, l2.shape) for x in level]
+            bitp = 0
+            while len(lvl) > 1:
+                pick_hi = (bidx >> bitp) & 1 > 0
+                lvl = [jnp.where(pick_hi, lvl[2 * i + 1], lvl[2 * i])
+                       for i in range(len(lvl) // 2)]
+                bitp += 1
+            byte = lvl[0]
+            bit = ((byte >> (l2 & 7)) & 1) > 0
+            hit = f2 == fa[:, :, None]
+            occ = jnp.where(hit & ~matched, bit, occ)
+            matched = matched | hit
+        occ = occ.reshape(nn, t)
+        occ = (occ | jnp.concatenate(
+            [occ[:, 1:], jnp.zeros_like(occ[:, :1])], axis=1)) \
+            & (z_a < far[:, None])
+        i, v, s = M._compact_idx(occ, mcfg.coarse_segments)
+        return i.sum() + v.sum() + s.sum()
 
-        return jax.lax.map(one, (ro_all, rd_all)).sum()
+    # correctness cross-check (tiny batch) before timing
+    a0, b0 = ro_s[40], rd_s[40]
+    ref = s_full(a0, b0)
+    oh = s_onehot(a0, b0)
+    print("onehot-vs-take compact sums:", float(ref), float(oh))
 
-    ro_st = ro.reshape(n_chunks, CHUNK, 3)
-    rd_st = rd.reshape(n_chunks, CHUNK, 3)
-
-    def bench(fn, name, stacked=False):
-        if stacked:
-            fn(ro_st, rd_st).block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                fn(ro_st, rd_st).block_until_ready()
-            dt = (time.perf_counter() - t0) / args.iters
-        else:
-            fn(*chunks[0]).block_until_ready()
-            t0 = time.perf_counter()
-            for it in range(args.iters):
-                outs = [fn(*chunks[(i + it) % n_chunks]) for i in range(n_chunks)]
-                jax.block_until_ready(outs[-1])
-            dt = (time.perf_counter() - t0) / args.iters
-        print(f"{name:20s} {dt * 1e3:8.1f} ms/frame", flush=True)
+    def bench(fn, name):
+        scanned = jax.jit(lambda a_s, b_s: jax.lax.map(
+            lambda ab: fn(ab[0], ab[1]), (a_s, b_s)).sum())
+        scanned(ro_s, rd_s).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            scanned(ro_s, rd_s).block_until_ready()
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:26s} {dt * 1e3:8.1f} ms/frame")
         return dt
 
-    bench(disp_floor, "dispatch floor")
-    bench(s_nearfar, "near/far")
-    bench(s_zladder, "z ladder")
-    bench(s_ladder, "ladder+pos")
-    bench(s_coords, "+coords")
-    bench(s_gathers, "+gathers")
-    bench(s_extract, "+extract")
-    bench(s_phase_a, "phase A full")
-    bench(s_march_map, "march lax.map x1", stacked=True)
+    bench(s_ladder, "ladder+coords only")
+    bench(s_gather_only, "ladder+anchor gathers")
+    bench(s_fake_bits, "full A, fake rows")
+    bench(s_full, "full A (take)")
+    bench(s_onehot, "full A (onehot MXU)")
 
 
 if __name__ == "__main__":
