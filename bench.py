@@ -64,11 +64,19 @@ def main():
                    help="phase-A first-K hybrid compaction (front segments "
                         "at full resolution)")
     p.add_argument("--table_dtype", default="bfloat16",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="hash-table storage dtype (default bfloat16: +17%% "
                         "chip A/B over fp32 at zero quality cost — "
                         "26.7038 -> 26.7035 dB on the 30k checkpoint; "
                         "RESULTS.md round-2 queue table)")
+    p.add_argument("--occ_crop", action="store_true",
+                   help="occupied-AABB march planning: crop rays to the "
+                        "occupied-cell AABB and shrink the static phase-A "
+                        "ladder to its diagonal (plan_occupied_crop) — "
+                        "exact, zero per-frame cost")
+    p.add_argument("--phase_a", default="xla", choices=["xla", "pallas"],
+                   help="phase-A candidate coords backend (pallas = fused "
+                        "VMEM kernel, ops/phase_a_pallas.py)")
     p.add_argument("--shade_order", default="ray", choices=["ray", "depth"],
                    help="hash-gather issue order in the rounds shading: "
                         "ray-major (default) or depth-major (cross-ray "
@@ -143,10 +151,15 @@ def main():
                       coarse_segments=args.coarse_segments,
                       coarse_anchors=args.coarse_anchors,
                       first_k=args.first_k, a0_segments=args.a0,
-                      coarse_first_k=args.coarse_first_k)
+                      coarse_first_k=args.coarse_first_k,
+                      phase_a_backend=args.phase_a)
     params = init_network(jax.random.PRNGKey(0), cfg)
     if args.table_dtype == "bfloat16":
         params["encoder"] = [t.astype(jnp.bfloat16) for t in params["encoder"]]
+    elif args.table_dtype == "int8":
+        from nerfnav_tpu.ops.hashgrid import quantize_table_int8
+
+        params["encoder"] = quantize_table_int8(params["encoder"])
     field = make_field(params, cfg)
 
     # converged-style occupancy: a shell structure ~6% occupied in cascade 0
@@ -177,6 +190,18 @@ def main():
         "blocks": pack_blocks(occ_all, Hg),
         "blocks_coarse": pack_blocks(occ_coarse, hc, block=8),
     }
+    crop_aabb = None
+    if args.occ_crop:
+        import dataclasses
+
+        from nerfnav_tpu.ops.marching import plan_occupied_crop
+
+        aabb, t_a0 = plan_occupied_crop(np.stack(occs), mcfg)
+        mcfg = dataclasses.replace(mcfg, t_a0_steps=t_a0)
+        crop_aabb = jnp.asarray(aabb)
+        print(json.dumps({"occ_crop_aabb": [round(float(v), 3) for v in aabb],
+                          "t_a0_steps": t_a0}), flush=True)
+
     if args.proxy:
         # segment-termination table: min-pooled SCALED density (sigma ~O(1)
         # x density_scale in occupied cells — a ray extinguishes within ~4-5
@@ -220,12 +245,14 @@ def main():
                 round_samples=args.round_samples,
                 round_compact=args.round_compact,
                 shade_order=args.shade_order,
+                crop_aabb=crop_aabb,
             )["image"]
     else:
         @jax.jit
         def render_chunk(ro, rd):
             return render_rays_grid(
-                field, occupancy, mcfg, ro, rd, bg_color=1.0
+                field, occupancy, mcfg, ro, rd, bg_color=1.0,
+                crop_aabb=crop_aabb,
             )["image"]
 
     n = H * W

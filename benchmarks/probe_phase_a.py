@@ -187,6 +187,60 @@ def main():
         i, v, s = M._compact_idx(occ, mcfg.coarse_segments)
         return i.sum() + v.sum() + s.sum()
 
+    @jax.jit
+    def s_barrier(a, b):
+        # full phase A (take) with an optimization barrier after the row
+        # gather: if XLA is fusing the gather into the 16-word select tree
+        # (re-gathering per word), the barrier forces ONE row gather into a
+        # materialized buffer and the tree runs on VMEM values.
+        near, far, z_a, flat_a, local_a = ladder(a, b)
+        nn, t = flat_a.shape
+        f2 = flat_a.reshape(nn, t // g_a, g_a)
+        l2 = local_a.reshape(nn, t // g_a, g_a)
+        occ = jnp.ones(f2.shape, bool)
+        matched = jnp.zeros(f2.shape, bool)
+        for an in (anchors or [0]):
+            fa = f2[:, :, an]
+            rows = jnp.take(tbl, fa.reshape(-1), axis=0)
+            rows = jax.lax.optimization_barrier(rows)
+            rows = rows.reshape(nn, t // g_a, Wd)
+            hit = f2 == fa[:, :, None]
+            bit = block_bit_lookup(rows[:, :, None, :], l2)
+            occ = jnp.where(hit & ~matched, bit, occ)
+            matched = matched | hit
+        occ = occ.reshape(nn, t)
+        occ = (occ | jnp.concatenate(
+            [occ[:, 1:], jnp.zeros_like(occ[:, :1])], axis=1)) \
+            & (z_a < far[:, None])
+        i, v, s = M._compact_idx(occ, mcfg.coarse_segments)
+        return i.sum() + v.sum() + s.sum()
+
+    blocks_coarse4 = pack_blocks(occ_coarse, hc, block=4)
+    tbl4 = blocks_coarse4.reshape(-1, blocks_coarse4.shape[-1])
+    sb4 = 4 * 2.0 * c0 / hc
+    g_a4 = max(1, min(int(1.5 * sb4 / dt_a_max), 32))
+    anchors4 = [0, g_a4 - 1] if g_a4 > 1 else None
+    print(f"block4 table rows={tbl4.shape[0]} words={tbl4.shape[1]} "
+          f"g_a4={g_a4}")
+
+    def ladder4(a, b):
+        near, far = M.near_far_aabb(a, b, mcfg.bound, mcfg.min_near)
+        z_a, dt_a, t_a = M._phase_a_ladder(near, far, mcfg, round_to=g_a4)
+        pos_a = a[:, None, :] + b[:, None, :] * z_a[..., None]
+        flat_a, local_a = M._block_coords(pos_a, dt_a, hc, mcfg, block=4)
+        return near, far, z_a, flat_a, local_a
+
+    @jax.jit
+    def s_block4(a, b):
+        near, far, z_a, flat_a, local_a = ladder4(a, b)
+        occ = M._grouped_block_test(tbl4, flat_a, local_a, g_a4,
+                                    anchors=anchors4)
+        occ = (occ | jnp.concatenate(
+            [occ[:, 1:], jnp.zeros_like(occ[:, :1])], axis=1)) \
+            & (z_a < far[:, None])
+        i, v, s = M._compact_idx(occ, mcfg.coarse_segments)
+        return i.sum() + v.sum() + s.sum()
+
     # correctness cross-check (tiny batch) before timing
     a0, b0 = ro_s[40], rd_s[40]
     ref = s_full(a0, b0)
@@ -204,11 +258,15 @@ def main():
         print(f"{name:26s} {dt * 1e3:8.1f} ms/frame")
         return dt
 
+    ref_b = s_barrier(a0, b0)
+    print("barrier-vs-take compact sums:", float(ref), float(ref_b))
+
     bench(s_ladder, "ladder+coords only")
     bench(s_gather_only, "ladder+anchor gathers")
     bench(s_fake_bits, "full A, fake rows")
     bench(s_full, "full A (take)")
-    bench(s_onehot, "full A (onehot MXU)")
+    bench(s_barrier, "full A (take+barrier)")
+    bench(s_block4, "full A (block=4 table)")
 
 
 if __name__ == "__main__":

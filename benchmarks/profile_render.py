@@ -46,6 +46,9 @@ def main():
                          "dispatch (bench.py default); --no-scan for the "
                          "per-chunk pipelined loop")
     ap.add_argument("--first_k", action="store_true")
+    ap.add_argument("--phase_a", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--stages", default=None,
+                    help="comma list of stage names to run (default all)")
     args = ap.parse_args()
 
     BOUND = 2.0
@@ -57,7 +60,8 @@ def main():
                          samples_per_ray=args.k, min_near=0.2,
                          coarse_segments=args.coarse_segments,
                          coarse_anchors=args.coarse_anchors,
-                         first_k=args.first_k)
+                         first_k=args.first_k,
+                         phase_a_backend=args.phase_a)
     params = init_network(jax.random.PRNGKey(0), cfg)
     if args.table_dtype == "bfloat16":
         params["encoder"] = [t.astype(jnp.bfloat16) for t in params["encoder"]]
@@ -204,13 +208,19 @@ def main():
                                        bg_color=1.0, round_samples=8,
                                        round_compact=4)["image"]
 
-    bench(rounds_full, "rounds render (flagship)")
-    bench(full, "full render")
-    bench(march_only, "march only")
-    bench(march_phase_a, "march phase A only")
-    bench(field_on_marched, "march+encode+mlp")
-    bench(density_on_marched, "march+density")
-    bench(density_on_fixed, "density (no march)")
+    stages = [
+        (rounds_full, "rounds render (flagship)"),
+        (full, "full render"),
+        (march_only, "march only"),
+        (march_phase_a, "march phase A only"),
+        (field_on_marched, "march+encode+mlp"),
+        (density_on_marched, "march+density"),
+        (density_on_fixed, "density (no march)"),
+    ]
+    want = set(args.stages.split(",")) if args.stages else None
+    for fn, name in stages:
+        if want is None or any(w in name for w in want):
+            bench(fn, name)
 
 
 if __name__ == "__main__":

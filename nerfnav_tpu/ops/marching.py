@@ -94,6 +94,14 @@ class MarchConfig:
     #   span (after the z_window narrowing) must satisfy
     #   ceil(span / phase_a_cap) <= t_a0_steps, or the ladder's cap-clamped
     #   tail silently cuts far geometry.
+    phase_a_backend: str = "xla"  # "xla" | "pallas": phase-A candidate
+    #   coords (ladder -> positions -> cascade -> block row/bit) computed by
+    #   XLA elementwise ops or by the fused Pallas kernel
+    #   (ops/phase_a_pallas.py). Identical bits; the kernel collapses ~a
+    #   dozen HBM-materialized (N, T_A) intermediates into one packed int32
+    #   write per candidate (chip-profiled: the ladder math alone was ~57
+    #   ms/frame of the 122 ms phase A at the 800^2 flagship). Block marcher
+    #   + dt_gamma == 0 only; other paths ignore the knob.
     a0_segments: int = 0          # super-coarse phase-A0 prefilter (block
     #   marcher, normalized ladders only): walk a ~15-candidate ladder at one
     #   COARSE-BLOCK-edge step against the "any cell in block occupied" bit
@@ -490,6 +498,51 @@ def _phase_a_cap(cfg: MarchConfig) -> float:
     return max(min(safe, 2.0 * base), base)
 
 
+def plan_occupied_crop(occ_grids, cfg: MarchConfig, pad_cells: int = 1):
+    """Static march plan from the occupied-cell AABB.
+
+    The phase-A ladder is statically sized for the worst-case crossing of
+    the FULL [-bound, bound] cube (2*sqrt(3)*bound), but every valid sample
+    lies inside an occupied fine cell — geometry outside the occupied AABB
+    contributes nothing by construction. Intersecting rays with that AABB
+    (crop_aabb) and shrinking the static ladder to its diagonal
+    (t_a0_steps) cuts phase-A candidates with NO approximation: the sample
+    set only loses candidates whose fine-occupancy test already returned
+    empty. The reference has no analogue (its marcher's while-loop cost
+    already scales with occupied length, raymarching.cu:372-404); this is
+    the static-shape equivalent.
+
+    occ_grids: (cascades, H^3) HOST array (numpy, bool/float) of fine
+    occupancy, cascade c covering [-min(2^c, bound), +min(2^c, bound)]^3.
+    Returns (crop_aabb (6,) float32 numpy, t_a0_steps int), or
+    (None, 0) when nothing is occupied. Plan once per occupancy version —
+    the t_a0_steps change recompiles the march.
+    """
+    h = cfg.grid_size
+    occ = np.asarray(occ_grids).reshape(-1, h, h, h) > 0
+    lo = np.full(3, np.inf)
+    hi = np.full(3, -np.inf)
+    for c in range(occ.shape[0]):
+        if not occ[c].any():
+            continue
+        cb = min(2.0**c, cfg.bound)
+        cell = 2.0 * cb / h
+        idx = np.argwhere(occ[c])
+        lo = np.minimum(lo, (idx.min(0) - pad_cells) * cell - cb)
+        hi = np.maximum(hi, (idx.max(0) + 1 + pad_cells) * cell - cb)
+    if not np.isfinite(lo).all():
+        return None, 0
+    lo = np.maximum(lo, -cfg.bound)
+    hi = np.minimum(hi, cfg.bound)
+    diag = float(np.linalg.norm(hi - lo))
+    cap = _phase_a_cap(cfg) if cfg.coarse_normalized else (
+        cfg.dt_min * cfg.coarse_step_mult)
+    auto = int(np.ceil(2.0 * _SQRT3 * max(cfg.bound, 1.0) / cap))
+    # +2: near-jitter (one step) and the endpoint-or segment test
+    t_a0 = min(auto, int(np.ceil(diag / cap)) + 2)
+    return np.concatenate([lo, hi]).astype(np.float32), t_a0
+
+
 def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
                          cfg: MarchConfig, key=None, crop_aabb=None,
                          z_window=None):
@@ -761,17 +814,29 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
             valid_a, sub0_sel * stride_a.astype(jnp.float32), 0.0)
     else:
         z_a, dt_a, t_a = _phase_a_ladder(near, far, cfg, round_to=g_a)
-        pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
-        flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg, block=bc)
         anchors_a = None
         if cfg.coarse_anchors == 2 and g_a > 1:
             anchors_a = [0, g_a - 1]
+        if cfg.phase_a_backend == "pallas":
+            from nerfnav_tpu.ops.phase_a_pallas import (
+                phase_a_coords, unpack_codes,
+            )
+
+            codes = phase_a_coords(
+                rays_o, rays_d, near, dt_a, far, t_a=t_a, hc=hc, bc=bc,
+                cascades=cfg.cascades, bound=cfg.bound,
+                interpret=jax.default_backend() == "cpu")
+            flat_a, local_a, zin_a = unpack_codes(codes)
+        else:
+            pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
+            flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg, block=bc)
+            zin_a = z_a < far[:, None]
         occ_a = _grouped_block_test(tbl_coarse, flat_a, local_a,
                                     g_a, anchors=anchors_a)
         occ_next = jnp.concatenate(
             [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1
         )
-        occ_a = (occ_a | occ_next) & (z_a < far[:, None])
+        occ_a = (occ_a | occ_next) & zin_a
         # z along the phase-A ladder is affine in the candidate index, so the
         # compaction returns INDICES and z/dt are reconstructed
         # arithmetically — take_along_axis here lowers to one gather row per
