@@ -69,6 +69,22 @@ def main():
                         "chip A/B over fp32 at zero quality cost — "
                         "26.7038 -> 26.7035 dB on the 30k checkpoint; "
                         "RESULTS.md round-2 queue table)")
+    p.add_argument("--g_a", type=int, default=0,
+                   help="phase-A anchor-run length override "
+                        "(MarchConfig.phase_a_group; 0 = auto)")
+    p.add_argument("--t_a0", type=int, default=0,
+                   help="static phase-A ladder length override "
+                        "(MarchConfig.t_a0_steps; 0 = auto)")
+    p.add_argument("--occ_ladder", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="occupancy-derived static ladder shrink "
+                        "(plan_occupied_ladder): bounds the phase-A ladder "
+                        "by the cube-entry -> occupied-AABB-exit span, no "
+                        "ray crop — the fast half of --occ_crop. Default ON "
+                        "(+33%% chip A/B, 3.21M vs 2.42M rays/s: the plan "
+                        "lands the ladder on the 8-anchor-run compile-shape "
+                        "optimum, RESULTS.md round-2 ladder-cliff table); "
+                        "--no-occ_ladder for the full-cube control")
     p.add_argument("--occ_crop", action="store_true",
                    help="occupied-AABB march planning: crop rays to the "
                         "occupied-cell AABB and shrink the static phase-A "
@@ -152,7 +168,9 @@ def main():
                       coarse_anchors=args.coarse_anchors,
                       first_k=args.first_k, a0_segments=args.a0,
                       coarse_first_k=args.coarse_first_k,
-                      phase_a_backend=args.phase_a)
+                      phase_a_backend=args.phase_a,
+                      phase_a_group=args.g_a,
+                      t_a0_steps=args.t_a0)
     params = init_network(jax.random.PRNGKey(0), cfg)
     if args.table_dtype == "bfloat16":
         params["encoder"] = [t.astype(jnp.bfloat16) for t in params["encoder"]]
@@ -201,6 +219,15 @@ def main():
         crop_aabb = jnp.asarray(aabb)
         print(json.dumps({"occ_crop_aabb": [round(float(v), 3) for v in aabb],
                           "t_a0_steps": t_a0}), flush=True)
+    elif args.occ_ladder:
+        import dataclasses
+
+        from nerfnav_tpu.ops.marching import plan_occupied_ladder
+
+        t_a0 = plan_occupied_ladder(np.stack(occs), mcfg)
+        if t_a0:
+            mcfg = dataclasses.replace(mcfg, t_a0_steps=t_a0)
+        print(json.dumps({"occ_ladder_t_a0": t_a0}), flush=True)
 
     if args.proxy:
         # segment-termination table: min-pooled SCALED density (sigma ~O(1)

@@ -47,6 +47,13 @@ def main():
                          "per-chunk pipelined loop")
     ap.add_argument("--first_k", action="store_true")
     ap.add_argument("--phase_a", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--t_a0", type=int, default=0,
+                    help="static phase-A ladder override (bench --occ_crop "
+                         "uses plan_occupied_crop; this isolates the ladder-"
+                         "length effect without the crop)")
+    ap.add_argument("--occ_crop", action="store_true")
+    ap.add_argument("--g_a", type=int, default=0,
+                    help="phase-A anchor-run length override (phase_a_group)")
     ap.add_argument("--stages", default=None,
                     help="comma list of stage names to run (default all)")
     args = ap.parse_args()
@@ -61,7 +68,8 @@ def main():
                          coarse_segments=args.coarse_segments,
                          coarse_anchors=args.coarse_anchors,
                          first_k=args.first_k,
-                         phase_a_backend=args.phase_a)
+                         phase_a_backend=args.phase_a,
+                         phase_a_group=args.g_a)
     params = init_network(jax.random.PRNGKey(0), cfg)
     if args.table_dtype == "bfloat16":
         params["encoder"] = [t.astype(jnp.bfloat16) for t in params["encoder"]]
@@ -94,6 +102,20 @@ def main():
         "blocks_coarse": pack_blocks(occ_coarse, hc, block=8),
     }
 
+    crop_aabb = None
+    if args.occ_crop or args.t_a0:
+        import dataclasses
+
+        if args.occ_crop:
+            aabb, t_a0 = M.plan_occupied_crop(np.stack(occs), mcfg)
+            crop_aabb = jnp.asarray(aabb)
+            if args.t_a0:  # explicit ladder override on top of the crop
+                t_a0 = args.t_a0
+        else:
+            t_a0 = args.t_a0
+        mcfg = dataclasses.replace(mcfg, t_a0_steps=t_a0)
+        print(f"t_a0_steps={t_a0} crop={crop_aabb is not None}")
+
     intr = jnp.asarray([1000.0, 1000.0, W / 2, H / 2], jnp.float32)
     pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.8]))
     rays = get_all_rays(pose, intr, H, W)
@@ -112,11 +134,11 @@ def main():
     # ---- stage programs
     @jax.jit
     def full(a, b):
-        return render_rays_grid(field, occupancy, mcfg, a, b, bg_color=1.0)["image"]
+        return render_rays_grid(field, occupancy, mcfg, a, b, bg_color=1.0, crop_aabb=crop_aabb)["image"]
 
     @jax.jit
     def march_only(a, b):
-        m = M.march(a, b, occupancy, mcfg)
+        m = M.march(a, b, occupancy, mcfg, crop_aabb=crop_aabb)
         return m["z"] + m["dt"] + m["valid"]
 
     @jax.jit
@@ -134,7 +156,7 @@ def main():
         sb_world = bc * 2.0 * c0 / hc
         slack = 1.5 if mcfg.coarse_normalized else 1.0
         g_a = max(1, min(int(slack * sb_world / dt_a_max), 32))
-        near, far = M.near_far_aabb(a, b, mcfg.bound, mcfg.min_near)
+        near, far = M.near_far_aabb(a, b, mcfg.bound, mcfg.min_near, crop_aabb)
         z_a, dt_a, t_a = M._phase_a_ladder(near, far, mcfg, round_to=g_a)
         pos_a = a[:, None, :] + b[:, None, :] * z_a[..., None]
         flat_a, local_a = M._block_coords(pos_a, dt_a, hc, mcfg, block=bc)
@@ -147,7 +169,7 @@ def main():
 
     @jax.jit
     def field_on_marched(a, b):
-        m = M.march(a, b, occupancy, mcfg)
+        m = M.march(a, b, occupancy, mcfg, crop_aabb=crop_aabb)
         z, valid = m["z"], m["valid"]
         pos = a[:, None, :] + b[:, None, :] * z[..., None]
         sig, geo = field.density_fn(pos.reshape(-1, 3))
@@ -159,7 +181,7 @@ def main():
 
     @jax.jit
     def density_on_marched(a, b):
-        m = M.march(a, b, occupancy, mcfg)
+        m = M.march(a, b, occupancy, mcfg, crop_aabb=crop_aabb)
         pos = a[:, None, :] + b[:, None, :] * m["z"][..., None]
         sig, _ = field.density_fn(pos.reshape(-1, 3))
         return sig.sum()
@@ -206,7 +228,8 @@ def main():
     def rounds_full(a, b):
         return render_rays_grid_rounds(field_s, occupancy, mcfg, a, b,
                                        bg_color=1.0, round_samples=8,
-                                       round_compact=4)["image"]
+                                       round_compact=4,
+                                       crop_aabb=crop_aabb)["image"]
 
     stages = [
         (rounds_full, "rounds render (flagship)"),

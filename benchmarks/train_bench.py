@@ -19,7 +19,7 @@ enable_compilation_cache()
 def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
          levels=16, level_dim=2, log2=None, shell=False, budget=True,
          grid_backward="xla", coarse_segments=16, coarse_anchors=3,
-         table_dtype="float32"):
+         table_dtype="float32", phase_a_group=0):
     """shell=True replaces the random-init occupancy with a converged-scene
     sphere shell (valid-sample fraction ~0.1 like a trained scene) — the
     regime where the point-budget packed shade pays; budget=False disables
@@ -47,7 +47,8 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
     occ = OccupancyConfig(bound=1.0)
     march = MarchConfig(bound=1.0, samples_per_ray=32,
                         coarse_segments=coarse_segments,
-                        coarse_anchors=coarse_anchors)
+                        coarse_anchors=coarse_anchors,
+                        phase_a_group=phase_a_group)
     tr = Trainer(cfg, rcfg, opt, occupancy_cfg=occ, march_cfg=march)
 
     rng = np.random.default_rng(0)
@@ -126,9 +127,12 @@ if __name__ == "__main__":
     ap.add_argument("--table_dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="bf16 table gathers/scatters (fp32 masters)")
+    ap.add_argument("--g_a", type=int, default=0,
+                    help="phase-A anchor-run override (MarchConfig"
+                         ".phase_a_group; 0 = auto incl. the runs>=8 cap)")
     a = ap.parse_args()
     main(num_rays=a.num_rays, layout=a.layout, levels=a.levels,
          level_dim=a.level_dim, log2=a.log2, shell=a.shell,
          budget=not a.no_budget, grid_backward=a.grid_backward,
          coarse_segments=a.coarse_segments, coarse_anchors=a.coarse_anchors,
-         table_dtype=a.table_dtype)
+         table_dtype=a.table_dtype, phase_a_group=a.g_a)

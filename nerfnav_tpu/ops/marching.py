@@ -94,6 +94,14 @@ class MarchConfig:
     #   span (after the z_window narrowing) must satisfy
     #   ceil(span / phase_a_cap) <= t_a0_steps, or the ladder's cap-clamped
     #   tail silently cuts far geometry.
+    phase_a_group: int = 0        # phase-A anchor-run length override for
+    #   the block marcher (0 = auto from the coarse block span). The chip
+    #   sweep over static ladder lengths (RESULTS.md round-2 "ladder-shape
+    #   cliff") found run COUNT t_a/g_a is the perf driver: 8 runs beat the
+    #   auto 9-10 by ~22% and 5-7 runs are 2x SLOWER. Smaller groups also
+    #   tighten the anchor-match geometry (a run spans fewer block
+    #   crossings), so correctness is unaffected (conservative-occupied
+    #   only shrinks).
     phase_a_backend: str = "xla"  # "xla" | "pallas": phase-A candidate
     #   coords (ladder -> positions -> cascade -> block row/bit) computed by
     #   XLA elementwise ops or by the fused Pallas kernel
@@ -498,6 +506,20 @@ def _phase_a_cap(cfg: MarchConfig) -> float:
     return max(min(safe, 2.0 * base), base)
 
 
+def phase_a_group_of(cfg: MarchConfig, bc: int = 8) -> int:
+    """The anchor-run length the block marcher will use (mirrors
+    march_rays_block's g_a computation; bc = coarse-table block edge)."""
+    if cfg.phase_a_group > 0:
+        return cfg.phase_a_group
+    hc = cfg.grid_size // cfg.coarse_factor
+    c0 = min(1.0, cfg.bound)
+    base = cfg.dt_min * cfg.coarse_step_mult
+    dt_a_max = _phase_a_cap(cfg) if cfg.coarse_normalized else base
+    sb_world = bc * 2.0 * c0 / hc
+    slack = 1.5 if cfg.coarse_normalized else 1.0
+    return max(1, min(int(slack * sb_world / dt_a_max), 32))
+
+
 def plan_occupied_crop(occ_grids, cfg: MarchConfig, pad_cells: int = 1):
     """Static march plan from the occupied-cell AABB.
 
@@ -540,7 +562,49 @@ def plan_occupied_crop(occ_grids, cfg: MarchConfig, pad_cells: int = 1):
     auto = int(np.ceil(2.0 * _SQRT3 * max(cfg.bound, 1.0) / cap))
     # +2: near-jitter (one step) and the endpoint-or segment test
     t_a0 = min(auto, int(np.ceil(diag / cap)) + 2)
+    # Ladder-shape cliff (chip sweep, RESULTS.md): the block marcher's
+    # anchor-run COUNT t_a/g_a must not fall under 8 — run counts of 5-7
+    # compile ~2x slower than the same march at 8 runs, and 8 runs beat
+    # the auto 9-10 by ~20%. Round the ladder UP to 8 full runs; the extra
+    # candidates are far-masked and still cheaper than the slow shape.
+    g_a = phase_a_group_of(cfg)
+    t_a0 = max(t_a0, 8 * g_a)
     return np.concatenate([lo, hi]).astype(np.float32), t_a0
+
+
+def plan_occupied_ladder(occ_grids, cfg: MarchConfig, pad_cells: int = 1):
+    """Ladder-only variant of plan_occupied_crop: shrink the static phase-A
+    ladder WITHOUT intersecting rays with the crop AABB.
+
+    The crop intersection chip-measured ~15% SLOWER than the bare ladder
+    shrink at equal t_a0 (it concentrates the anchor gathers on distinct
+    occupied block rows instead of repeated empty ones), so the preferred
+    plan keeps near/far at the full cube and only bounds the ladder LENGTH:
+    any ray's occupied content ends by its occupied-AABB exit, and
+    (t_exit_aabb - t_entry_cube) <= max over cube-corner x aabb-corner
+    distances — an exact upper bound on the span the ladder must cover.
+    Returns t_a0_steps (int; 0 when nothing is occupied), rounded up to 8
+    anchor runs (the ladder-shape cliff) and capped at the auto ladder.
+    """
+    aabb, _ = plan_occupied_crop(occ_grids, cfg, pad_cells)
+    if aabb is None:
+        return 0
+    lo, hi = aabb[:3], aabb[3:]
+    b = cfg.bound
+    cube = np.array([[x, y, z] for x in (-b, b) for y in (-b, b)
+                     for z in (-b, b)])
+    ac = np.array([[p[0], q[1], r[2]] for p in (lo, hi) for q in (lo, hi)
+                   for r in (lo, hi)])
+    span = float(np.sqrt(((cube[:, None, :] - ac[None, :, :]) ** 2)
+                         .sum(-1).max()))
+    cap = _phase_a_cap(cfg) if cfg.coarse_normalized else (
+        cfg.dt_min * cfg.coarse_step_mult)
+    auto = int(np.ceil(2.0 * _SQRT3 * max(cfg.bound, 1.0) / cap))
+    t_a0 = min(auto, int(np.ceil(span / cap)) + 2)
+    g_a = phase_a_group_of(cfg)
+    if -(-t_a0 // g_a) < 8:          # under the cliff: pad to 8 full runs
+        t_a0 = 8 * g_a
+    return min(t_a0, auto)
 
 
 def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
@@ -733,6 +797,20 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     fb_world = 8.0 * c0 / h             # fine block edge (cascade 0)
     slack = 1.5 if cfg.coarse_normalized else 1.0
     g_a = max(1, min(int(slack * sb_world / dt_a_max), 32))
+    if cfg.phase_a_group > 0:
+        g_a = cfg.phase_a_group
+    elif cfg.coarse_normalized:
+        # Ladder-shape cliff (chip sweep, RESULTS.md round-2): marches whose
+        # anchor-run count t_a/g_a lands in 5-7 compile ~2x SLOWER than the
+        # same candidate ladder at >=8 runs (and 8 runs beat 9-10 by ~20%).
+        # Cap the run length so the ladder always splits into >=8 runs —
+        # shorter runs only tighten the anchor-match geometry (fewer
+        # conservative-occupied fallbacks), so correctness is unaffected.
+        # At bound=1 (every training config) this turns the auto 5-run
+        # t_a~65 ladder into 8 runs of 8.
+        span = 2.0 * _SQRT3 * max(cfg.bound, 1.0)
+        t_a0_est = cfg.t_a0_steps or int(np.ceil(span / dt_a_max))
+        g_a = max(1, min(g_a, -(-t_a0_est // 8)))
     g_b = 1
     for d in (2, 4, 8):
         if mult % d == 0 and (d - 1) * (dt_a_max / mult) < fb_world:
