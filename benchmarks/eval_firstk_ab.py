@@ -57,7 +57,7 @@ variants = {
 out = {}
 for name, kw in variants.items():
     tr.march_cfg = dataclasses.replace(mtrain, **kw)
-    tr._render_chunk_fn = None
+    tr.invalidate_render_cache()
     out[name] = round(float(tr.evaluate(val_ds, use_ema=True)), 2)
     print(json.dumps({name: out[name]}), flush=True)
 print(json.dumps(out))

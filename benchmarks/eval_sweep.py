@@ -80,7 +80,7 @@ def main():
     ]
     for name, kw in sweeps:
         tr.march_cfg = dataclasses.replace(base_mcfg, **kw)
-        tr._render_chunk_fn = None
+        tr.invalidate_render_cache()
         t0 = time.time()
         psnr = tr.evaluate(val_ds, use_ema=True)
         dt1 = time.time() - t0

@@ -76,7 +76,7 @@ def main():
     ema = dict(tr.state.ema_params)
     ema["encoder"] = [t.astype(jnp.bfloat16) for t in ema["encoder"]]
     tr.state = tr.state._replace(ema_params=ema)
-    tr._render_chunk_fn = None
+    tr.invalidate_render_cache()
     out["bf16_tables"] = round(tr.evaluate(val_ds, use_ema=True), 4)
     print(json.dumps(out), flush=True)
 
@@ -87,7 +87,7 @@ def main():
     ema["encoder"] = quantize_table_int8(
         [t.astype(jnp.float32) for t in ema["encoder"]])
     tr.state = tr.state._replace(ema_params=ema)
-    tr._render_chunk_fn = None
+    tr.invalidate_render_cache()
     out["int8_tables"] = round(tr.evaluate(val_ds, use_ema=True), 4)
     print(json.dumps(out))
 

@@ -68,7 +68,7 @@ def main():
     out = {}
     for name, kw in variants.items():
         tr.march_cfg = dataclasses.replace(base_march, **kw)
-        tr._render_chunk_fn = None   # rebuild the jitted eval renderer
+        tr.invalidate_render_cache()  # rebuild the jitted eval renderer
         psnr = tr.evaluate(val_ds, use_ema=True)
         out[name] = round(psnr, 2)
         print(json.dumps({name: out[name]}), flush=True)

@@ -69,22 +69,37 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="hash-table gradient strategy: xla scatter-add "
                    "(default) or sorted segment-sum (the TPU analogue of the "
                    "reference's atomicAdd backward, gridencoder.cu:299-312)")
-    p.add_argument("--eval_table_dtype", type=str, default="float32",
+    p.add_argument("--eval_table_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="hash-table dtype for eval/test/GUI rendering "
-                   "(training masters stay fp32); bfloat16 halves gathered "
-                   "table bytes and is quality-free on converged scenes "
+                   "(training masters stay fp32); bfloat16 (default) halves "
+                   "gathered table bytes (+17%% chip A/B) and is quality-"
+                   "free on converged scenes "
                    "(benchmarks/eval_table_dtype.py: -0.0003 dB)")
     p.add_argument("--eval_prepass", action="store_true",
                    help="depth-prepass tile planning for eval/test/GUI "
                    "rendering: skip empty tiles and shorten each tile's "
                    "phase-A ladder to its measured depth window "
                    "(models/prepass.py)")
-    p.add_argument("--eval_scan", action="store_true",
+    p.add_argument("--eval_scan", default=True,
+                   action=argparse.BooleanOptionalAction,
                    help="whole-frame scan dispatch for eval/test/GUI "
                    "rendering: one jitted lax.map program over all chunks "
-                   "instead of a per-chunk dispatch loop (ignored on frames "
-                   "planned by --eval_prepass)")
+                   "instead of a per-chunk dispatch loop (default ON, +17%% "
+                   "chip A/B; ignored on frames planned by --eval_prepass)")
+    p.add_argument("--eval_occ_ladder", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="occupancy-derived phase-A ladder shrink for "
+                   "eval/test/GUI rendering (plan_occupied_ladder; default "
+                   "ON, +33%% chip A/B), planned once per occupancy version")
+    p.add_argument("--eval_coarse_segments", type=int, default=12,
+                   help="render-only phase-A segment budget for eval/test/"
+                   "GUI (training keeps --coarse_segments); 12 is quality-"
+                   "neutral on converged grids and ~18%% faster; 0 = same "
+                   "as training")
+    p.add_argument("--eval_coarse_anchors", type=int, default=2,
+                   help="render-only anchors per phase-A run for eval/test/"
+                   "GUI; 0 = same as training")
     p.add_argument("--ff", action="store_true", help="fused-MLP backend")
     p.add_argument("--tcnn", action="store_true",
                    help="parity flag; maps to the fused backend on TPU")

@@ -34,6 +34,9 @@ def main(argv=None):
         eval_table_dtype=opt.eval_table_dtype,
         eval_prepass=opt.eval_prepass,
         eval_scan=opt.eval_scan,
+        eval_occ_ladder=opt.eval_occ_ladder,
+        eval_coarse_segments=opt.eval_coarse_segments,
+        eval_coarse_anchors=opt.eval_coarse_anchors,
     )
     # Poseless/CLIP mode: with --clip_weights + --clip_text_embed the native
     # JAX vision tower scores renders (training/clip_jax.py); without them

@@ -88,6 +88,26 @@ def get_all_rays(pose, intrinsics, H, W, offset=None):
     return {"rays_o": rays_o, "rays_d": rays_d}
 
 
+def rays_from_pixels(pose, intrinsics, i, j, offset=None):
+    """Rays for explicit pixel coordinates i (x), j (y) — flat (N,) float32.
+
+    The jit-friendly core of get_all_rays: callers that render in a custom
+    pixel ORDER (e.g. the trainer's tile-major chunks) precompute permuted
+    (i, j) once per frame shape and trace this instead of generating
+    row-major rays and permuting them through the host (two 640k-row
+    device<->host round-trips per 800^2 frame). offset: optional traced
+    (dx, dy) subpixel shift (GUI anti-aliasing passes — traced, so a new
+    jitter does not recompile)."""
+    if offset is not None:
+        i = i + offset[0]
+        j = j + offset[1]
+    dirs = _pixel_dirs(i, j, intrinsics)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays_d = dirs @ pose[:3, :3].T
+    rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
+    return {"rays_o": rays_o, "rays_d": rays_d}
+
+
 def tile_order(H, W, tile: int = 64):
     """Permutation mapping tile-major position -> row-major flat pixel index.
 

@@ -144,7 +144,7 @@ class NeRFGUI:
                 tr.march_cfg = dataclasses.replace(
                     tr.march_cfg, dt_gamma=float(value)
                 )
-                tr._render_chunk_fn = None
+                tr.invalidate_render_cache()
                 # the jitted train steps close over march_cfg too — drop the
                 # cache or interactive training would keep marching with the
                 # stale dt_gamma while rendering uses the new one

@@ -368,12 +368,28 @@ def _shade_dense(field, rays_o, rays_d, z, valid, bound: float):
 def _shade_packed(field, rays_o, rays_d, z, dt, valid, budget: int,
                   bound: float):
     """Field evaluation over a packed global sample buffer (see
-    render_rays_grid's sample_budget). valid is a per-ray PREFIX mask (the
-    marcher's compaction guarantees this), so packing is three cheap gathers:
-    packed slot p belongs to ray r(p) = searchsorted(offsets, p) with
-    in-ray position j(p) = p - offsets[r]. Scatter-back into the dense
-    (N, K) layout keeps the composite (and its gradient) identical to the
-    unpacked path; the scatter's backward is a gather."""
+    render_rays_grid's sample_budget). valid is a per-ray PREFIX mask, so
+    packing is three cheap gathers: packed slot p belongs to ray
+    r(p) = searchsorted(offsets, p) with in-ray position j(p) = p -
+    offsets[r]. Scatter-back into the dense (N, K) layout keeps the
+    composite (and its gradient) identical to the unpacked path; the
+    scatter's backward is a gather.
+
+    PREFIX INVARIANT: every marcher configuration yields prefix masks —
+      * _compact_idx / _compact_first_k: valid = (rank <= count), a prefix
+        by construction;
+      * first_k hybrid (_compact_idx_hybrid): concat(front, tail) where the
+        front is FULL whenever the tail is nonempty (tail candidates exist
+        only past k_front occupied ones), so the concatenation is a prefix;
+      * proxy_terminate (segment- or sample-level): masks by
+        (T_prev > thresh); transmittance is monotone non-increasing along
+        the sample axis, so the mask is itself a prefix, and a prefix AND a
+        prefix is a prefix.
+    tests/test_renderer.py::TestPackedPrefix pins packed == dense under
+    first_k and proxy_terminate. Defense in depth for a future non-prefix
+    mask: packed sigmas are zeroed where the mapped dense slot is invalid,
+    so a violated invariant degrades to dropped samples (same class as the
+    budget's tail-drop), never to shading garbage positions."""
     n, k = z.shape
     counts = jnp.sum(valid, axis=1)                      # (N,)
     offsets = jnp.cumsum(counts) - counts                # exclusive prefix
@@ -396,8 +412,13 @@ def _shade_packed(field, rays_o, rays_d, z, dt, valid, budget: int,
     pvalid = p < total
     flat = jnp.clip(r * k + j, 0, n * k - 1)             # (budget,)
 
-    zdt = jnp.stack([z.reshape(-1), dt.reshape(-1)], axis=-1)[flat]
+    # valid bit of the mapped dense slot rides the z/dt gather (defense in
+    # depth: under the prefix invariant it equals pvalid)
+    zdt = jnp.stack(
+        [z.reshape(-1), dt.reshape(-1), valid.reshape(-1).astype(z.dtype)],
+        axis=-1)[flat]
     zp = zdt[:, 0]
+    pvalid_slot = zdt[:, 2] > 0
     dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     if field.encode_dir_fn is not None:
         # per-RAY dir encoding rides the existing per-slot ray gather
@@ -408,7 +429,7 @@ def _shade_packed(field, rays_o, rays_d, z, dt, valid, budget: int,
     rop, rdp = rb[:, :3], rb[:, 3:6]
     pos = jnp.clip(rop + rdp * zp[:, None], -bound, bound)
     sig_p, geo_p = field.density_fn(pos)
-    sig_p = jnp.where(pvalid, sig_p, 0.0)
+    sig_p = jnp.where(pvalid & pvalid_slot, sig_p, 0.0)
     if field.encode_dir_fn is not None:
         rgb_p = field.color_enc_fn(rb[:, 6:], geo_p)     # (budget, 3)
     else:

@@ -101,8 +101,28 @@ class TrainerOptions:
     # Mutually exclusive with eval_prepass per frame: the prepass plans a
     # DIFFERENT program per ladder bucket with per-pose chunk counts, which
     # would recompile per view — when both are on, prepass wins and scan is
-    # ignored for that frame.
-    eval_scan: bool = False
+    # ignored for that frame. Default ON (+17% chip A/B at chunk 4096, +38%
+    # over the round-2 start; RESULTS.md queue-10 table): the product render
+    # path runs the same program shape the bench measures.
+    eval_scan: bool = True
+    # Occupancy-derived phase-A ladder shrink for eval/test/GUI rendering
+    # (ops/marching.plan_occupied_ladder): bound the static phase-A ladder by
+    # the worst-case cube-entry -> occupied-AABB-exit span, planned ONCE per
+    # occupancy version on the host (a bitfield unpack + argwhere) and cached.
+    # +33% chip A/B (3.21M vs 2.42M rays/s — the plan lands the ladder on the
+    # 8-anchor-run compile-shape optimum, RESULTS.md ladder-cliff table).
+    # Training marches are untouched (they use the fixed ladder). A changed
+    # plan compiles a new render program; t_a0 is quantized to whole anchor
+    # runs to bound program churn.
+    eval_occ_ladder: bool = True
+    # Eval/test/GUI march trims (render-only; the training march keeps the
+    # MarchConfig values): phase-A segment budget + anchors per run. On a
+    # CONVERGED grid seg12/anch2 is quality-neutral (26.69 vs 26.73 dB on the
+    # 30k checkpoint) and ~25% faster; mid-training (fat grid) it can cost
+    # ~0.3 dB of eval PSNR — a progress-signal tradeoff, not a training one.
+    # 0 = keep the MarchConfig value.
+    eval_coarse_segments: int = 12
+    eval_coarse_anchors: int = 2
     # Coarse-to-fine marching-step annealing for the grid fast path:
     # ((threshold, dt_multiplier), ...) — marching starts coarse (the static
     # budget then spans every ray without field-dependent stride, which
@@ -134,8 +154,10 @@ class TrainerOptions:
     # the gathered table bytes (training always keeps fp32 masters; the cast
     # is applied once per params version in render_full). Quality-free on
     # converged scenes: 26.7038 -> 26.7035 dB on the 30k cluttered checkpoint
-    # (benchmarks/eval_table_dtype.py).
-    eval_table_dtype: str = "float32"
+    # (benchmarks/eval_table_dtype.py) and +17% render throughput (chip A/B,
+    # RESULTS.md queue-1 table) — default ON so the product path matches the
+    # bench; pass "float32" for bit-exact fp32 eval.
+    eval_table_dtype: str = "bfloat16"
 
 
 class TrainState(NamedTuple):
@@ -227,12 +249,15 @@ class Trainer:
                 self.log("tensorboardX unavailable; scalars not written")
 
         self._train_step_fns = {}  # (H, W, C, dt_mult, budget) -> jitted step
-        self._render_chunk_fn = None
+        self._render_chunk_fns = {}    # t_a0 (0 = auto ladder) -> chunk fn
+        self._render_scan_fns = {}     # t_a0 -> whole-frame scan fn
         self._table_cast_cache = None  # (params, cast_params) for eval dtype
         self._prepass_chunk_fns = {}   # t_a0 -> jitted windowed chunk fn
         self._prepass_planners = {}    # (H, W, chunk) -> DepthPrepass
         self._occ_version = 0          # bumped on every occupancy replace
         self._plan_cache = None        # ((geom, pose, occ_version), plan)
+        self._ladder_plan = None       # (occ_version, t_a0) occ-ladder cache
+        self._tile_layouts = {}        # (H, W, chunk) -> tile-major layout
         self._mean_count_host = 0.0  # host mirror of state.mean_count
         self.state = None  # built on first train()/resume
 
@@ -489,14 +514,34 @@ class Trainer:
             self._train_step_fns[key] = (self._build_clip_step(rH, rW), s)
         return self._train_step_fns[key]
 
-    def _build_render_chunk(self, t_a0: int | None = None):
-        """The cached jitted eval chunk renderer. t_a0 (rounds path only)
-        builds the depth-prepass bucket variant: static short ladder +
-        traced (zlo, zhi) window args."""
-        cfg, rcfg, mcfg = self.cfg, self.rcfg, self.march_cfg
+    def _eval_march_cfg(self):
+        """The march config eval/test/GUI rendering uses: the training
+        MarchConfig with the render-only trims applied
+        (TrainerOptions.eval_coarse_segments / eval_coarse_anchors)."""
+        mcfg = self.march_cfg
+        if mcfg is None:
+            return None
+        import dataclasses
+
+        seg = self.opt.eval_coarse_segments or mcfg.coarse_segments
+        anch = self.opt.eval_coarse_anchors or mcfg.coarse_anchors
+        if (seg, anch) == (mcfg.coarse_segments, mcfg.coarse_anchors):
+            return mcfg
+        return dataclasses.replace(
+            mcfg, coarse_segments=seg, coarse_anchors=anch)
+
+    def _build_render_chunk(self, t_a0: int | None = None,
+                            windowed: bool = False):
+        """The cached jitted eval chunk renderer.
+
+        t_a0 overrides the static phase-A ladder length (occ-ladder plan or
+        depth-prepass bucket); windowed=True builds the depth-prepass bucket
+        variant with traced (zlo, zhi) window args."""
+        cfg, rcfg = self.cfg, self.rcfg
+        mcfg = self._eval_march_cfg()
         mesh = self.mesh
         if t_a0 is not None and not (mcfg is not None and self.opt.eval_rounds):
-            raise ValueError("prepass buckets need the rounds eval path")
+            raise ValueError("ladder overrides need the rounds eval path")
 
         def shard_in(ro, rd):
             # eval/render sharding over the data axis: XLA SPMD splits the
@@ -515,7 +560,7 @@ class Trainer:
             from nerfnav_tpu.models import render_rays_grid_rounds
 
             shade_order = self.opt.shade_order
-            mcfg_r = (mcfg if t_a0 is None
+            mcfg_r = (mcfg if not t_a0
                       else dataclasses.replace(mcfg, t_a0_steps=t_a0))
 
             def core(params, occupancy, rays_o, rays_d, bg_color, crop_aabb,
@@ -527,7 +572,7 @@ class Trainer:
                     shade_order=shade_order, z_window=z_window,
                 )
 
-            if t_a0 is None:
+            if not windowed:
 
                 @partial(jax.jit, static_argnums=(4,))
                 def render_chunk(params, occupancy, rays_o, rays_d,
@@ -681,19 +726,69 @@ class Trainer:
         """Cached depth-prepass bucket variant of the eval chunk renderer
         (models/prepass.py)."""
         if t_a0 not in self._prepass_chunk_fns:
-            self._prepass_chunk_fns[t_a0] = self._build_render_chunk(t_a0)
+            self._prepass_chunk_fns[t_a0] = self._build_render_chunk(
+                t_a0, windowed=True)
         return self._prepass_chunk_fns[t_a0]
 
-    def _render_scan_fn(self):
+    def _tile_layout(self, H, W, chunk):
+        """Cached tile-major frame layout: padded pixel coords (i, j) device
+        arrays for direct tile-order ray generation, the inverse permutation
+        (device, for the output un-permute gather), and the host perm (the
+        prepass planner's tile map). One entry per frame shape."""
+        key = (H, W, chunk)
+        tc = self._tile_layouts.get(key)
+        if tc is None:
+            from nerfnav_tpu.data.rays import tile_order
+
+            perm, inv = tile_order(H, W, 64)
+            jj, ii = np.meshgrid(np.arange(H, dtype=np.float32),
+                                 np.arange(W, dtype=np.float32),
+                                 indexing="ij")
+            i = ii.reshape(-1)[perm]
+            j = jj.reshape(-1)[perm]
+            pad = (-H * W) % chunk
+            if pad:
+                i = np.concatenate([i, np.zeros(pad, np.float32)])
+                j = np.concatenate([j, np.zeros(pad, np.float32)])
+            tc = {"i": jnp.asarray(i), "j": jnp.asarray(j),
+                  "inv": jnp.asarray(inv, jnp.int32), "perm": perm}
+            self._tile_layouts[key] = tc
+        return tc
+
+    @staticmethod
+    @jax.jit
+    def _tile_ray_fn(pose, intrinsics, i, j, offset):
+        from nerfnav_tpu.data.rays import rays_from_pixels
+
+        r = rays_from_pixels(pose, intrinsics, i, j, offset=offset)
+        return r["rays_o"], r["rays_d"]
+
+    def invalidate_render_cache(self):
+        """Drop every compiled eval/test/GUI render program and plan cache —
+        call after changing march config, params layout, or table dtype
+        underneath them (e.g. the GUI's dt_gamma slider)."""
+        self._render_chunk_fns = {}
+        self._render_scan_fns = {}
+        self._prepass_chunk_fns = {}
+        self._ladder_plan = None
+        self._table_cast_cache = None
+
+    def _chunk_renderer(self, t_a0: int = 0):
+        """Cached eval chunk renderer, keyed by the planned phase-A ladder
+        length (0 = the config's auto ladder)."""
+        if t_a0 not in self._render_chunk_fns:
+            self._render_chunk_fns[t_a0] = self._build_render_chunk(
+                t_a0 or None)
+        return self._render_chunk_fns[t_a0]
+
+    def _render_scan_fn(self, t_a0: int = 0):
         """Whole-frame scan renderer (TrainerOptions.eval_scan): lax.map of
         the cached chunk core over stacked (C, chunk, 3) ray arrays — one
         dispatch per frame. jit re-specializes per chunk count, which is
         fixed for a given (H, W, max_ray_batch)."""
-        if self._render_chunk_fn is None:
-            self._render_chunk_fn = self._build_render_chunk()
-        fn = getattr(self, "_render_scan_cache", None)
+        fn = self._render_scan_fns.get(t_a0)
         if fn is None:
-            chunk_core = self._render_chunk_fn
+            chunk_core = self._chunk_renderer(t_a0)
 
             @partial(jax.jit, static_argnums=(4,))
             def render_scan(params, occupancy, ro_s, rd_s, bg_color: float,
@@ -705,8 +800,39 @@ class Trainer:
 
                 return jax.lax.map(body, (ro_s, rd_s))
 
-            fn = self._render_scan_cache = render_scan
+            fn = self._render_scan_fns[t_a0] = render_scan
         return fn
+
+    def _planned_ladder(self, occupancy) -> int:
+        """Occupancy-derived static phase-A ladder length for eval rendering
+        (TrainerOptions.eval_occ_ladder), planned once per occupancy version.
+
+        Returns 0 (use the config's auto ladder) when planning is off, the
+        march has an explicit t_a0 override, the ladder is not normalized, or
+        nothing is occupied yet. The plan is quantized UP to whole anchor
+        runs so small occupancy drifts reuse the compiled render program."""
+        mcfg = self.march_cfg
+        if (mcfg is None or not self.opt.eval_occ_ladder
+                or not self.opt.eval_rounds or not isinstance(occupancy, dict)
+                or not mcfg.coarse_normalized or mcfg.dt_gamma != 0.0
+                or mcfg.t_a0_steps):
+            return 0
+        ver = getattr(self, "_occ_version", 0)
+        cached = self._ladder_plan
+        if cached is not None and cached[0] == ver:
+            return cached[1]
+        from nerfnav_tpu.ops.marching import (
+            phase_a_group_of, plan_occupied_ladder,
+        )
+
+        bits = np.asarray(occupancy["bitfield"])
+        occ = np.unpackbits(bits, axis=-1, bitorder="little")
+        t_a0 = plan_occupied_ladder(occ, self._eval_march_cfg())
+        if t_a0:
+            g = phase_a_group_of(self._eval_march_cfg())
+            t_a0 = -(-t_a0 // g) * g
+        self._ladder_plan = (ver, t_a0)
+        return t_a0
 
     def render_full(self, params, pose, intrinsics, H, W, bg_color=1.0,
                     crop_aabb=None, pixel_offset=None):
@@ -715,12 +841,8 @@ class Trainer:
 
         pixel_offset: optional (dx, dy) subpixel shift of every pixel center —
         the GUI's anti-aliasing spp passes (data/rays.get_all_rays)."""
-        if self._render_chunk_fn is None:
-            self._render_chunk_fn = self._build_render_chunk()
         if self.opt.eval_table_dtype != "float32":
             params = self._cast_eval_tables(params)
-        rays = get_all_rays(jnp.asarray(pose), jnp.asarray(intrinsics), H, W,
-                            offset=pixel_offset)
         n = H * W
         chunk = self.rcfg.max_ray_batch
         pad = (-n) % chunk
@@ -729,16 +851,24 @@ class Trainer:
         # shading); single-shot results are order-invariant, so the permute
         # is unconditionally safe
         use_tiles = self.march_cfg is not None and self.opt.eval_rounds
+        rays = None
         if use_tiles:
-            from nerfnav_tpu.data.rays import tile_order
-
-            perm, inv = tile_order(H, W, 64)
-            ro = np.concatenate([np.asarray(rays["rays_o"])[perm],
-                                 np.zeros((pad, 3), np.float32)])
-            rd = np.concatenate([np.asarray(rays["rays_d"])[perm],
-                                 np.ones((pad, 3), np.float32)])
-            ro, rd = jnp.asarray(ro), jnp.asarray(rd)
+            # rays generated DIRECTLY in padded tile-major order by one
+            # jitted program (pixel coords cached per frame shape) — the
+            # earlier generate-row-major-then-permute cost two 640k-row
+            # device<->host round-trips per 800^2 frame
+            tc = self._tile_layout(H, W, chunk)
+            offset = jnp.asarray(
+                pixel_offset if pixel_offset is not None else (0.0, 0.0),
+                jnp.float32)
+            ro, rd = self._tile_ray_fn(
+                jnp.asarray(pose, jnp.float32),
+                jnp.asarray(intrinsics, jnp.float32), tc["i"], tc["j"],
+                offset)
+            inv = tc["inv"]
         else:
+            rays = get_all_rays(jnp.asarray(pose), jnp.asarray(intrinsics),
+                                H, W, offset=pixel_offset)
             ro = jnp.pad(rays["rays_o"], ((0, pad), (0, 0)))
             rd = jnp.pad(rays["rays_d"], ((0, pad), (0, 0)), constant_values=1.0)
         occupancy = (
@@ -747,6 +877,9 @@ class Trainer:
                 and self.state.occupancy is not None)
             else jnp.zeros((1, 1), jnp.uint8)
         )
+        # occupancy-derived ladder shrink (bench-adopted +33%): one plan per
+        # occupancy version selects the compiled render program
+        occ_t_a0 = self._planned_ladder(occupancy)
         plan = None
         if (use_tiles and self.opt.eval_prepass and isinstance(occupancy, dict)):
             from nerfnav_tpu.models.prepass import DepthPrepass
@@ -754,7 +887,9 @@ class Trainer:
             pkey = (H, W, chunk)
             dp = self._prepass_planners.get(pkey)
             if dp is None:
-                dp = DepthPrepass(self.march_cfg, H, W, perm, chunk, tile=64,
+                dp = DepthPrepass(self.march_cfg, H, W,
+                                  self._tile_layout(H, W, chunk)["perm"],
+                                  chunk, tile=64,
                                   stride=self.opt.eval_prepass_stride)
                 self._prepass_planners[pkey] = dp
             # plan reuse across same-pose re-renders (the GUI's AA passes
@@ -767,17 +902,20 @@ class Trainer:
             if cached is not None and cached[0] == ck:
                 plan = cached[1]
             else:
+                rays = get_all_rays(jnp.asarray(pose),
+                                    jnp.asarray(intrinsics), H, W,
+                                    offset=pixel_offset)
                 plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
                 self._plan_cache = (ck, plan)
         if plan is None and self.opt.eval_scan:
-            out_i, out_d = self._render_scan_fn()(
+            out_i, out_d = self._render_scan_fn(occ_t_a0)(
                 params, occupancy, ro.reshape(-1, chunk, 3),
                 rd.reshape(-1, chunk, 3), float(bg_color), crop_aabb
             )
             image = out_i.reshape(-1, 3)[:n]
             depth = out_d.reshape(-1)[:n]
             if use_tiles:
-                image, depth = image[jnp.asarray(inv)], depth[jnp.asarray(inv)]
+                image, depth = jnp.take(image, inv, 0), jnp.take(depth, inv, 0)
             return image.reshape(H, W, 3), depth.reshape(H, W)
         imgs, depths = [], []
         for ci, i in enumerate(range(0, n + pad, chunk)):
@@ -795,7 +933,7 @@ class Trainer:
                     float(bg_color), crop_aabb
                 )
             else:
-                out = self._render_chunk_fn(
+                out = self._chunk_renderer(occ_t_a0)(
                     params, occupancy, ro[i : i + chunk], rd[i : i + chunk],
                     float(bg_color), crop_aabb
                 )
@@ -804,7 +942,7 @@ class Trainer:
         image = jnp.concatenate(imgs)[:n]
         depth = jnp.concatenate(depths)[:n]
         if use_tiles:
-            image, depth = image[jnp.asarray(inv)], depth[jnp.asarray(inv)]
+            image, depth = jnp.take(image, inv, 0), jnp.take(depth, inv, 0)
         return image.reshape(H, W, 3), depth.reshape(H, W)
 
     def evaluate(self, ds, name: str | None = None, use_ema: bool = True):

@@ -213,9 +213,9 @@ class TestWidgets:
         old_march = trainer.march_cfg
         trainer.march_cfg = MarchConfig(bound=1.0, grid_size=16, max_steps=64,
                                         samples_per_ray=8, min_near=0.05)
-        trainer._render_chunk_fn = object()  # sentinel: must be dropped
+        trainer._render_chunk_fns = {0: object()}  # sentinel: must be dropped
         gui = NeRFGUI(trainer, None, W=32, H=32)
         gui.set_option("dt_gamma", 1 / 128)
         assert trainer.march_cfg.dt_gamma == 1 / 128
-        assert trainer._render_chunk_fn is None
+        assert trainer._render_chunk_fns == {}
         trainer.march_cfg = old_march

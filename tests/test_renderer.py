@@ -289,3 +289,80 @@ class TestPackedShading:
         img_p = np.asarray(packed["image"])
         np.testing.assert_allclose(img_p[:8], img_f[:8], atol=1e-5)
         assert np.isfinite(img_p).all()
+
+
+class TestPackedPrefix:
+    """_shade_packed's prefix invariant (models/renderer.py): every marcher
+    configuration — including the flags that LOOK like they could punch
+    holes mid-prefix (first_k hybrid tails, proxy occlusion termination) —
+    must produce per-ray prefix valid masks, and the packed shade must match
+    the dense shade under them."""
+
+    def _setup(self, **march_kw):
+        import dataclasses
+
+        base = TestPackedShading()
+        field, occupancy, mcfg, ro, rd = base._setup()
+        if march_kw.pop("with_density", False):
+            # SCALED density tables for proxy termination (sample-level via
+            # density_grid on the byte marcher; models/occupancy.py layout)
+            import numpy as np
+
+            Hg = mcfg.grid_size
+            ii = np.arange(Hg**3)
+            c = (np.stack([ii // (Hg * Hg), (ii // Hg) % Hg, ii % Hg], -1)
+                 + 0.5) / Hg * 2 - 1
+            dens = (np.linalg.norm(c, axis=-1) < 0.5).astype(np.float32)[None]
+            occupancy = {**occupancy,
+                         "density_grid": jnp.asarray(dens * 50.0)}
+        mcfg = dataclasses.replace(mcfg, **march_kw)
+        return field, occupancy, mcfg, ro, rd
+
+    @staticmethod
+    def _assert_prefix(valid):
+        import numpy as np
+
+        v = np.asarray(valid)
+        counts = v.sum(axis=1)
+        expect = np.arange(v.shape[1])[None, :] < counts[:, None]
+        np.testing.assert_array_equal(v, expect)
+
+    def test_masks_are_prefix_default(self):
+        from nerfnav_tpu.ops.marching import march
+
+        field, occupancy, mcfg, ro, rd = self._setup()
+        self._assert_prefix(march(ro, rd, occupancy, mcfg)["valid"])
+
+    def test_masks_are_prefix_first_k(self):
+        from nerfnav_tpu.ops.marching import march
+
+        field, occupancy, mcfg, ro, rd = self._setup(first_k=True)
+        self._assert_prefix(march(ro, rd, occupancy, mcfg)["valid"])
+        # with a stratified key too (random stride phase)
+        m = march(ro, rd, occupancy, mcfg, key=jax.random.PRNGKey(3))
+        self._assert_prefix(m["valid"])
+
+    def test_masks_are_prefix_proxy_terminate(self):
+        from nerfnav_tpu.ops.marching import march
+
+        field, occupancy, mcfg, ro, rd = self._setup(
+            proxy_terminate=True, with_density=True)
+        self._assert_prefix(march(ro, rd, occupancy, mcfg)["valid"])
+
+    def test_packed_matches_dense_under_flags(self):
+        import numpy as np
+
+        from nerfnav_tpu.models import render_rays_grid
+
+        for kw in ({"first_k": True},
+                   {"proxy_terminate": True, "with_density": True}):
+            field, occupancy, mcfg, ro, rd = self._setup(**dict(kw))
+            full = render_rays_grid(field, occupancy, mcfg, ro, rd,
+                                    bg_color=1.0)
+            n_valid = int(full["n_samples"])
+            assert n_valid > 0
+            packed = render_rays_grid(
+                field, occupancy, mcfg, ro, rd, bg_color=1.0,
+                sample_budget=((n_valid + 255) // 256) * 256)
+            np.testing.assert_allclose(np.asarray(packed["image"]),
+                                       np.asarray(full["image"]), atol=1e-5)
