@@ -85,6 +85,12 @@ def main():
                         "lands the ladder on the 8-anchor-run compile-shape "
                         "optimum, RESULTS.md round-2 ladder-cliff table); "
                         "--no-occ_ladder for the full-cube control")
+    p.add_argument("--autotune", action="store_true",
+                   help="measure-and-pick the phase-A compile shape "
+                        "(g_a, t_a0) on the live chip before timing "
+                        "(ops/marching.autotune_march_shape; the ladder-"
+                        "shape cliff is scene/bound-dependent). Overrides "
+                        "--occ_ladder/--g_a/--t_a0")
     p.add_argument("--occ_crop", action="store_true",
                    help="occupied-AABB march planning: crop rays to the "
                         "occupied-cell AABB and shrink the static phase-A "
@@ -209,7 +215,26 @@ def main():
         "blocks_coarse": pack_blocks(occ_coarse, hc, block=8),
     }
     crop_aabb = None
-    if args.occ_crop:
+    if args.autotune:
+        from nerfnav_tpu.data.rays import get_all_rays as _gar, tile_order as _to
+        from nerfnav_tpu.ops.marching import autotune_march_shape
+
+        intr_t = jnp.asarray([1000.0, 1000.0, W / 2, H / 2], jnp.float32)
+        pose_t = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.8]))
+        rays_t = _gar(pose_t, intr_t, H, W)
+        perm_t, _ = _to(H, W, args.tile)
+        ro_t = jnp.asarray(np.asarray(rays_t["rays_o"])[perm_t])
+        rd_t = jnp.asarray(np.asarray(rays_t["rays_d"])[perm_t])
+        # probe on an interior tile chunk (the frame's typical workload)
+        mid = (len(perm_t) // args.chunk // 2) * args.chunk
+        mcfg, tune = autotune_march_shape(
+            occupancy, mcfg, ro_t[mid:], rd_t[mid:], chunk=args.chunk,
+            verbose=True)
+        print(json.dumps({"autotune": [[g, t, round(ms, 2)]
+                                       for g, t, ms in tune],
+                          "picked": [mcfg.phase_a_group, mcfg.t_a0_steps]}),
+              flush=True)
+    elif args.occ_crop:
         import dataclasses
 
         from nerfnav_tpu.ops.marching import plan_occupied_crop

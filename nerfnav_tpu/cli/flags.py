@@ -112,8 +112,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--dt_gamma", type=float, default=None,
                    help="adaptive stepping dt = clamp(t*dt_gamma, ...); "
                    "default 1/128 (reference main_nerf.py:47), or 0 under "
-                   "-O (nonzero uses the two-phase gamma marcher; the "
-                   "fastest block-packed marcher needs dt_gamma == 0)")
+                   "-O. Nonzero runs the block marcher's static gamma "
+                   "ladder (longer phase-A ladder than dt_gamma=0; "
+                   "uniform-step marching remains the fastest)")
     p.add_argument("--min_near", type=float, default=0.2)
     p.add_argument("--coarse_segments", type=int, default=16,
                    help="phase-A occupied segments kept per ray (march "
@@ -214,9 +215,9 @@ def make_configs(opt, for_nav: bool = False):
         import warnings
 
         warnings.warn(
-            f"dt_gamma={opt.dt_gamma}: the grid path uses the two-phase "
-            "gamma marcher; the fastest block-packed marcher requires "
-            "dt_gamma == 0 (pass --dt_gamma 0 or -O for full throughput).",
+            f"dt_gamma={opt.dt_gamma}: the block marcher runs its static "
+            "gamma ladder (longer phase A than uniform stepping; pass "
+            "--dt_gamma 0 or -O for peak throughput).",
             stacklevel=2,
         )
     occ_cfg = march_cfg = None

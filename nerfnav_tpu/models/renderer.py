@@ -279,6 +279,7 @@ def render_rays_grid(
     bg_color=1.0,
     sample_budget: int | None = None,
     crop_aabb=None,
+    sample_groups: int = 1,
 ):
     """Occupancy-grid accelerated rendering — reference `run_cuda`
     (renderer.py:257-374): march through the bitfield with empty-space
@@ -302,6 +303,11 @@ def render_rays_grid(
     dropped tail-first (same semantics as the reference's ray-drop). Returns
     an extra "n_samples" scalar (total valid pre-truncation) for the
     trainer's mean-count EMA.
+
+    sample_groups: partition rays into this many blocks that pack
+    independently into budget/groups slots each (see _shade_packed) — set to
+    the mesh device count under data-parallel sharding so the packing stays
+    shard-local.
     """
     from nerfnav_tpu.ops.marching import march
 
@@ -321,7 +327,8 @@ def render_rays_grid(
 
     if sample_budget is not None and sample_budget < n * k:
         sigmas, rgbs = _shade_packed(
-            field, rays_o, rays_d, z, dt, valid, sample_budget, mcfg.bound
+            field, rays_o, rays_d, z, dt, valid, sample_budget, mcfg.bound,
+            groups=sample_groups,
         )
     else:
         sigmas, rgbs = _shade_dense(field, rays_o, rays_d, z, valid,
@@ -365,15 +372,49 @@ def _shade_dense(field, rays_o, rays_d, z, valid, bound: float):
     return sigmas, rgbs
 
 
+def _pack_indices(valid, budget: int):
+    """Packed-slot -> (ray, in-ray position) mapping for a per-ray PREFIX
+    mask. Returns (r (budget,) int32, j (budget,) int32, pvalid (budget,)).
+
+    Ray id per packed slot WITHOUT searchsorted (binary search lowers to
+    log(N) serialized gather rounds on TPU): scatter each ray's id at its
+    segment start, then a running max fills the segment. Rays sharing a
+    start (count == 0) resolve to the later ray via the max — correct,
+    an empty ray owns no slots. Same trick propagates the segment start
+    offset (monotone in position, so max == last-written)."""
+    n, k = valid.shape
+    counts = jnp.sum(valid, axis=1)                      # (N,)
+    offsets = jnp.cumsum(counts) - counts                # exclusive prefix
+    total = offsets[-1] + counts[-1]
+    p = jnp.arange(budget)
+    ray_ids = jnp.arange(n, dtype=jnp.int32)
+    seg_ray = jnp.zeros((budget,), jnp.int32).at[offsets].max(
+        ray_ids, mode="drop")
+    seg_off = jnp.zeros((budget,), jnp.int32).at[offsets].max(
+        offsets.astype(jnp.int32), mode="drop")
+    r = jax.lax.associative_scan(jnp.maximum, seg_ray)
+    off_r = jax.lax.associative_scan(jnp.maximum, seg_off)
+    j = p - off_r
+    return r, j, p < total
+
+
 def _shade_packed(field, rays_o, rays_d, z, dt, valid, budget: int,
-                  bound: float):
+                  bound: float, groups: int = 1):
     """Field evaluation over a packed global sample buffer (see
     render_rays_grid's sample_budget). valid is a per-ray PREFIX mask, so
     packing is three cheap gathers: packed slot p belongs to ray
     r(p) = searchsorted(offsets, p) with in-ray position j(p) = p -
-    offsets[r]. Scatter-back into the dense (N, K) layout keeps the
-    composite (and its gradient) identical to the unpacked path; the
-    scatter's backward is a gather.
+    offsets[r] (computed scan-style, _pack_indices). Scatter-back into the
+    dense (N, K) layout keeps the composite (and its gradient) identical to
+    the unpacked path; the scatter's backward is a gather.
+
+    groups > 1 partitions the rays into `groups` equal blocks, each packing
+    into budget/groups slots INDEPENDENTLY (per-block cumsums, gathers, and
+    scatters). Under a device mesh with rays sharded over the data axis,
+    groups = n_devices aligns the blocks with the shards, so the packing
+    never synchronizes across devices (the global-cumsum form would) — the
+    reference's global mean_count ray-drop becomes a per-shard ray-drop,
+    the same approximation one step finer.
 
     PREFIX INVARIANT: every marcher configuration yields prefix masks —
       * _compact_idx / _compact_first_k: valid = (rank <= count), a prefix
@@ -391,41 +432,33 @@ def _shade_packed(field, rays_o, rays_d, z, dt, valid, budget: int,
     so a violated invariant degrades to dropped samples (same class as the
     budget's tail-drop), never to shading garbage positions."""
     n, k = z.shape
-    counts = jnp.sum(valid, axis=1)                      # (N,)
-    offsets = jnp.cumsum(counts) - counts                # exclusive prefix
-    total = offsets[-1] + counts[-1]
-    p = jnp.arange(budget)
-    # ray id per packed slot WITHOUT searchsorted (binary search lowers to
-    # log(N) serialized gather rounds on TPU): scatter each ray's id at its
-    # segment start, then a running max fills the segment. Rays sharing a
-    # start (count == 0) resolve to the later ray via the max — correct,
-    # an empty ray owns no slots. Same trick propagates the segment start
-    # offset (monotone in position, so max == last-written).
-    ray_ids = jnp.arange(n, dtype=jnp.int32)
-    seg_ray = jnp.zeros((budget,), jnp.int32).at[offsets].max(
-        ray_ids, mode="drop")
-    seg_off = jnp.zeros((budget,), jnp.int32).at[offsets].max(
-        offsets.astype(jnp.int32), mode="drop")
-    r = jax.lax.associative_scan(jnp.maximum, seg_ray)
-    off_r = jax.lax.associative_scan(jnp.maximum, seg_off)
-    j = p - off_r
-    pvalid = p < total
-    flat = jnp.clip(r * k + j, 0, n * k - 1)             # (budget,)
+    g = groups if groups > 1 else 1
+    assert n % g == 0 and budget % g == 0, (n, budget, g)
+    ng, bg = n // g, budget // g
+
+    valid_g = valid.reshape(g, ng, k)
+    r_l, j, pvalid = jax.vmap(lambda v: _pack_indices(v, bg))(valid_g)
+    flat_l = jnp.clip(r_l * k + j, 0, ng * k - 1)        # (g, bg) local
 
     # valid bit of the mapped dense slot rides the z/dt gather (defense in
     # depth: under the prefix invariant it equals pvalid)
     zdt = jnp.stack(
-        [z.reshape(-1), dt.reshape(-1), valid.reshape(-1).astype(z.dtype)],
-        axis=-1)[flat]
-    zp = zdt[:, 0]
-    pvalid_slot = zdt[:, 2] > 0
+        [z.reshape(g, -1), dt.reshape(g, -1),
+         valid.reshape(g, -1).astype(z.dtype)], axis=-1)  # (g, ng*k, 3)
+    zdt = jnp.take_along_axis(zdt, flat_l[..., None], axis=1)  # (g, bg, 3)
+    zp = zdt[..., 0].reshape(-1)
+    pvalid_slot = zdt[..., 2].reshape(-1) > 0
+    pvalid = pvalid.reshape(-1)
     dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     if field.encode_dir_fn is not None:
         # per-RAY dir encoding rides the existing per-slot ray gather
         hd = field.encode_dir_fn(dirs)                   # (N, E)
-        rb = jnp.concatenate([rays_o, rays_d, hd], axis=-1)[r]
+        rb = jnp.concatenate([rays_o, rays_d, hd], axis=-1)
     else:
-        rb = jnp.concatenate([rays_o, rays_d, dirs], axis=-1)[r]
+        rb = jnp.concatenate([rays_o, rays_d, dirs], axis=-1)
+    rb = jnp.take_along_axis(
+        rb.reshape(g, ng, -1), r_l[..., None], axis=1
+    ).reshape(g * bg, -1)                                # (budget, C)
     rop, rdp = rb[:, :3], rb[:, 3:6]
     pos = jnp.clip(rop + rdp * zp[:, None], -bound, bound)
     sig_p, geo_p = field.density_fn(pos)
@@ -435,11 +468,12 @@ def _shade_packed(field, rays_o, rays_d, z, dt, valid, budget: int,
     else:
         rgb_p = field.color_fn(rb[:, 6:], geo_p)
 
-    tgt = jnp.where(pvalid, flat, n * k)                 # OOB rows drop
-    buf = jnp.zeros((n * k, 4)).at[tgt].set(
-        jnp.concatenate([sig_p[:, None], rgb_p], axis=-1), mode="drop"
-    )
-    return buf[:, 0].reshape(n, k), buf[:, 1:].reshape(n, k, 3)
+    vals = jnp.concatenate([sig_p[:, None], rgb_p], axis=-1).reshape(g, bg, 4)
+    tgt = jnp.where(pvalid.reshape(g, bg), flat_l, ng * k)  # OOB rows drop
+    buf = jax.vmap(
+        lambda t, v: jnp.zeros((ng * k, 4)).at[t].set(v, mode="drop")
+    )(tgt, vals)
+    return buf[..., 0].reshape(n, k), buf[..., 1:].reshape(n, k, 3)
 
 
 def render_rays_frozen(field, bound, rays_o, rays_d, z, dt, valid,

@@ -53,7 +53,11 @@ class MarchConfig:
     coarse_anchors: int = 3       # phase-A anchor gathers per run (block
     #   marcher): 2 = run endpoints only (fewer gather rows; mid-run block
     #   transitions fall back to conservative-occupied and phase B's exact
-    #   fine test rejects them), 3 = ends + middle (round-1 default)
+    #   fine test rejects them), 3 = ends + middle (round-1 default),
+    #   1 = run START only (maximum conservative fallback: every candidate
+    #   past the run's first block crossing tests occupied; phase B's exact
+    #   fine test still rejects — correctness preserved, phase-B volume
+    #   grows; round-3 chip probe)
     proxy_terminate: bool = False  # occlusion-terminate samples via the
     #   stored EMA density grid (inference only; see proxy_terminate_valid)
     # transmittance floor. The reference retires at 1e-4 on TRUE composited
@@ -607,6 +611,84 @@ def plan_occupied_ladder(occ_grids, cfg: MarchConfig, pad_cells: int = 1):
     return min(t_a0, auto)
 
 
+def autotune_march_shape(occupancy, cfg: MarchConfig, rays_o, rays_d,
+                         chunk: int = 4096, iters: int = 3,
+                         candidates=None, verbose: bool = False):
+    """Measure-and-pick the phase-A compile shape (g_a, t_a0) on the live
+    device.
+
+    The ladder-shape cliff (RESULTS.md round 2) showed the march's cost is
+    dominated by its COMPILE SHAPE: the same candidate ladder at 5-7 anchor
+    runs is ~2x slower than at 8, 8 beats 9-10 by ~20%, and the optimum
+    moved with scene/bound. Static heuristics (runs >= 8 cap, occupied-
+    ladder plan) recover most of it; this autotuner measures a handful of
+    (g_a, t_a0) shapes on real rays + the real occupancy and returns the
+    fastest — one march-only compile + ~3 timed runs per shape, a few
+    minutes once per (scene, frame shape) with the compilation cache warm.
+
+    occupancy: occupancy dict (block tables required). rays_o/rays_d: frame
+    rays; the first `chunk` (spatially coherent order preferred) are the
+    probe workload. candidates: optional [(g_a, t_a0), ...] override.
+    Returns (best_cfg, results) where results = [(g_a, t_a0, ms), ...].
+    """
+    import dataclasses
+    import time
+
+    assert isinstance(occupancy, dict) and "blocks" in occupancy, \
+        "autotune needs block occupancy tables"
+    ro, rd = rays_o[:chunk], rays_d[:chunk]
+    if candidates is None:
+        g_auto = phase_a_group_of(cfg)
+        cap = _phase_a_cap(cfg) if cfg.coarse_normalized else (
+            cfg.dt_min * cfg.coarse_step_mult)
+        auto = int(np.ceil(2.0 * _SQRT3 * max(cfg.bound, 1.0) / cap))
+        # occupied-ladder plan as the t_a0 anchor when host occupancy exists
+        t_plan = 0
+        try:
+            occ_host = np.unpackbits(
+                np.asarray(occupancy["bitfield"]), axis=-1,
+                bitorder="little")
+            t_plan = plan_occupied_ladder(occ_host, cfg)
+        except Exception:
+            pass
+        t_base = t_plan or auto
+        # per target run count, the tightest group that still covers the
+        # required span: g = ceil(t_base / runs), ladder = runs * g — lands
+        # exactly on `runs` anchor runs with full coverage. Plus the current
+        # heuristic shape (g_auto + runs>=8 cap) as the incumbent.
+        candidates = []
+        for runs in (8, 9, 10):
+            g = max(2, -(-t_base // runs))
+            candidates.append((g, runs * g))
+        g_inc = max(1, min(g_auto, -(-t_base // 8)))
+        candidates.append((g_inc, -(-t_base // g_inc) * g_inc))
+        seen = set()
+        candidates = [c for c in candidates
+                      if not (c in seen or seen.add(c))]
+
+    results = []
+    for g_a, t_a0 in candidates:
+        cfg_c = dataclasses.replace(cfg, phase_a_group=g_a, t_a0_steps=t_a0)
+
+        @jax.jit
+        def probe(a, b, cfg_c=cfg_c):
+            m = march(a, b, occupancy, cfg_c)
+            return m["z"].sum() + m["dt"].sum() + m["valid"].sum()
+
+        probe(ro, rd).block_until_ready()
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            probe(ro, rd).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        ms = sorted(ts)[len(ts) // 2] * 1e3
+        results.append((g_a, t_a0, ms))
+        if verbose:
+            print(f"autotune g_a={g_a} t_a0={t_a0}: {ms:.2f} ms")
+    g_b, t_b, _ = min(results, key=lambda r: r[2])
+    return dataclasses.replace(cfg, phase_a_group=g_b, t_a0_steps=t_b), results
+
+
 def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
                          cfg: MarchConfig, key=None, crop_aabb=None,
                          z_window=None):
@@ -773,10 +855,20 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     the coarse table is packed with the widest block the grid admits —
     8^3 = 512-bit rows double the anchor-run span at identical test
     resolution and misprediction geometry).
+
+    dt_gamma > 0 (adaptive stepping, reference raymarching.cu:347-369): the
+    phase-A ladder becomes the STATIC trace-time gamma ladder
+    (MarchConfig.coarse_gamma_ladder — dt grows with t, capped under one
+    top-cascade coarse cell) and phase B subdivides each kept segment by its
+    own dtc. Anchor runs are sized by the ladder's LARGEST step, so runs
+    near the camera span less than one block (tighter matching, never
+    wrong); the occupancy test's mip rides the per-candidate static dt row.
+    z/dt reconstruction takes from the small static ladder rows instead of
+    the affine formula.
     """
     from nerfnav_tpu.ops.morton import block_size_of
 
-    assert cfg.dt_gamma == 0.0, "block march requires dt_gamma == 0"
+    gamma = cfg.dt_gamma > 0.0
     n = rays_o.shape[0]
     h = cfg.grid_size
     hc = h // cfg.coarse_factor
@@ -787,7 +879,11 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     c0 = min(1.0, cfg.bound)
     # largest phase-A step any ray can take — sizes the anchor runs and the
     # fine-run length below
-    dt_a_max = _phase_a_cap(cfg) if cfg.coarse_normalized else base
+    if gamma:
+        taus_np, dtcs_np = cfg.coarse_gamma_ladder
+        dt_a_max = float(dtcs_np.max())
+    else:
+        dt_a_max = _phase_a_cap(cfg) if cfg.coarse_normalized else base
 
     # run lengths: a run must span about one block of the table it tests.
     # Normalized ladders size runs 1.5x looser: a TYPICAL ray steps well
@@ -799,6 +895,10 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     g_a = max(1, min(int(slack * sb_world / dt_a_max), 32))
     if cfg.phase_a_group > 0:
         g_a = cfg.phase_a_group
+    elif gamma:
+        # ladder-shape cliff applies regardless of ladder kind: keep >= 8
+        # anchor runs
+        g_a = max(1, min(g_a, -(-len(taus_np) // 8)))
     elif cfg.coarse_normalized:
         # Ladder-shape cliff (chip sweep, RESULTS.md round-2): marches whose
         # anchor-run count t_a/g_a lands in 5-7 compile ~2x SLOWER than the
@@ -827,7 +927,39 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     # ---- phase A: coarse segments
     k_a = cfg.coarse_segments
     tbl_coarse = blocks_coarse.reshape(-1, blocks_coarse.shape[-1])
-    if cfg.a0_segments > 0 and cfg.coarse_normalized:
+    if gamma:
+        # static gamma ladder, padded to whole anchor runs with far-masked
+        # tail steps (taus keep growing at the final dtc)
+        t_g = len(taus_np)
+        pad = (-t_g) % g_a
+        if pad:
+            taus_np = np.concatenate(
+                [taus_np,
+                 taus_np[-1] + dtcs_np[-1] * np.arange(1, pad + 1,
+                                                       dtype=np.float32)])
+            dtcs_np = np.concatenate(
+                [dtcs_np, np.full(pad, dtcs_np[-1], np.float32)])
+        z_a = near[:, None] + jnp.asarray(taus_np)[None, :]   # (N, T_A)
+        pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
+        # per-candidate static dt row: mip_from_dt folds at trace time
+        flat_a, local_a = _block_coords(pos_a, dtcs_np, hc, cfg, block=bc)
+        anchors_a = [0, g_a - 1] if (cfg.coarse_anchors == 2 and g_a > 1) \
+            else None
+        occ_a = _grouped_block_test(tbl_coarse, flat_a, local_a, g_a,
+                                    anchors=anchors_a)
+        occ_next = jnp.concatenate(
+            [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1)
+        occ_a = (occ_a | occ_next) & (z_a < far[:, None])
+        idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
+        # z/dt reconstruction from the SMALL static ladder rows (z is no
+        # longer affine in the index under gamma)
+        taus_j, dtcs_j = jnp.asarray(taus_np), jnp.asarray(dtcs_np)
+        za_buf = jnp.where(valid_a, near[:, None] + jnp.take(taus_j, idx_a),
+                           0.0)
+        dta_buf = jnp.where(
+            valid_a,
+            jnp.take(dtcs_j, idx_a) * stride_a.astype(jnp.float32), 0.0)
+    elif cfg.a0_segments > 0 and cfg.coarse_normalized:
         # ---- phase A0: super-coarse block spans (see MarchConfig.a0_segments)
         # One bool per coarse-block ROW: "any of the bc^3 cells occupied" —
         # a (cascades * nb^3,) table small enough to live in VMEM and gather
@@ -955,7 +1087,14 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     offs = jnp.arange(mult, dtype=jnp.float32)
     z_b = (za_buf[:, :, None] + offs[None, None, :] * sub).reshape(n, -1)
     pos_b = rays_o[:, None, :] + rays_d[:, None, :] * z_b[..., None]
-    flat_b, local_b = _block_coords(pos_b, dt, h, cfg)
+    if gamma:
+        # adaptive stepping: the fine step varies per segment, so the fine
+        # occupancy test's mip rides the per-candidate dt (matches the byte
+        # gamma marcher, march_rays_two_phase)
+        dt_fine = jnp.broadcast_to(sub, (n, k_a, mult)).reshape(n, -1)
+        flat_b, local_b = _block_coords(pos_b, dt_fine, h, cfg)
+    else:
+        flat_b, local_b = _block_coords(pos_b, dt, h, cfg)
     # fine runs span < 40% of a fine block: 2 end anchors suffice
     occ_b = _grouped_block_test(blocks.reshape(-1, 2), flat_b, local_b, g_b,
                                 anchors=[0, g_b - 1] if g_b > 1 else None)
@@ -1060,9 +1199,9 @@ def march_segments(rays_o, rays_d, occupancy, cfg: MarchConfig,
 def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
           crop_aabb=None, z_window=None):
     """Dispatch: block-packed two-phase march when 64-bit block tables are
-    available (fastest; requires dt_gamma == 0), byte-bitfield two-phase when
-    a coarse mirror is available (supports dt_gamma), single-phase ladder
-    otherwise.
+    available (fastest; handles dt_gamma == 0 and the adaptive dt_gamma > 0
+    static gamma ladder), byte-bitfield two-phase when a coarse mirror is
+    available, single-phase ladder otherwise.
 
     occupancy: occupancy-state dict (models/occupancy.py) or a bare
     (cascades, H^3//8) bitfield array. When cfg.proxy_terminate, samples
@@ -1081,13 +1220,13 @@ def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
     else:
         bitfield, coarse, blocks, blocks_coarse = occupancy, None, None, None
         density_grid = density_coarse_min = None
-    if blocks is not None and blocks_coarse is not None and cfg.dt_gamma == 0.0:
+    if blocks is not None and blocks_coarse is not None:
+        # the block marcher handles dt_gamma > 0 via the static gamma ladder
+        # (per-candidate dt row; anchor runs sized by the ladder tail)
         return march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg,
                                 key, density_coarse_min=density_coarse_min,
                                 crop_aabb=crop_aabb, z_window=z_window)
     if coarse is not None:
-        # the byte two-phase marcher supports dt_gamma > 0 via the static
-        # gamma ladder; only the block marcher requires dt_gamma == 0
         m = march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key,
                                  crop_aabb=crop_aabb, z_window=z_window)
     else:

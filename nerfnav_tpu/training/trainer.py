@@ -136,8 +136,10 @@ class TrainerOptions:
     # picks the smallest budget bucket covering margin * EMA and shades only
     # that many packed samples (renderer _shade_packed). Each bucket is one
     # compiled program. Dead slots otherwise dominate training backward cost
-    # (hash-table scatter rows). Disabled under a device mesh (the packing
-    # cumsum would synchronize the sharded ray axis).
+    # (hash-table scatter rows). Under a device mesh the packing runs in
+    # per-shard groups (sample_groups = n_devices): each shard packs into
+    # budget/n slots locally, so no collective rides the cumsums — the
+    # reference's global mean_count ray-drop becomes a per-shard ray-drop.
     point_budget: bool = True
     point_budget_fracs: tuple = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75)
     point_budget_margin: float = 1.15
@@ -323,15 +325,19 @@ class Trainer:
     def _current_budget(self) -> int | None:
         """Static sample budget for the packed train shade, from the host
         mirror of the mean-count EMA (reference mean_count, renderer.py:283-288).
-        None = shade the full (N, K) lattice (early training / mesh runs)."""
-        if (self.march_cfg is None or self.mesh is not None
+        None = shade the full (N, K) lattice (early training). Under a mesh
+        the budget is rounded to a multiple of the device count (the packed
+        shade runs in per-shard groups)."""
+        if (self.march_cfg is None
                 or not self.opt.point_budget or self._mean_count_host <= 0):
             return None
         nk = self.opt.num_rays * self.march_cfg.samples_per_ray
+        groups = self.mesh.devices.size if self.mesh is not None else 1
         required = self.opt.point_budget_margin * self._mean_count_host
         for frac in sorted(self.opt.point_budget_fracs):
             if frac * nk >= required and frac < 1.0:
-                return int(frac * nk)
+                b = int(frac * nk)
+                return max(b - b % groups, groups)
         return None
 
     def _dt_mult(self) -> int:
@@ -413,6 +419,8 @@ class Trainer:
                         make_field(p, cfg), state.occupancy, mcfg,
                         rays["rays_o"], rays["rays_d"], key=k_perturb,
                         bg_color=bg, sample_budget=sample_budget,
+                        sample_groups=(mesh.devices.size
+                                       if mesh is not None else 1),
                     )
                 else:
                     out = render_rays(

@@ -61,7 +61,36 @@ SLOW_NODEIDS = [
     "test_hashgrid.py::TestEncode::test_sort_backward_matches_xla",
     "test_phase_a_pallas.py::test_march_rays_block_pallas_backend_matches_xla",
     "test_sharding.py::test_mesh_eval_render_full_equivalence",
-    "test_clip_jax.py::TestClipVisionParity::test_trainer_rand_pose_with_real_tower",
+    "test_clip_jax.py::TestClipVisionParity",
+    # second band (5.5-25 s each on the 1-core box): brings the inner loop
+    # from 8:52 to ~4 min at 189 tests
+    "test_cli.py::test_checkpoint_grid_meta_mismatch_raises",
+    "test_marching.py::TestFirstKHybrid::test_block_two_phase_agree_first_k",
+    "test_hashgrid.py::TestEncode::test_bf16_table_compute_close_to_fp32",
+    "test_renderer.py::TestPackedShading::test_truncation_drops_tail_rays_only",
+    "test_marching.py::TestTwoPhase::test_normalized_ladder_properties",
+    "test_trainer_e2e.py::TestPoselessClipMode::test_trains_with_stub_loss",
+    "test_trainer_e2e.py::test_reset_before_training_keeps_error_map_sizing",
+    "test_eval_render_path.py::TestOccLadderPlan::test_invalidate_render_cache_drops_programs",
+    "test_trainer_e2e.py::test_checkpoint_resume",
+    "test_eval_render_path.py::TestOccLadderPlan::test_ladder_on_off_close",
+    "test_marching.py::TestProxyTerminate::test_candidate_level_concentrates_budget",
+    "test_scan_render.py::test_scan_matches_per_chunk_loop",
+    "test_marching.py::TestGridRenderer::test_matches_dense_renderer",
+    "test_planner.py::TestPlanner::test_empty_field_stays_in_plane",
+    "test_fused_mlp.py::test_batch_padding_exact",
+    "test_fused_mlp.py::test_matches_reference",
+    "test_renderer.py::TestRenderRays::test_sphere_hit_and_miss",
+    "test_hashgrid.py::TestInt8Tables::test_int8_corner_layout",
+    "test_renderer.py::TestPackedPrefix::test_packed_matches_dense_under_flags",
+    "test_torch_import.py::TestImportStateDict::test_torch_roundtrip_and_resume",
+    "test_marching.py::TestBlockMarch::test_z_window_identity_and_bounds",
+    "test_renderer.py::TestRenderRays::test_render_image_chunking",
+    "test_nav_math.py::TestSO3::test_small_angle_stable",
+    "test_planner.py::TestPlanner::test_static_horizon_matches_legacy",
+    "test_phase_a_pallas.py::test_codes_match_block_coords",
+    "test_planner.py::TestPlanner::test_mpc_update_state",
+    "test_eval_render_path.py::TestOccLadderPlan::test_explicit_t_a0_override_wins",
 ]
 
 

@@ -82,8 +82,8 @@ def test_simulate_grid_filter_from_trained_ckpt(scene_dir, tmp_path):
 
 def test_dt_gamma_resolution_and_warning():
     """-O resolves dt_gamma to 0 (fast marchers); explicit nonzero dt_gamma
-    with the grid path warns that the block marcher is unavailable (the
-    two-phase gamma marcher serves it instead)."""
+    with the grid path warns that it runs the block marcher's longer static
+    gamma ladder (round-3: gamma now rides the fast path)."""
     import warnings
 
     from nerfnav_tpu.cli.flags import build_parser, make_configs
@@ -98,7 +98,7 @@ def test_dt_gamma_resolution_and_warning():
         warnings.simplefilter("always")
         make_configs(opt)
     assert opt.dt_gamma == 1 / 128
-    assert any("block-packed marcher" in str(x.message) for x in w)
+    assert any("gamma ladder" in str(x.message) for x in w)
 
 
 def test_checkpoint_grid_meta_mismatch_raises(scene_dir, tmp_path):

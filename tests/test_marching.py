@@ -833,6 +833,72 @@ class TestGammaMarch:
                                       np.asarray(m_2["valid"]))
         np.testing.assert_allclose(np.asarray(m_d["z"]), np.asarray(m_2["z"]))
 
+    def test_gamma_block_matches_byte_marcher(self):
+        """The block marcher's gamma ladder (round-3: dt_gamma > 0 on the
+        fast path) must keep every byte-gamma-marcher sample; the
+        conservative anchor fallback may only ADD a few."""
+        from nerfnav_tpu.ops.marching import (
+            march_rays_block, march_rays_two_phase,
+        )
+        from nerfnav_tpu.ops.morton import pack_blocks
+        from nerfnav_tpu.ops.morton import unpackbits
+
+        cfg = self._cfg(1 / 64)
+        bf, bfc = self._occ(cfg)
+        H = cfg.grid_size
+        hc = H // cfg.coarse_factor
+        occ = unpackbits(bf).reshape(cfg.cascades, -1)
+        occ_c = unpackbits(bfc).reshape(cfg.cascades, -1)
+        blocks = pack_blocks(occ, H)
+        blocks_c = pack_blocks(occ_c, hc, block=8 if hc % 8 == 0 else 4)
+        rng = np.random.default_rng(7)
+        o = jnp.asarray(np.concatenate(
+            [rng.uniform(-0.3, 0.3, (16, 2)), np.full((16, 1), -1.9)], -1
+        ), jnp.float32)
+        d = rng.normal(size=(16, 3))
+        d[:, 2] = np.abs(d[:, 2]) + 1.0
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                        jnp.float32)
+        m1 = march_rays_two_phase(o, d, bf, bfc, cfg)
+        m2 = march_rays_block(o, d, blocks, blocks_c, cfg)
+        v1, v2 = np.asarray(m1["valid"]), np.asarray(m2["valid"])
+        z1, z2 = np.asarray(m1["z"]), np.asarray(m2["z"])
+        taus, dtcs = cfg.coarse_gamma_ladder
+        for r in range(v1.shape[0]):
+            if not v1[r].any():
+                continue
+            assert v2[r].any(), r
+            zr2 = z2[r][v2[r]]
+            for z in z1[r][v1[r]]:
+                seg = dtcs[min(np.searchsorted(taus, z), len(dtcs) - 1)]
+                assert np.min(np.abs(zr2 - z)) < seg + 1e-3, (r, z)
+            # extras bounded (conservative fallback, not a different march)
+            assert v2[r].sum() <= v1[r].sum() + max(6, v1[r].sum() // 3), r
+
+    def test_gamma_dispatch_uses_block_marcher(self):
+        """march() must route dt_gamma > 0 through the BLOCK marcher when
+        block tables exist (round-3: gamma on the fast path)."""
+        from nerfnav_tpu.ops.marching import march, march_rays_block
+        from nerfnav_tpu.ops.morton import pack_blocks, unpackbits
+
+        cfg = self._cfg(1 / 64)
+        bf, bfc = self._occ(cfg)
+        H = cfg.grid_size
+        hc = H // cfg.coarse_factor
+        occ = unpackbits(bf).reshape(cfg.cascades, -1)
+        occ_c = unpackbits(bfc).reshape(cfg.cascades, -1)
+        blocks = pack_blocks(occ, H)
+        blocks_c = pack_blocks(occ_c, hc, block=8 if hc % 8 == 0 else 4)
+        o = jnp.array([[0.0, 0.0, -1.9]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        st = {"bitfield": bf, "bitfield_coarse": bfc,
+              "blocks": blocks, "blocks_coarse": blocks_c}
+        m_d = march(o, d, st, cfg)
+        m_b = march_rays_block(o, d, blocks, blocks_c, cfg)
+        np.testing.assert_array_equal(np.asarray(m_d["valid"]),
+                                      np.asarray(m_b["valid"]))
+        np.testing.assert_allclose(np.asarray(m_d["z"]), np.asarray(m_b["z"]))
+
     def test_gamma_render_close_to_uniform(self):
         """Adaptive stepping renders the same scene close to the dt_gamma=0
         reference (integration coarsens far from origin, tolerance loose)."""

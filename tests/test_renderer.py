@@ -274,6 +274,26 @@ class TestPackedShading:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6, rtol=1e-4)
 
+    def test_grouped_packing_matches_global(self):
+        """sample_groups > 1 (per-shard packing under a mesh) must equal the
+        global packing when every group's budget covers its samples."""
+        import numpy as np
+
+        from nerfnav_tpu.models import render_rays_grid
+
+        field, occupancy, mcfg, ro, rd = self._setup()
+        full = render_rays_grid(field, occupancy, mcfg, ro, rd, bg_color=1.0)
+        n_valid = int(full["n_samples"])
+        budget = ((n_valid + 255) // 256) * 256 * 2  # ample for every group
+        g1 = render_rays_grid(field, occupancy, mcfg, ro, rd, bg_color=1.0,
+                              sample_budget=budget, sample_groups=1)
+        g8 = render_rays_grid(field, occupancy, mcfg, ro, rd, bg_color=1.0,
+                              sample_budget=budget, sample_groups=8)
+        np.testing.assert_allclose(np.asarray(g8["image"]),
+                                   np.asarray(full["image"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g8["image"]),
+                                   np.asarray(g1["image"]), atol=1e-6)
+
     def test_truncation_drops_tail_rays_only(self):
         import numpy as np
 
