@@ -53,6 +53,11 @@ def main():
                         "re-sweep under --scan; 8192 was best for the "
                         "pipelined per-chunk dispatch)")
     p.add_argument("--tile", type=int, default=64)
+    p.add_argument("--dt_gamma", type=float, default=0.0,
+                   help="adaptive stepping (block marcher static gamma "
+                        "ladder; 1/128 = colmap default). occ_ladder is "
+                        "skipped for gamma (the gamma ladder has its own "
+                        "static length)")
     p.add_argument("--coarse_factor", type=int, default=4)
     p.add_argument("--coarse_step_mult", type=int, default=8)
     p.add_argument("--coarse_segments", type=int, default=12)
@@ -176,7 +181,8 @@ def main():
                       coarse_first_k=args.coarse_first_k,
                       phase_a_backend=args.phase_a,
                       phase_a_group=args.g_a,
-                      t_a0_steps=args.t_a0)
+                      t_a0_steps=args.t_a0,
+                      dt_gamma=args.dt_gamma)
     params = init_network(jax.random.PRNGKey(0), cfg)
     if args.table_dtype == "bfloat16":
         params["encoder"] = [t.astype(jnp.bfloat16) for t in params["encoder"]]
@@ -244,7 +250,7 @@ def main():
         crop_aabb = jnp.asarray(aabb)
         print(json.dumps({"occ_crop_aabb": [round(float(v), 3) for v in aabb],
                           "t_a0_steps": t_a0}), flush=True)
-    elif args.occ_ladder:
+    elif args.occ_ladder and args.dt_gamma == 0.0:
         import dataclasses
 
         from nerfnav_tpu.ops.marching import plan_occupied_ladder

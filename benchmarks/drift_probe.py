@@ -16,6 +16,10 @@ epoch, producing the drift CURVE for each variant:
   control     — exactly the quality_check protocol
   occ_freeze  — occupancy maintenance frozen after 6k steps (tests H-occ)
   lr_fast     — iters=20000 lr horizon (final lr 3.2e-4; tests H-noise x lr)
+  ray_hash    — deterministic per-ray stride phase under the REFERENCE lr
+                horizon (MarchConfig.stride_phase; round-3 candidate fix:
+                removes the per-step lattice noise at source — Done =
+                final >= 28 dB with lr_iters = iters)
 
 One TPU process at a time; ~17 min/variant on chip plus evals.
 """
@@ -29,7 +33,8 @@ enable_compilation_cache()
 
 
 def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
-                occ_freeze_after: int = 0, lr_iters: int = 30000):
+                occ_freeze_after: int = 0, lr_iters: int = 30000,
+                stride_phase: str = "random"):
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
     from nerfnav_tpu.models import NetworkConfig, RenderConfig
@@ -50,7 +55,8 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                          lr=1e-2, iters=30000, lr_iters=lr_iters,
                          num_rays=4096,
                          use_checkpoint="scratch", bg_train="white",
-                         eval_interval=1, occ_freeze_after=occ_freeze_after)
+                         eval_interval=1, occ_freeze_after=occ_freeze_after,
+                         stride_phase=stride_phase)
     tr = Trainer(cfg, rcfg, opt,
                  occupancy_cfg=OccupancyConfig(bound=1.0, min_near=0.05,
                                                density_thresh=5.0),
@@ -68,7 +74,7 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="control",
-                    choices=["control", "occ_freeze", "lr_fast"])
+                    choices=["control", "occ_freeze", "lr_fast", "ray_hash"])
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--epoch_steps", type=int, default=3000)
     ap.add_argument("--scene", default="cluttered")
@@ -92,6 +98,8 @@ def main():
         kw["occ_freeze_after"] = 6000
     elif args.variant == "lr_fast":
         kw["lr_iters"] = 20000
+    elif args.variant == "ray_hash":
+        kw["stride_phase"] = "ray_hash"  # reference lr horizon stays
     run_variant(args.variant, scene, args.steps, args.epoch_steps, **kw)
 
 

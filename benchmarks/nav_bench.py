@@ -47,6 +47,14 @@ def main():
     p.add_argument("--filter_opt", default="both", choices=["adam", "gn", "both"],
                    help="pose optimizer A/B: reference 300-iter Adam vs "
                         "Levenberg-Marquardt (EstimatorConfig.optimizer)")
+    p.add_argument("--gn_iters", type=int, default=15,
+                   help="LM iterations (EstimatorConfig.gn_iters sweep)")
+    p.add_argument("--jac_batch", type=int, default=256,
+                   help="LM Jacobian ray subset (EstimatorConfig.gn_jac_batch)")
+    p.add_argument("--replan_iters", type=int, default=250,
+                   help="planner Adam iterations per MPC replan "
+                        "(reference 250, simulate.py:253-260; the warm-"
+                        "started incremental replan converges far earlier)")
     p.add_argument("--horizon", default="static",
                    choices=["static", "legacy", "both"],
                    help="MPC re-root mode for the mpc_step measurement: "
@@ -59,7 +67,8 @@ def main():
     density_fn = lambda x: field.density_fn(x)[0]  # noqa: E731
 
     # ---------------- planner
-    pcfg = PlannerConfig(T=20, dt=0.1, epochs_init=100, epochs_update=250)
+    pcfg = PlannerConfig(T=20, dt=0.1, epochs_init=100,
+                         epochs_update=args.replan_iters)
     s18 = np.zeros(18, np.float32)
     s18[0:3] = [-0.75, 0, 0.1]
     s18[6:15] = np.eye(3).reshape(-1)
@@ -73,8 +82,8 @@ def main():
     print(json.dumps({
         "metric": "planner_replan_ms",
         "value": round(replan_s * 1e3, 1),
-        "unit": "ms (250 Adam iters)",
-        "per_iter_ms": round(replan_s / 250 * 1e3, 3),
+        "unit": f"ms ({args.replan_iters} Adam iters)",
+        "per_iter_ms": round(replan_s / args.replan_iters * 1e3, 3),
     }))
 
     # ---------------- MPC re-rooting: update_state + learn_update per step.
@@ -103,7 +112,8 @@ def main():
         print(json.dumps({
             "metric": f"mpc_step_ms_{mode}",
             "value": round(step_ms, 1),
-            "unit": f"ms (update_state + 250-iter replan, {n_steps} steps)",
+            "unit": f"ms (update_state + {args.replan_iters}-iter replan, "
+                    f"{n_steps} steps)",
         }))
 
     # ---------------- filter
@@ -145,7 +155,9 @@ def main():
 
     get_rays_at_fn = lambda pose, inds: get_rays_at(pose, intr, W, inds)  # noqa: E731
     dyn = DynamicsConfig(dt=0.1)
-    ecfg = EstimatorConfig(n_iters=300, batch_size=1024)
+    ecfg = EstimatorConfig(n_iters=300, batch_size=1024,
+                           gn_iters=args.gn_iters,
+                           gn_jac_batch=args.jac_batch)
     x0 = np.zeros(12, np.float32)
     x0[0:3] = [0.0, -1.6, 0.0]
     x0[6:9] = [0.0, 0.0, np.pi / 2]

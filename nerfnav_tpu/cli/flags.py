@@ -116,6 +116,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    "ladder (longer phase-A ladder than dt_gamma=0; "
                    "uniform-step marching remains the fastest)")
     p.add_argument("--min_near", type=float, default=0.2)
+    p.add_argument("--stride_phase", type=str, default="random",
+                   choices=["random", "ray_hash"],
+                   help="training-march overflow-stride phase: random "
+                   "(per-step stratified) or ray_hash (deterministic per "
+                   "ray; candidate fix for late-schedule drift under the "
+                   "reference lr decay)")
     p.add_argument("--coarse_segments", type=int, default=16,
                    help="phase-A occupied segments kept per ray (march "
                    "budget; 12 is quality-neutral on converged grids and "

@@ -267,11 +267,10 @@ class Estimator:
             r_prior = sig_chol.T @ (x - x_pred)
             return jnp.concatenate([r_photo, r_prior])
 
-        @jax.jit
-        def gn_run(x0, pool_inds, pool_count, gt_pixels, x_pred, sig_chol, rng):
-            """Levenberg-Marquardt solve of the same objective, one jitted
-            program: per iteration, J via jacfwd (12 forward tangents through
-            the FULL differentiable renderer), normal equations
+        def gn_core(x0, pool_inds, pool_count, gt_pixels, x_pred, sig_chol, rng):
+            """Levenberg-Marquardt solve of the same objective: per
+            iteration, J via jacfwd (12 forward tangents through the FULL
+            differentiable renderer), normal equations
             (J^T J + lam I) delta = -J^T r, branchless accept/reject damping.
             The residual set is FIXED for the whole solve (GN needs a
             deterministic objective; resampling per iteration is the Adam
@@ -335,7 +334,46 @@ class Estimator:
             _, Jt = jac_rows(x)
             return x, losses, 2.0 * (Jt @ Jt.T)
 
-        return opt_run, hess_fn, gn_run
+        gn_run = jax.jit(gn_core)
+
+        dyn = self.dyn_cfg
+        Q_j = jnp.asarray(self.Q)
+        sig_max = cfg.sig_max_eig
+        eye12 = jnp.eye(12, dtype=jnp.float32)
+
+        @jax.jit
+        def gn_fused(xt, action, sig, pool_inds, pool_count, gt_pixels, rng):
+            """The WHOLE filter update minus the SIFT front-end as ONE jitted
+            program (round-3 nav item): dynamics predict + Jacobian,
+            covariance propagation, PD conditioning (eigh clip — the 12x12
+            analogue of the host nearestPD, math_utils.nearest_pd), the LM
+            solve, and the posterior covariance from the GN information
+            matrix. The host previously round-tripped the 12x12 matrices
+            through numpy (inv, cholesky, nearestPD) between three separate
+            dispatches — each a relay round trip.
+
+            Returns (x_pred, sig_pred conditioned, x_post, sig_post, losses);
+            the caller falls back to (x_pred, sig_pred) when the solve
+            diverges."""
+            f = lambda s: drone_dynamics(s, action, dyn)  # noqa: E731
+            x_pred = f(xt)
+            A = jax.jacfwd(f)(xt)
+            sig_pred = A @ sig @ A.T + Q_j
+            w, V = jnp.linalg.eigh(0.5 * (sig_pred + sig_pred.T))
+            w = jnp.clip(w, 1e-9, sig_max)
+            sig_pred_c = (V * w) @ V.T
+            # sig_inv = C C^T with C = V diag(1/sqrt(w)) — the whitening
+            # factor the residual prior rows consume
+            sig_chol = V * jax.lax.rsqrt(w)
+            x, losses, JtJ2 = gn_core(x_pred, pool_inds, pool_count,
+                                      gt_pixels, x_pred, sig_chol, rng)
+            Hs = JtJ2 + cfg.hess_reg * eye12   # PSD + reg -> PD
+            w2, V2 = jnp.linalg.eigh(0.5 * (Hs + Hs.T))
+            inv_w = jnp.clip(1.0 / jnp.clip(w2, 1e-12, None), 1e-9, sig_max)
+            sig_post = (V2 * inv_w) @ V2.T
+            return x_pred, sig_pred_c, x, sig_post, losses
+
+        return opt_run, hess_fn, gn_run, gn_fused
 
     def render_from_pose(self, pose, H, W, chunk=4096):
         """Full-frame render at a candidate pose (debug / triptych)
@@ -371,16 +409,14 @@ class Estimator:
         )
         img_u8 = (np.clip(img_f, 0, 1) * 255).astype(np.uint8)
 
-        # ---- predict
         action = jnp.asarray(action, jnp.float32)
-        x_pred, A = self._predict(self.xt, action)
-        A = np.asarray(A)
-        sig_pred = A @ self.sig @ A.T + self.Q
 
         # ---- measurement front-end (host)
         poi = find_poi(img_u8)
         if len(poi) < 3:
             # no features: fall back to the prior (estimator_helpers.py:185-190)
+            x_pred, A = self._predict(self.xt, action)
+            sig_pred = np.asarray(A) @ self.sig @ np.asarray(A).T + self.Q
             self.xt = x_pred
             self.sig = self._condition(sig_pred)
             self.iteration += 1
@@ -401,49 +437,58 @@ class Estimator:
         key = (H, W)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build_update(H, W)
-        opt_run, hess_fn, gn_run = self._jit_cache[key]
+        opt_run, hess_fn, gn_run, gn_fused = self._jit_cache[key]
 
-        sig_inv_np = np.linalg.inv(sig_pred)
-        sig_inv = jnp.asarray(sig_inv_np, jnp.float32)
-        x = jnp.asarray(x_pred)
         rng = jax.random.PRNGKey(self.iteration)
         rng, sub = jax.random.split(rng)
         if self.cfg.optimizer == "gn":
-            sig_chol = jnp.asarray(np.linalg.cholesky(
-                nearest_pd(sig_inv_np) + 1e-9 * np.eye(12)), jnp.float32)
-            x, losses, Hs_dev = gn_run(
-                x, rays_pool, self.cfg.pool_size, gt_pixels,
-                jnp.asarray(x_pred), sig_chol, sub,
+            # predict + conditioning + LM solve + posterior covariance in ONE
+            # jitted program — host work this step is SIFT and two isfinite
+            # checks
+            x_pred, sig_pred_c, x, sig_post, losses = gn_fused(
+                self.xt, action, jnp.asarray(self.sig), rays_pool,
+                self.cfg.pool_size, gt_pixels, sub,
             )
+            loss = losses[-1]
+            if not np.all(np.isfinite(np.asarray(x))):
+                # diverged: fall back to the prior (mirrors the reference's
+                # graceful degradation on bad measurements)
+                self.xt = x_pred
+                self.sig = np.asarray(sig_pred_c)
+                self.iteration += 1
+                return np.asarray(self.xt)
+            self.sig = np.asarray(sig_post)
+            self.xt = x
+            self.iteration += 1
         else:
+            x_pred, A = self._predict(self.xt, action)
+            A = np.asarray(A)
+            sig_pred = A @ self.sig @ A.T + self.Q
+            sig_inv_np = np.linalg.inv(sig_pred)
+            sig_inv = jnp.asarray(sig_inv_np, jnp.float32)
+            x = jnp.asarray(x_pred)
             opt_state = self._opt.init(x)
             x, opt_state, losses = opt_run(
                 x, opt_state, rays_pool, self.cfg.pool_size, gt_pixels,
                 jnp.asarray(x_pred), sig_inv, sub,
             )
-            Hs_dev = None
-        loss = losses[-1]
+            loss = losses[-1]
 
-        if not np.all(np.isfinite(np.asarray(x))):
-            # optimization diverged: fall back to the prior (mirrors the
-            # reference's graceful degradation on bad measurements)
-            self.xt = x_pred
-            self.sig = self._condition(sig_pred)
-            self.iteration += 1
-            return np.asarray(self.xt)
+            if not np.all(np.isfinite(np.asarray(x))):
+                self.xt = x_pred
+                self.sig = self._condition(sig_pred)
+                self.iteration += 1
+                return np.asarray(self.xt)
 
-        # ---- posterior covariance from the measurement Hessian (the GN path
-        # reuses 2 J^T J from the solve — the Gauss-Newton approximation of
-        # the same jax.hessian the Adam path computes)
-        if Hs_dev is None:
+            # posterior covariance from the measurement Hessian
             rng, sub = jax.random.split(rng)
             Hs_dev = hess_fn(x, rays_pool, self.cfg.pool_size, gt_pixels,
                              jnp.asarray(x_pred), sig_inv, sub)
-        Hs = np.asarray(Hs_dev)
-        Hs_pd = nearest_pd(Hs) + self.cfg.hess_reg * np.eye(12)
-        self.sig = self._condition(np.linalg.inv(Hs_pd))
-        self.xt = x
-        self.iteration += 1
+            Hs = np.asarray(Hs_dev)
+            Hs_pd = nearest_pd(Hs) + self.cfg.hess_reg * np.eye(12)
+            self.sig = self._condition(np.linalg.inv(Hs_pd))
+            self.xt = x
+            self.iteration += 1
 
         # ---- artifacts + error report
         if self.workspace or obs_pose_gt is not None:

@@ -114,6 +114,20 @@ class MarchConfig:
     #   write per candidate (chip-profiled: the ladder math alone was ~57
     #   ms/frame of the 122 ms phase A at the 800^2 flagship). Block marcher
     #   + dt_gamma == 0 only; other paths ignore the knob.
+    stride_phase: str = "random"  # overflow-stride phase source when a key
+    #   is supplied: "random" = stratified per step (reference-style
+    #   perturb); "ray_hash" = deterministic per ray (hash of the ray
+    #   direction bits -> uniform in [0,1)). Rationale (round-3 drift fix):
+    #   when a ray's occupied count exceeds K, the thinned sample lattice
+    #   shifts by stride*dt with the phase — per-STEP random phases make
+    #   every pixel's render a noisy estimator, and late in a 30k-step run
+    #   (lr ~1e-3, dt-anneal floor) the optimizer chases that noise
+    #   (28.48 -> 23.55 dB collapse under the reference lr schedule,
+    #   RESULTS.md queue 7). A per-ray hash phase keeps each ray's lattice
+    #   FIXED across steps (zero per-step variance) while staying
+    #   decorrelated across rays (no global lattice<->field coupling — the
+    #   round-1 failure was ONE phase shared by all rays). Rays with
+    #   count <= K are exact marches either way.
     a0_segments: int = 0          # super-coarse phase-A0 prefilter (block
     #   marcher, normalized ladders only): walk a ~15-candidate ladder at one
     #   COARSE-BLOCK-edge step against the "any cell in block occupied" bit
@@ -178,6 +192,24 @@ class MarchConfig:
             if t > span:
                 break
         return np.asarray(taus, np.float32), np.asarray(dtcs, np.float32)
+
+
+def _ray_hash_u(rays_d) -> jnp.ndarray:
+    """Deterministic per-ray uniform in [0, 1) from the direction bits
+    (MarchConfig.stride_phase == "ray_hash"). Same ray -> same value every
+    step; neighboring rays decorrelate through the float mantissa bits."""
+    bits = jax.lax.bitcast_convert_type(
+        rays_d.astype(jnp.float32), jnp.uint32)               # (N, 3)
+    h = bits[:, 0] * np.uint32(_HASH_PRIMES[0])
+    h = h ^ (bits[:, 1] * np.uint32(_HASH_PRIMES[1]))
+    h = h ^ (bits[:, 2] * np.uint32(_HASH_PRIMES[2]))
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(2654435761)
+    h = h ^ (h >> np.uint32(13))
+    return (h >> np.uint32(8)).astype(jnp.float32) * np.float32(2.0**-24)
+
+
+_HASH_PRIMES = (2654435761, 805459861, 3674653429)
 
 
 def _mip_from_dt_static(dt, grid_size: int) -> np.ndarray:
@@ -331,7 +363,7 @@ def near_far_aabb(rays_o, rays_d, bound: float, min_near: float,
 
 
 def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None,
-                     first_frac: float | None = None):
+                     first_frac: float | None = None, phase_u=None):
     """Keep k of each ray's True candidates under a static budget.
 
     occ: (N, T) bool; z: (N, T); dtv: (N, T) or (T,) broadcastable.
@@ -368,9 +400,11 @@ def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None,
         dtv = jnp.pad(dtv, ((0, 0), (0, pad)))
         t = k
     if first_frac is not None:
-        idx, valid, stride = _compact_idx_hybrid(occ, k, first_frac, key)
+        idx, valid, stride = _compact_idx_hybrid(occ, k, first_frac, key,
+                                                 phase_u=phase_u)
     else:
-        idx, valid, stride = _compact_idx(occ, k, spread, key)
+        idx, valid, stride = _compact_idx(occ, k, spread, key,
+                                          phase_u=phase_u)
     z_buf = jnp.where(valid, jnp.take_along_axis(z, idx, axis=1), 0.0)
     dt_buf = jnp.where(
         valid,
@@ -380,7 +414,7 @@ def _compact_first_k(occ, z, dtv, k, spread: bool = True, key=None,
     return z_buf, dt_buf, valid
 
 
-def _compact_idx_hybrid(occ, k, frac: float, key=None):
+def _compact_idx_hybrid(occ, k, frac: float, key=None, phase_u=None):
     """Front/tail hybrid compaction (MarchConfig.first_k): the first
     round(frac*k) occupied candidates at full resolution, the remaining
     budget stride-spread over the occupied candidates past them.
@@ -401,7 +435,8 @@ def _compact_idx_hybrid(occ, k, frac: float, key=None):
     # start-aligned phase can drop up to stride-1 TRAILING candidates — a
     # grazing ray's far crossing vanished that way
     idx_t, valid_t, stride_t = _compact_idx(occ_tail, k_tail, spread=True,
-                                            key=key, align_end=True)
+                                            key=key, align_end=True,
+                                            phase_u=phase_u)
     idx = jnp.concatenate([idx_f, idx_t], axis=1)
     valid = jnp.concatenate([valid_f, valid_t], axis=1)
     stride = jnp.concatenate(
@@ -411,7 +446,7 @@ def _compact_idx_hybrid(occ, k, frac: float, key=None):
 
 
 def _compact_idx(occ, k, spread: bool = True, key=None,
-                 align_end: bool = False):
+                 align_end: bool = False, phase_u=None):
     """Index form of _compact_first_k: returns (idx (N,k) int32 positions of
     the kept candidates, valid (N,k) bool, stride (N,1) int32 dt scale).
     align_end keeps the LAST occupied candidate on every ray (stride phase
@@ -428,7 +463,13 @@ def _compact_idx(occ, k, spread: bool = True, key=None,
     if spread:
         cnt = cs[:, -1:]
         stride = jnp.maximum((cnt + k - 1) // k, 1)          # (N, 1)
-        if key is not None:
+        if phase_u is not None:
+            # deterministic per-ray phase (MarchConfig.stride_phase
+            # "ray_hash"); phase_u: (N,) uniform in [0, 1)
+            phase = jnp.minimum(
+                (phase_u[:, None] * stride.astype(jnp.float32)).astype(
+                    jnp.int32), stride - 1)
+        elif key is not None:
             phase = jax.random.randint(key, (n, 1), 0, 2**30) % stride
         elif align_end:
             phase = (jnp.maximum(cnt, 1) - 1) % stride
@@ -764,9 +805,13 @@ def march_rays_two_phase(rays_o, rays_d, bitfield, bitfield_coarse,
         valid_a[:, :, None], (n, cfg.coarse_segments, mult)
     ).reshape(n, -1)
     occ_b = occ_b & valid_ab & (z_b < far[:, None])
+    phase_u = (_ray_hash_u(rays_d)
+               if (k_phase is not None and cfg.stride_phase == "ray_hash")
+               else None)
     z_buf, dt_buf, valid = _compact_first_k(
         occ_b, z_b, dt_fine, cfg.samples_per_ray, key=k_phase,
         first_frac=cfg.first_k_frac if cfg.first_k else None,
+        phase_u=phase_u,
     )
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
@@ -1104,12 +1149,16 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     occ_b = occ_b & valid_ab & (z_b < far[:, None])
     # reconstruct kept z/dt from indices: seg = idx // mult selects among
     # K_A per-ray segment scalars (masked-sum select, no gathers)
+    phase_u = (_ray_hash_u(rays_d)
+               if (k_phase is not None and cfg.stride_phase == "ray_hash")
+               else None)
     if cfg.first_k:
         idx_b, valid, stride_b = _compact_idx_hybrid(
-            occ_b, cfg.samples_per_ray, cfg.first_k_frac, key=k_phase)
+            occ_b, cfg.samples_per_ray, cfg.first_k_frac, key=k_phase,
+            phase_u=phase_u)
     else:
         idx_b, valid, stride_b = _compact_idx(occ_b, cfg.samples_per_ray,
-                                              key=k_phase)
+                                              key=k_phase, phase_u=phase_u)
     seg = idx_b // mult
     off = (idx_b % mult).astype(jnp.float32)
     za_sel = _select_minor(za_buf, seg, k_a)
@@ -1149,9 +1198,13 @@ def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None,
     pos = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
     occ = occupancy_lookup(bitfield, pos, dts, cfg)  # numpy dts: static mip
     occ = occ & (z < far[:, None])
+    phase_u = (_ray_hash_u(rays_d)
+               if (k_phase is not None and cfg.stride_phase == "ray_hash")
+               else None)
     z_buf, dt_buf, valid = _compact_first_k(
         occ, z, dts_l[None, :], k, key=k_phase,
-        first_frac=cfg.first_k_frac if cfg.first_k else None)
+        first_frac=cfg.first_k_frac if cfg.first_k else None,
+        phase_u=phase_u)
     return {"z": z_buf, "dt": dt_buf, "valid": valid, "near": near, "far": far}
 
 

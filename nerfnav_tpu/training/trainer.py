@@ -143,6 +143,13 @@ class TrainerOptions:
     point_budget: bool = True
     point_budget_fracs: tuple = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75)
     point_budget_margin: float = 1.15
+    # Overflow-stride phase source for the training march (MarchConfig.
+    # stride_phase): "random" = stratified per step (round-1/2 behavior);
+    # "ray_hash" = deterministic per ray — the round-3 candidate fix for the
+    # late-schedule drift (the reference lr schedule collapses when late-run
+    # updates chase per-step lattice noise; see MarchConfig.stride_phase).
+    # Gated on the chip drift probe (benchmarks/drift_probe.py --phase arm).
+    stride_phase: str = "random"
     # Poseless / text-guided training (reference --rand_pose + --clip_text,
     # utils.py:381-424, provider.py:282-296): rand_pose == 0 trains from
     # random orbit poses ONLY (pure similarity loss); > 0 is hybrid — one
@@ -374,6 +381,7 @@ class Trainer:
                 mcfg,
                 coarse_normalized=False,
                 proxy_terminate=False,
+                stride_phase=opt.stride_phase,
                 max_steps=(
                     max(mcfg.max_steps // dt_mult, 8) if dt_mult > 1
                     else mcfg.max_steps
