@@ -128,11 +128,41 @@ def main():
                         "per-chunk dispatch at chunk 4096 (RESULTS.md "
                         "round-2 queue-10 table); --no-scan for the A/B "
                         "control")
+    p.add_argument("--seq", type=int, default=0,
+                   help="frame-coherent SEQUENCE workload: render an orbit "
+                        "of this many poses (1.5 deg apart) through "
+                        "models/sequence.SequenceRenderer — previous-frame "
+                        "depth windows drive a short phase-A ladder; tiles "
+                        "failing the trust rule re-render on the exact full "
+                        "ladder. 0 = single-pose workload. The reference's "
+                        "camera-path test/GUI loop re-marches every frame "
+                        "from scratch (renderer.py:325-374)")
+    p.add_argument("--seq_t_a0", type=int, default=24,
+                   help="short-ladder length for windowed tiles")
+    p.add_argument("--seq_margin", type=float, default=4.0,
+                   help="window padding in coarse cells per side")
+    p.add_argument("--seq_segments", type=int, default=0,
+                   help="windowed-tile coarse_segments (0 = same as full)")
+    p.add_argument("--seq_check", action="store_true",
+                   help="render every 4th orbit pose through the exact full "
+                        "path too and report min PSNR parity (not timed)")
     p.add_argument("--hw", type=int, default=800,
                    help="image side (CPU smoke runs use a small value)")
     p.add_argument("--yaw", type=float, default=0.0,
                    help="camera yaw (degrees) around the scene Y axis — "
                         "off-axis A/B framing, not the headline metric")
+    p.add_argument("--depth_out", action="store_true",
+                   help="A/B: also return depth from the scan program "
+                        "(the Trainer product path does; bench's image-only "
+                        "return lets XLA DCE the depth accumulation)")
+    p.add_argument("--nested_jit", action="store_true",
+                   help="A/B: wrap the per-chunk render in its own jit "
+                        "inside the scan program (the Trainer's scan maps "
+                        "over an already-jitted chunk fn)")
+    p.add_argument("--args_mode", action="store_true",
+                   help="A/B: pass params+occupancy as traced program "
+                        "arguments instead of closure constants (the "
+                        "Trainer's programs take them as args)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke tests; never for "
                         "recorded numbers)")
@@ -270,6 +300,94 @@ def main():
             .reshape(len(occs), -1))
 
     intr = jnp.asarray([1000.0, 1000.0, W / 2, H / 2], jnp.float32)
+
+    if args.seq:
+        from nerfnav_tpu.models.sequence import (
+            SequenceConfig, SequenceRenderer,
+        )
+
+        def orbit_pose(deg):
+            t = np.radians(deg)
+            ry = np.array([[np.cos(t), 0, np.sin(t)],
+                           [0, 1, 0],
+                           [-np.sin(t), 0, np.cos(t)]], np.float32)
+            pm = np.eye(4, dtype=np.float32)
+            pm[:3, :3] = ry
+            pm[:3, 3] = [-1.8 * np.sin(t), 0.0, -1.8 * np.cos(t)]
+            return jnp.asarray(pm)
+
+        scfg = SequenceConfig(t_a0_win=args.seq_t_a0,
+                              margin_cells=args.seq_margin,
+                              win_segments=args.seq_segments,
+                              round_samples=args.round_samples,
+                              round_compact=args.round_compact,
+                              shade_order=args.shade_order)
+        sr = SequenceRenderer(field, occupancy, mcfg, H, W, scfg,
+                              tile=args.tile)
+        degs = [i * 1.5 for i in range(args.seq)]
+        ray_sets = []
+        for d in degs:
+            r = get_all_rays(orbit_pose(d), intr, H, W)
+            ray_sets.append((r["rays_o"], r["rays_d"]))
+        # warmup: full orbit once (compiles win scan + full group + plan)
+        stats = []
+        for ro_f, rd_f in ray_sets:
+            img, st = sr.render(ro_f, rd_f)
+            stats.append(st)
+        img.block_until_ready()
+        print(json.dumps({"seq_warmup_stats": stats[:4] + ["..."],
+                          "win_frac_last": stats[-1]["n_win"]
+                          / (stats[-1]["n_win"] + stats[-1]["n_full"])}),
+              flush=True)
+
+        sr.reset()
+        t0 = time.perf_counter()
+        for ro_f, rd_f in ray_sets:
+            img, st = sr.render(ro_f, rd_f)
+        img.block_until_ready()
+        dt = time.perf_counter() - t0
+        rays_per_sec = args.seq * H * W / dt
+
+        if args.seq_check:
+            from nerfnav_tpu.models import render_rays_grid_rounds as _rr
+            import jax as _jax
+
+            @_jax.jit
+            def _full_chunk(ro_c, rd_c):
+                return _rr(field, occupancy, mcfg, ro_c, rd_c, bg_color=1.0,
+                           round_samples=args.round_samples,
+                           round_compact=args.round_compact,
+                           shade_order=args.shade_order)["image"]
+
+            from nerfnav_tpu.data.rays import tile_order as _tile_order
+
+            perm_c, inv_c = _tile_order(H, W, args.tile)
+            sr.reset()
+            worst = 99.0
+            for fi, (ro_f, rd_f) in enumerate(ray_sets):
+                img, _ = sr.render(ro_f, rd_f)
+                if fi % 4:
+                    continue
+                ro_p = jnp.take(ro_f, jnp.asarray(perm_c), axis=0)
+                rd_p = jnp.take(rd_f, jnp.asarray(perm_c), axis=0)
+                ck = sr.chunk
+                ref = jnp.concatenate([
+                    _full_chunk(ro_p[i:i + ck], rd_p[i:i + ck])
+                    for i in range(0, H * W, ck)
+                ])[jnp.asarray(inv_c)].reshape(H, W, 3)
+                mse = float(jnp.mean((img - ref) ** 2))
+                psnr = 99.0 if mse < 1e-12 else -10.0 * np.log10(mse)
+                worst = min(worst, psnr)
+            print(json.dumps({"seq_parity_min_psnr_db": round(worst, 2)}),
+                  flush=True)
+
+        print(json.dumps({
+            "metric": "render_rays_per_sec_chip_seq",
+            "value": round(rays_per_sec),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_sec / 1e7, 3),
+        }))
+        return
     # default: on-axis framing (the headline metric). --yaw rotates the
     # camera around the scene's Y axis at the same distance — an off-axis
     # framing where part of the frame sees no occupancy (exercises the
@@ -296,15 +414,30 @@ def main():
     # an earlier contrary measurement was contaminated by a concurrent
     # process plus a second program shape compiling inside the timed loop)
     if args.path == "rounds":
-        @jax.jit
-        def render_chunk(ro, rd):
-            return render_rays_grid_rounds(
-                field, occupancy, mcfg, ro, rd, bg_color=1.0,
+        def _rounds_out(fld, occ, ro, rd):
+            out = render_rays_grid_rounds(
+                fld, occ, mcfg, ro, rd, bg_color=1.0,
                 round_samples=args.round_samples,
                 round_compact=args.round_compact,
                 shade_order=args.shade_order,
                 crop_aabb=crop_aabb,
-            )["image"]
+            )
+            if args.depth_out:
+                return out["image"], out["depth"]
+            return out["image"]
+
+        # the Trainer-product-path shape passes params/occupancy as traced
+        # args (and re-derives the field inside the trace); --args_mode
+        # mimics it for attribution. Only meaningful under --scan.
+        from nerfnav_tpu.models import make_field as _mk
+
+        inner_args = (lambda p, occ, ro, rd:
+                      _rounds_out(_mk(p, cfg), occ, ro, rd))
+        inner = lambda ro, rd: _rounds_out(field, occupancy, ro, rd)  # noqa: E731
+        if args.nested_jit:
+            inner = jax.jit(inner)
+            inner_args = jax.jit(inner_args)
+        render_chunk = jax.jit(inner)
     else:
         @jax.jit
         def render_chunk(ro, rd):
@@ -457,16 +590,28 @@ def main():
         ro_s = ro.reshape(-1, CHUNK, 3)
         rd_s = rd.reshape(-1, CHUNK, 3)
 
-        @jax.jit
-        def render_frame_scan(ro_s, rd_s):
-            return jax.lax.map(
-                lambda ab: render_chunk(ab[0], ab[1]), (ro_s, rd_s))
+        if args.args_mode and args.path == "rounds":
+            @jax.jit
+            def render_frame_scan_a(p, occ, ro_s, rd_s):
+                return jax.lax.map(
+                    lambda ab: inner_args(p, occ, ab[0], ab[1]),
+                    (ro_s, rd_s))
 
-        render_frame_scan(ro_s, rd_s).block_until_ready()
+            frame = lambda: render_frame_scan_a(  # noqa: E731
+                params, occupancy, ro_s, rd_s)
+        else:
+            @jax.jit
+            def render_frame_scan(ro_s, rd_s):
+                return jax.lax.map(
+                    lambda ab: render_chunk(ab[0], ab[1]), (ro_s, rd_s))
+
+            frame = lambda: render_frame_scan(ro_s, rd_s)  # noqa: E731
+
+        jax.block_until_ready(frame())
         iters = 5
         t0 = time.perf_counter()
         for _ in range(iters):
-            render_frame_scan(ro_s, rd_s).block_until_ready()
+            jax.block_until_ready(frame())
         dt = (time.perf_counter() - t0) / iters
         rays_per_sec = n / dt
         print(json.dumps({
@@ -478,13 +623,13 @@ def main():
         return
 
     # warmup/compile
-    render_chunk(*chunks[0]).block_until_ready()
+    jax.block_until_ready(render_chunk(*chunks[0]))
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         outs = [render_chunk(a, b) for a, b in chunks]
-        outs[-1].block_until_ready()
+        jax.block_until_ready(outs[-1])
     dt = (time.perf_counter() - t0) / iters
     rays_per_sec = n / dt
 

@@ -55,6 +55,13 @@ def main():
                    help="planner Adam iterations per MPC replan "
                         "(reference 250, simulate.py:253-260; the warm-"
                         "started incremental replan converges far earlier)")
+    p.add_argument("--profile_filter", action="store_true",
+                   help="break the frozen-GN filter update into host "
+                        "front-end (SIFT, mask, image ops) and fused-program "
+                        "dispatch timings (3 reps each)")
+    p.add_argument("--skip_planner", action="store_true",
+                   help="filter-only run (saves the planner warm-up when "
+                        "sweeping filter knobs)")
     p.add_argument("--horizon", default="static",
                    choices=["static", "legacy", "both"],
                    help="MPC re-root mode for the mpc_step measurement: "
@@ -74,17 +81,19 @@ def main():
     s18[6:15] = np.eye(3).reshape(-1)
     e18 = s18.copy()
     e18[0:3] = [0.75, 0.2, 0.1]
-    planner = Planner(s18, e18, pcfg, density_fn)
-    planner.learn_init()  # warm the jit
-    t0 = time.perf_counter()
-    planner.learn_update(0)
-    replan_s = time.perf_counter() - t0
-    print(json.dumps({
-        "metric": "planner_replan_ms",
-        "value": round(replan_s * 1e3, 1),
-        "unit": f"ms ({args.replan_iters} Adam iters)",
-        "per_iter_ms": round(replan_s / args.replan_iters * 1e3, 3),
-    }))
+    replan_s = None
+    if not args.skip_planner:
+        planner = Planner(s18, e18, pcfg, density_fn)
+        planner.learn_init()  # warm the jit
+        t0 = time.perf_counter()
+        planner.learn_update(0)
+        replan_s = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "planner_replan_ms",
+            "value": round(replan_s * 1e3, 1),
+            "unit": f"ms ({args.replan_iters} Adam iters)",
+            "per_iter_ms": round(replan_s / args.replan_iters * 1e3, 3),
+        }))
 
     # ---------------- MPC re-rooting: update_state + learn_update per step.
     # The steady-state replan above never pops a waypoint; real missions do,
@@ -92,7 +101,8 @@ def main():
     # step. static_horizon (default) replays ONE compiled program.
     import dataclasses as _dc
 
-    modes = (["static", "legacy"] if args.horizon == "both"
+    modes = ([] if args.skip_planner
+             else ["static", "legacy"] if args.horizon == "both"
              else [args.horizon])
     for mode in modes:
         # legacy recompiles per step (minutes each through the remote-compile
@@ -170,6 +180,61 @@ def main():
             rays["rays_o"][i : i + 8192], rays["rays_d"][i : i + 8192])["image"]))
     obs = (np.concatenate(obs_chunks).reshape(H, W, 3) * 255).astype(np.uint8)
 
+    if args.profile_filter:
+        import dataclasses
+
+        from nerfnav_tpu.nav.estimator import find_poi, interest_region_mask
+
+        cfg_i = dataclasses.replace(ecfg, optimizer="gn")
+        est = Estimator(cfg_i, dyn, grid_render, get_rays_fn,
+                        body_state_to_camera_pose,
+                        get_rays_at_fn=get_rays_at_fn,
+                        march_fn=march_fn, render_frozen_fn=frozen_render)
+        est.set_initial_state(x0)
+        est.estimate_state(obs, pose, np.array([10.0, 0, 0, 0]))  # warm jit
+
+        reps = 3
+        timings = {}
+
+        def t(name, fn):
+            best = 1e9
+            out = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best * 1e3, 1)
+            return out
+
+        img_f = t("img_to_f32_ms", lambda: obs.astype(np.float32) / 255.0)
+        img_u8 = t("img_to_u8_ms",
+                   lambda: (np.clip(img_f, 0, 1) * 255).astype(np.uint8))
+        poi = t("sift_ms", lambda: find_poi(img_u8))
+        mask = t("mask_ms", lambda: interest_region_mask(
+            (H, W), poi, cfg_i.kernel_size, cfg_i.dilate_iter))
+        flat = np.flatnonzero(mask.reshape(-1))
+        pool = np.zeros(cfg_i.pool_size, np.int32)
+        n_p = min(len(flat), cfg_i.pool_size)
+        pool[:n_p] = flat[:n_p]
+        if n_p < cfg_i.pool_size:
+            pool[n_p:] = flat[np.arange(cfg_i.pool_size - n_p) % len(flat)]
+        gt_pixels = jnp.asarray(img_f.reshape(-1, 3)[pool])
+        rays_pool = jnp.asarray(pool)
+        gn_fused = est._jit_cache[(H, W)][3]
+        sub = jax.random.split(jax.random.PRNGKey(1))[0]
+
+        def run_fused():
+            out = gn_fused(est.xt, jnp.asarray([10.0, 0, 0, 0], jnp.float32),
+                           jnp.asarray(est.sig, jnp.float32), rays_pool,
+                           cfg_i.pool_size, gt_pixels, sub)
+            jax.block_until_ready(out)
+            return out
+
+        t("gn_fused_dispatch_ms", run_fused)
+        timings["gn_iters"] = cfg_i.gn_iters
+        timings["jac_batch"] = cfg_i.gn_jac_batch
+        print(json.dumps({"metric": "filter_breakdown", **timings}))
+
     paths = {"both": ["dense", "grid"],
              "all": ["dense", "grid", "frozen"]}.get(
         args.filter_render, [args.filter_render])
@@ -210,11 +275,12 @@ def main():
             if filt_s is None or dt_s < filt_s:
                 filt_s = dt_s
 
-    print(json.dumps({
-        "metric": "replan_loop_hz",
-        "value": round(1.0 / (replan_s + filt_s), 3),
-        "unit": "Hz (replan + fastest filter per MPC step)",
-    }))
+    if replan_s is not None and filt_s is not None:
+        print(json.dumps({
+            "metric": "replan_loop_hz",
+            "value": round(1.0 / (replan_s + filt_s), 3),
+            "unit": "Hz (replan + fastest filter per MPC step)",
+        }))
 
 
 if __name__ == "__main__":

@@ -40,6 +40,10 @@ def main():
     p.add_argument("--eval_segments", type=int, default=12)
     p.add_argument("--eval_anchors", type=int, default=2)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--inner", action="store_true",
+                   help="also time the bare whole-frame scan dispatch on "
+                        "prebuilt rays (attribution: host frame assembly "
+                        "vs program speed)")
     args = p.parse_args()
 
     import jax
@@ -106,6 +110,37 @@ def main():
     img, _ = tr.render_full(params, pose, intr, H, W, bg_color=1.0)
     np.asarray(img)
     print(json.dumps({"ladder_plan": tr._ladder_plan}), flush=True)
+
+    if args.inner:
+        # attribution: time ONLY the compiled whole-frame scan dispatch on
+        # prebuilt ray stacks — separates render_full's per-call frame
+        # assembly (ray gen dispatch, inv gather, casts) from the program
+        # itself. bench.py's loop is exactly this inner shape.
+        chunk = args.chunk
+        tc = tr._tile_layout(H, W, chunk)
+        ro, rd = tr._tile_ray_fn(
+            jnp.asarray(pose, jnp.float32), jnp.asarray(intr, jnp.float32),
+            tc["i"], tc["j"], jnp.zeros((2,), jnp.float32))
+        ro_s = ro.reshape(-1, chunk, 3)
+        rd_s = rd.reshape(-1, chunk, 3)
+        p_eval = tr._cast_eval_tables(params) \
+            if args.table_dtype != "float32" else params
+        occ = tr.state.occupancy
+        t_a0 = tr._planned_ladder(occ)
+        fn = tr._render_scan_fn(t_a0)
+        out = fn(p_eval, occ, ro_s, rd_s, 1.0, None)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(p_eval, occ, ro_s, rd_s, 1.0, None)
+            jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({
+            "metric": "trainer_render_scan_inner_rays_per_sec",
+            "value": round(H * W / dt),
+            "unit": "rays/s",
+            "vs_baseline": round(H * W / dt / 1e7, 3),
+        }), flush=True)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):

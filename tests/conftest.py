@@ -38,6 +38,9 @@ SLOW_NODEIDS = [
     "test_marching.py::TestBlockMarch::test_render_matches_dense",
     "test_marching.py::TestBlockMarch::test_matches_two_phase",
     "test_marching.py::TestBlockMarch::test_dispatch_prefers_blocks",
+    "test_sequence.py::TestSequence::test_frame0_exact_and_orbit_parity",
+    "test_sequence.py::TestSequence::test_window_chain_self_heals",
+    "test_sequence.py::TestSequence::test_background_keeps_exact_path",
     "test_marching.py::TestBlockMarch::test_a0_keeps_byte_marcher_samples",
     "test_marching.py::TestRoundsRenderer::test_skips_field_eval_when_dead",
     "test_marching.py::TestRoundsRenderer::test_shade_order_equivalence",
