@@ -332,7 +332,7 @@ def main():
         # warmup: full orbit once (compiles win scan + full group + plan)
         stats = []
         for ro_f, rd_f in ray_sets:
-            img, st = sr.render(ro_f, rd_f)
+            img, _d, st = sr.render(ro_f, rd_f)
             stats.append(st)
         img.block_until_ready()
         print(json.dumps({"seq_warmup_stats": stats[:4] + ["..."],
@@ -343,7 +343,7 @@ def main():
         sr.reset()
         t0 = time.perf_counter()
         for ro_f, rd_f in ray_sets:
-            img, st = sr.render(ro_f, rd_f)
+            img, _d, st = sr.render(ro_f, rd_f)
         img.block_until_ready()
         dt = time.perf_counter() - t0
         rays_per_sec = args.seq * H * W / dt
@@ -365,7 +365,7 @@ def main():
             sr.reset()
             worst = 99.0
             for fi, (ro_f, rd_f) in enumerate(ray_sets):
-                img, _ = sr.render(ro_f, rd_f)
+                img, _d, _ = sr.render(ro_f, rd_f)
                 if fi % 4:
                     continue
                 ro_p = jnp.take(ro_f, jnp.asarray(perm_c), axis=0)

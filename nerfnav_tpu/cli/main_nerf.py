@@ -35,6 +35,7 @@ def main(argv=None):
         eval_prepass=opt.eval_prepass,
         eval_scan=opt.eval_scan,
         eval_occ_ladder=opt.eval_occ_ladder,
+        eval_sequence=opt.eval_sequence,
         stride_phase=opt.stride_phase,
         eval_coarse_segments=opt.eval_coarse_segments,
         eval_coarse_anchors=opt.eval_coarse_anchors,

@@ -189,8 +189,9 @@ class SequenceRenderer:
         self._wsum = None
 
     def render(self, rays_o, rays_d):
-        """rays_o/rays_d: (H*W, 3) ROW-MAJOR. Returns (image (H, W, 3) device
-        array, stats dict). Frame 0 (or after reset) renders fully exact."""
+        """rays_o/rays_d: (H*W, 3) ROW-MAJOR. Returns (image (H, W, 3),
+        depth (H, W), stats dict); device arrays. Frame 0 (or after reset)
+        renders fully exact."""
         g = self.cfg.full_group
         ro = jnp.take(rays_o, self._perm, axis=0).reshape(self.m, self.chunk, 3)
         rd = jnp.take(rays_d, self._perm, axis=0).reshape(self.m, self.chunk, 3)
@@ -225,6 +226,8 @@ class SequenceRenderer:
         self._depth, self._wsum = dep, ws
         out = jnp.take(img.reshape(-1, 3), self._inv, axis=0)
         out = out.reshape(self.Hp, self.Wp, 3)[: self.H, : self.W]
+        dep_out = jnp.take(dep.reshape(-1), self._inv, axis=0)
+        dep_out = dep_out.reshape(self.Hp, self.Wp)[: self.H, : self.W]
         stats = {"n_win": int(valid_np.sum()),
                  "n_full": int(self.m - valid_np.sum())}
-        return out, stats
+        return out, dep_out, stats

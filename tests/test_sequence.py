@@ -115,7 +115,7 @@ class TestSequence:
         engaged = 0
         for i, deg in enumerate([0.0, 2.0, 4.0, 6.0]):
             rays = get_all_rays(orbit_pose(deg), jnp.asarray(INTR), H, W)
-            img, stats = sr.render(rays["rays_o"], rays["rays_d"])
+            img, _d, stats = sr.render(rays["rays_o"], rays["rays_d"])
             ref = full_render(field, occupancy, mcfg, rays["rays_o"],
                               rays["rays_d"], round_samples=4)
             if i == 0:
@@ -135,10 +135,10 @@ class TestSequence:
                               SequenceConfig(round_samples=4), tile=TILE)
         rays = get_all_rays(orbit_pose(0.0), jnp.asarray(INTR), H, W)
         sr.render(rays["rays_o"], rays["rays_d"])
-        _, stats = sr.render(rays["rays_o"], rays["rays_d"])
+        _, _d, stats = sr.render(rays["rays_o"], rays["rays_d"])
         assert stats["n_win"] > 0
         sr.reset()
-        _, stats = sr.render(rays["rays_o"], rays["rays_d"])
+        _, _d, stats = sr.render(rays["rays_o"], rays["rays_d"])
         assert stats["n_full"] == sr.m
 
     def test_background_keeps_exact_path(self, setup):
@@ -173,7 +173,7 @@ class TestSequence:
         for deg in [3.7, 6.2]:
             rays = get_all_rays(orbit_pose(deg, radius=1.57),
                                 jnp.asarray(INTR), H, W)
-            img, stats = sr.render(rays["rays_o"], rays["rays_d"])
+            img, _d, stats = sr.render(rays["rays_o"], rays["rays_d"])
             ref = full_render(field, occupancy, mcfg, rays["rays_o"],
                               rays["rays_d"], round_samples=4)
             assert psnr(np.asarray(img), ref) > 35.0
@@ -189,7 +189,7 @@ class TestSequence:
         last = None
         for deg in np.arange(0.0, 20.0, 2.5):
             rays = get_all_rays(orbit_pose(deg), jnp.asarray(INTR), H, W)
-            img, stats = sr.render(rays["rays_o"], rays["rays_d"])
+            img, _d, stats = sr.render(rays["rays_o"], rays["rays_d"])
             last = (rays, img, stats)
         rays, img, stats = last
         ref = full_render(field, occupancy, mcfg, rays["rays_o"],
@@ -218,7 +218,7 @@ class TestSequence:
             field, occupancy, mcfg, a, b, round_samples=4)["image"])
         for deg in [0.0, 2.0]:
             rays = get_all_rays(orbit_pose(deg), intr, hh, ww)
-            img, stats = sr.render(rays["rays_o"], rays["rays_d"])
+            img, _d, stats = sr.render(rays["rays_o"], rays["rays_d"])
             assert img.shape == (hh, ww, 3)
             ro = jnp.take(rays["rays_o"], jnp.asarray(perm), axis=0)
             rd = jnp.take(rays["rays_d"], jnp.asarray(perm), axis=0)
