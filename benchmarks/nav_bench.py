@@ -55,6 +55,11 @@ def main():
                    help="planner Adam iterations per MPC replan "
                         "(reference 250, simulate.py:253-260; the warm-"
                         "started incremental replan converges far earlier)")
+    p.add_argument("--poi_backend", default="sift",
+                   choices=["sift", "orb", "corners"],
+                   help="filter front-end detector (EstimatorConfig)")
+    p.add_argument("--poi_downscale", type=int, default=1,
+                   help="front-end detection downscale (EstimatorConfig)")
     p.add_argument("--profile_filter", action="store_true",
                    help="break the frozen-GN filter update into host "
                         "front-end (SIFT, mask, image ops) and fused-program "
@@ -167,7 +172,9 @@ def main():
     dyn = DynamicsConfig(dt=0.1)
     ecfg = EstimatorConfig(n_iters=300, batch_size=1024,
                            gn_iters=args.gn_iters,
-                           gn_jac_batch=args.jac_batch)
+                           gn_jac_batch=args.jac_batch,
+                           poi_backend=args.poi_backend,
+                           poi_downscale=args.poi_downscale)
     x0 = np.zeros(12, np.float32)
     x0[0:3] = [0.0, -1.6, 0.0]
     x0[6:9] = [0.0, 0.0, np.pi / 2]
@@ -209,7 +216,9 @@ def main():
         img_f = t("img_to_f32_ms", lambda: obs.astype(np.float32) / 255.0)
         img_u8 = t("img_to_u8_ms",
                    lambda: (np.clip(img_f, 0, 1) * 255).astype(np.uint8))
-        poi = t("sift_ms", lambda: find_poi(img_u8))
+        poi = t("sift_ms", lambda: find_poi(
+            img_u8, backend=cfg_i.poi_backend,
+            downscale=cfg_i.poi_downscale))
         mask = t("mask_ms", lambda: interest_region_mask(
             (H, W), poi, cfg_i.kernel_size, cfg_i.dilate_iter))
         flat = np.flatnonzero(mask.reshape(-1))

@@ -36,27 +36,42 @@ from nerfnav_tpu.nav.dynamics import DynamicsConfig, drone_dynamics
 from nerfnav_tpu.nav.math_utils import calc_se3_err, nearest_pd
 
 
-def find_poi(img_uint8: np.ndarray, max_features: int = 100):
-    """SIFT keypoint pixel coords (M, 2) int32 [x, y]
+def find_poi(img_uint8: np.ndarray, max_features: int = 100,
+             backend: str = "sift", downscale: int = 1):
+    """Keypoint pixel coords (M, 2) int32 [x, y]
     (reference estimator_helpers.py:37-68). Falls back to Shi-Tomasi corners
-    if SIFT is unavailable."""
+    when the detector finds too few.
+
+    backend: "sift" (reference parity) | "orb" (~10x faster detect; the
+    filter only needs WHERE the texture is — the interest mask — not
+    descriptor quality, so a cheaper detector is admissible) | "corners".
+    downscale: detect on a strided subsample and scale coords back — SIFT on
+    the full 800^2 observation costs ~150 ms of a ~400 ms filter update.
+    """
     import cv2
 
-    gray = cv2.cvtColor(img_uint8, cv2.COLOR_RGB2GRAY)
+    s = max(1, int(downscale))
+    gray = cv2.cvtColor(img_uint8[::s, ::s], cv2.COLOR_RGB2GRAY)
     xy = np.zeros((0, 2), np.float32)
     try:
-        sift = cv2.SIFT_create()
-        kps = sift.detect(gray, None)
+        if backend == "orb":
+            det = cv2.ORB_create(nfeatures=max_features * 2)
+            kps = det.detect(gray, None)
+        elif backend == "corners":
+            kps = []
+        else:
+            det = cv2.SIFT_create()
+            kps = det.detect(gray, None)
         xy = np.array([kp.pt for kp in kps], dtype=np.float32).reshape(-1, 2)
     except Exception:
         pass
     if len(xy) < 8:
-        # SIFT sparse (smooth texture / close-up): Shi-Tomasi corners as a
-        # denser fallback front-end
+        # detector sparse (smooth texture / close-up): Shi-Tomasi corners as
+        # a denser fallback front-end
         corners = cv2.goodFeaturesToTrack(gray, max_features, 0.01, 8)
         if corners is not None:
             xy = np.concatenate([xy, corners.reshape(-1, 2)], axis=0)
-    xy = np.unique(xy.astype(np.int32), axis=0)
+    xy = np.unique((xy * s).astype(np.int32), axis=0)
     if len(xy) > max_features:
         xy = xy[np.random.default_rng(0).choice(len(xy), max_features, replace=False)]
     return xy
@@ -96,6 +111,12 @@ class EstimatorConfig:
     gn_jac_batch: int = 256
     kernel_size: int = 5
     dilate_iter: int = 3
+    # Measurement front-end (find_poi): detector backend and detection
+    # downscale. Defaults are reference parity (full-res SIFT); "orb" or
+    # downscale 2 cut the ~150 ms host detect cost ~10x/4x — the filter only
+    # consumes the dilated interest MASK, not descriptors.
+    poi_backend: str = "sift"
+    poi_downscale: int = 1
     pool_size: int = 16384      # fixed-size interest-pixel pool (static shape)
     sig0: float = 1.0           # initial state covariance scale
     q_diag: float = 1e-4        # process noise
@@ -403,16 +424,20 @@ class Estimator:
         """
         assert self.xt is not None, "call set_initial_state first"
         H, W = obs_img.shape[:2]
-        img_f = (
-            obs_img.astype(np.float32) / 255.0 if obs_img.dtype == np.uint8
-            else np.asarray(obs_img, np.float32)
-        )
-        img_u8 = (np.clip(img_f, 0, 1) * 255).astype(np.uint8)
+        if obs_img.dtype == np.uint8:
+            # keep the provided quantization — the old u8->f32->u8
+            # round-trip cost ~25 ms of host time per update at 800^2
+            img_u8 = np.asarray(obs_img)
+            img_f = img_u8.astype(np.float32) / 255.0
+        else:
+            img_f = np.asarray(obs_img, np.float32)
+            img_u8 = (np.clip(img_f, 0, 1) * 255).astype(np.uint8)
 
         action = jnp.asarray(action, jnp.float32)
 
         # ---- measurement front-end (host)
-        poi = find_poi(img_u8)
+        poi = find_poi(img_u8, backend=self.cfg.poi_backend,
+                       downscale=self.cfg.poi_downscale)
         if len(poi) < 3:
             # no features: fall back to the prior (estimator_helpers.py:185-190)
             x_pred, A = self._predict(self.xt, action)
