@@ -139,6 +139,12 @@ def main():
                         "from scratch (renderer.py:325-374)")
     p.add_argument("--seq_t_a0", type=int, default=24,
                    help="short-ladder length for windowed tiles")
+    p.add_argument("--seq_t_a0_wide", type=int, default=48,
+                   help="wide-bucket ladder length (0 = off: "
+                        "silhouette-span tiles go full)")
+    p.add_argument("--seq_k", type=int, default=0,
+                   help="narrow-bucket per-ray sample budget (0 = same as "
+                        "full)")
     p.add_argument("--seq_margin", type=float, default=4.0,
                    help="window padding in coarse cells per side")
     p.add_argument("--seq_segments", type=int, default=0,
@@ -317,6 +323,8 @@ def main():
             return jnp.asarray(pm)
 
         scfg = SequenceConfig(t_a0_win=args.seq_t_a0,
+                              t_a0_wide=args.seq_t_a0_wide,
+                              win_k=args.seq_k,
                               margin_cells=args.seq_margin,
                               win_segments=args.seq_segments,
                               round_samples=args.round_samples,
@@ -325,25 +333,21 @@ def main():
         sr = SequenceRenderer(field, occupancy, mcfg, H, W, scfg,
                               tile=args.tile)
         degs = [i * 1.5 for i in range(args.seq)]
-        ray_sets = []
-        for d in degs:
-            r = get_all_rays(orbit_pose(d), intr, H, W)
-            ray_sets.append((r["rays_o"], r["rays_d"]))
-        # warmup: full orbit once (compiles win scan + full group + plan)
+        poses = [orbit_pose(d) for d in degs]
+        # warmup: full orbit once (compiles ray gen + narrow scan +
+        # wide/full groups + plan)
         stats = []
-        for ro_f, rd_f in ray_sets:
-            img, _d, st = sr.render(ro_f, rd_f)
+        for pm in poses:
+            img, _d, st = sr.render_pose(pm, intr)
             stats.append(st)
         img.block_until_ready()
         print(json.dumps({"seq_warmup_stats": stats[:4] + ["..."],
-                          "win_frac_last": stats[-1]["n_win"]
-                          / (stats[-1]["n_win"] + stats[-1]["n_full"])}),
-              flush=True)
+                          "last": stats[-1]}), flush=True)
 
         sr.reset()
         t0 = time.perf_counter()
-        for ro_f, rd_f in ray_sets:
-            img, _d, st = sr.render(ro_f, rd_f)
+        for pm in poses:
+            img, _d, st = sr.render_pose(pm, intr)
         img.block_until_ready()
         dt = time.perf_counter() - t0
         rays_per_sec = args.seq * H * W / dt
@@ -364,17 +368,23 @@ def main():
             perm_c, inv_c = _tile_order(H, W, args.tile)
             sr.reset()
             worst = 99.0
-            for fi, (ro_f, rd_f) in enumerate(ray_sets):
-                img, _d, _ = sr.render(ro_f, rd_f)
+            ck = sr.chunk
+            npad = (-(H * W)) % ck
+            for fi, pm in enumerate(poses):
+                img, _d, _ = sr.render_pose(pm, intr)
                 if fi % 4:
                     continue
-                ro_p = jnp.take(ro_f, jnp.asarray(perm_c), axis=0)
-                rd_p = jnp.take(rd_f, jnp.asarray(perm_c), axis=0)
-                ck = sr.chunk
+                r = get_all_rays(pm, intr, H, W)
+                ro_p = jnp.concatenate([
+                    jnp.take(r["rays_o"], jnp.asarray(perm_c), axis=0),
+                    jnp.zeros((npad, 3), jnp.float32)])
+                rd_p = jnp.concatenate([
+                    jnp.take(r["rays_d"], jnp.asarray(perm_c), axis=0),
+                    jnp.ones((npad, 3), jnp.float32)])
                 ref = jnp.concatenate([
                     _full_chunk(ro_p[i:i + ck], rd_p[i:i + ck])
-                    for i in range(0, H * W, ck)
-                ])[jnp.asarray(inv_c)].reshape(H, W, 3)
+                    for i in range(0, H * W + npad, ck)
+                ])[:H * W][jnp.asarray(inv_c)].reshape(H, W, 3)
                 mse = float(jnp.mean((img - ref) ** 2))
                 psnr = 99.0 if mse < 1e-12 else -10.0 * np.log10(mse)
                 worst = min(worst, psnr)

@@ -10,23 +10,32 @@ benchmarks/RESULTS.md round-2 profile).
 
 This module reuses each frame's rendered depth to bound the next frame's
 march: per-tile [z_lo, z_hi] depth windows (3x3-tile dilated, padded by a
-motion margin) drive a SHORT static ladder (t_a0 ~ 24 vs ~97) for every tile
-whose window is trustworthy, and the ordinary full-ladder program re-renders
-the rest. Window extraction costs one tiny jitted reduction — unlike the
+motion margin) route every tile to the SMALLEST static ladder that covers
+its window — a narrow ladder (t_a0 ~24, one whole-frame scan) for thin
+surface tiles, a wide ladder (t_a0 ~48, fixed-size chunk groups) for
+silhouette-span tiles — and the ordinary full-ladder program re-renders the
+rest. Window extraction costs one tiny jitted reduction — unlike the
 depth-prepass planner (models/prepass.py) there is no paid probe march,
 which is exactly the regime where that idea wins.
 
 Trust rule (conservative by construction): a tile is windowed only when
 every ray in its 3x3 tile neighborhood terminated essentially opaque
 (weights_sum > hit_thresh) in the previous frame AND the dilated depth span
-plus margins fits the short ladder's reach. Anything else — background sky,
+plus margins fits a window ladder's reach. Anything else — background sky,
 silhouettes against background, disocclusion fronts, freshly entered frame
 borders — falls back to the exact full-ladder render. Correctness therefore
 degrades in only one way: geometry that moves more than `margin` world units
 per frame ahead of a tracked surface can be clipped for one frame (the
 weights_sum drop marks the tile full again the next frame — self-healing).
-The per-frame PSNR-vs-full parity check lives in bench.py --seq_check and
-tests/test_sequence.py.
+Chip parity: 98.9 dB min PSNR vs the exact path over a 24-pose orbit
+(bench.py --seq_check); the CPU tests pin the same plus self-healing.
+
+Dispatch economy (the first chip cut measured 2.25M rays/s — SLOWER than
+the 3.3M single-pose scan — almost entirely from per-frame dispatch and
+merge overhead): group renders take the whole frame's ray stack plus a
+chunk-id vector and scatter their output into DONATED frame buffers, so a
+steady-state frame is ~6 dispatches (ray gen, narrow scan, ~3 wide/full
+groups, plan) and one host sync for the plan.
 
 The reference has no analogue: its CUDA inference loop re-marches every
 frame from scratch (renderer.py:325-374); frame coherence is a TPU-shaped
@@ -47,9 +56,11 @@ from nerfnav_tpu.ops.marching import MarchConfig, _phase_a_cap
 class SequenceConfig:
     """Knobs for SequenceRenderer (defaults chip-swept; see RESULTS.md).
 
-    t_a0_win: short-ladder length for windowed tiles. 24 keeps >= 8
-        anchor runs (the ladder-shape cliff) at g_a = 3 and reaches
-        ~22 * cap world units — enough for silhouette tiles plus margins.
+    t_a0_win / t_a0_wide: static ladder lengths for the narrow and wide
+        window buckets. Both keep >= 8 anchor runs (the ladder-shape
+        cliff); wide catches silhouette-span tiles (e.g. surface-to-
+        backdrop) that overflow the narrow reach. t_a0_wide = 0 disables
+        the wide bucket (those tiles go full).
     margin_cells: window padding in coarse-cell edges, each side. Covers
         (a) surface thickness beyond the expected-depth estimate and (b)
         per-frame depth motion; raise it for fast camera paths.
@@ -57,16 +68,21 @@ class SequenceConfig:
         opaque-terminated (the reference retires rays at T < 1e-4,
         raymarching.cu:829-922; 0.995 leaves headroom for bf16 tables).
     win_segments: phase-A segment budget (coarse_segments) inside the
+        narrow window; 0 keeps the full-march value.
+    win_k: per-ray sample budget (samples_per_ray) inside the narrow
         window; 0 keeps the full-march value.
-    full_group: chunks per full-ladder dispatch group (invalid tiles are
-        re-rendered in fixed-size groups so the program count stays static).
+    group: chunks per wide/full dispatch group (windowed-out tiles are
+        re-rendered in fixed-size groups so the program count stays
+        static; the last group pads by repeating a chunk id).
     """
 
     t_a0_win: int = 24
+    t_a0_wide: int = 48
     margin_cells: float = 4.0
     hit_thresh: float = 0.995
     win_segments: int = 0
-    full_group: int = 8
+    win_k: int = 0
+    group: int = 16
     round_samples: int = 8
     round_compact: int = 4
     shade_order: str = "ray"
@@ -79,11 +95,13 @@ class SequenceRenderer:
     Usage:
         sr = SequenceRenderer(field, occupancy, mcfg, H, W, cfg)
         for pose in orbit:
-            img, stats = sr.render(rays_o, rays_d)   # ROW-MAJOR rays
+            img, depth, stats = sr.render_pose(pose, intrinsics)
+            # or sr.render(rays_o, rays_d) with ROW-MAJOR rays
         sr.reset()                                   # new sequence / teleport
 
-    Compiles exactly THREE programs regardless of sequence length: the
-    windowed all-chunks scan, the full-ladder group, and the window plan.
+    Compiles a fixed set of programs regardless of sequence length: the
+    narrow windowed all-chunks scan, one wide group, one full group, the
+    window plan, and (render_pose only) the tile-major ray generator.
     """
 
     def __init__(self, field, occupancy, mcfg: MarchConfig, H: int, W: int,
@@ -114,21 +132,28 @@ class SequenceRenderer:
             perm = src[perm]
         self._perm = jnp.asarray(perm)
         self._inv = jnp.asarray(inv)
+        # pixel coords of the padded tile-major ray order (render_pose)
+        self._pi = jnp.asarray((perm % W).astype(np.float32))
+        self._pj = jnp.asarray((perm // W).astype(np.float32))
 
         cap = _phase_a_cap(mcfg)
         # reach margin: one ladder step for the near jitter, one for the
         # endpoint-or segment test
         self.w_cap = (cfg.t_a0_win - 2) * cap
+        self.w_cap_wide = (cfg.t_a0_wide - 2) * cap if cfg.t_a0_wide else 0.0
         hc = mcfg.grid_size // mcfg.coarse_factor
         self.margin = cfg.margin_cells * 2.0 * min(1.0, mcfg.bound) / hc
 
         win_cfg = dataclasses.replace(
             mcfg, t_a0_steps=cfg.t_a0_win,
-            coarse_segments=(cfg.win_segments or mcfg.coarse_segments))
+            coarse_segments=(cfg.win_segments or mcfg.coarse_segments),
+            samples_per_ray=(cfg.win_k or mcfg.samples_per_ray))
+        wide_cfg = dataclasses.replace(mcfg, t_a0_steps=cfg.t_a0_wide) \
+            if cfg.t_a0_wide else None
 
         from nerfnav_tpu.models.renderer import render_rays_grid_rounds
 
-        def chunk_out(mc, ro, rd, zw):
+        def chunk_out3(mc, ro, rd, zw):
             out = render_rays_grid_rounds(
                 field, occupancy, mc, ro, rd, bg_color=cfg.bg_color,
                 round_samples=cfg.round_samples,
@@ -138,26 +163,50 @@ class SequenceRenderer:
 
         @jax.jit
         def win_scan(ro_s, rd_s, zlo, zhi):
-            """All m chunks in one dispatch; invalid slots carry an empty
+            """All m chunks in one dispatch; non-narrow slots carry an empty
             window (zlo == zhi == 0 -> every candidate masked, rounds all
             skip) so their cost is the short march only."""
             return jax.lax.map(
-                lambda a: chunk_out(win_cfg, a[0], a[1], (a[2], a[3])),
+                lambda a: chunk_out3(win_cfg, a[0], a[1], (a[2], a[3])),
                 (ro_s, rd_s, zlo, zhi))
 
-        @jax.jit
-        def full_group(ro_g, rd_g):
-            return jax.lax.map(
-                lambda a: chunk_out(mcfg, a[0], a[1], None), (ro_g, rd_g))
+        def group_step(mc, windowed):
+            """One fused render-selected-chunks-and-merge program: gathers
+            `group` chunks out of the frame's ray stack, renders them on
+            ladder `mc`, and scatters the results into the DONATED frame
+            buffers — one dispatch per group, no separate merge ops."""
 
-        w_cap, margin = self.w_cap, self.margin
-        ny, nx, m, chunk = self.ny, self.nx, self.m, self.chunk
+            def step(img, dep, ws, ro_s, rd_s, ids, zlo_g, zhi_g):
+                ro_g = jnp.take(ro_s, ids, axis=0)
+                rd_g = jnp.take(rd_s, ids, axis=0)
+                if windowed:
+                    img_g, dep_g, ws_g = jax.lax.map(
+                        lambda a: chunk_out3(mc, a[0], a[1], (a[2], a[3])),
+                        (ro_g, rd_g, zlo_g, zhi_g))
+                else:
+                    img_g, dep_g, ws_g = jax.lax.map(
+                        lambda a: chunk_out3(mc, a[0], a[1], None),
+                        (ro_g, rd_g))
+                # padded duplicate ids scatter identical values
+                return (img.at[ids].set(img_g), dep.at[ids].set(dep_g),
+                        ws.at[ids].set(ws_g))
+
+            return jax.jit(step, donate_argnums=(0, 1, 2))
+
+        self._full_step = group_step(mcfg, windowed=False)
+        self._wide_step = group_step(wide_cfg, windowed=True) \
+            if wide_cfg is not None else None
+
+        w_cap, w_cap_wide = self.w_cap, self.w_cap_wide
+        margin = self.margin
+        ny, nx, m = self.ny, self.nx, self.m
 
         @jax.jit
         def plan(depth, wsum):
-            """Per-chunk (z_lo, z_hi, valid) from the previous frame's
-            buffers (m, chunk). Tiles are chunk slots (tile_order is
-            ty-major), so the 3x3 dilation is a reshape to (ny, nx)."""
+            """Per-chunk (z_lo, z_hi, bucket) from the previous frame's
+            buffers (m, chunk); bucket 0 = narrow, 1 = wide, 2 = full.
+            Tiles are chunk slots (tile_order is ty-major), so the 3x3
+            dilation is a reshape to (ny, nx)."""
             hit = jnp.all(wsum > cfg.hit_thresh, axis=1).reshape(ny, nx)
             dmin = jnp.min(depth, axis=1).reshape(ny, nx)
             dmax = jnp.max(depth, axis=1).reshape(ny, nx)
@@ -174,12 +223,18 @@ class SequenceRenderer:
             hit9 = dil(hit, jnp.min, False)
             zlo9 = dil(dmin, jnp.min, jnp.inf) - margin
             zhi9 = dil(dmax, jnp.max, -jnp.inf) + margin
-            valid = hit9 & ((zhi9 - zlo9) <= w_cap)
-            zlo = jnp.where(valid, jnp.maximum(zlo9, 0.0), 0.0).reshape(m)
-            zhi = jnp.where(valid, zhi9, 0.0).reshape(m)
-            return zlo, zhi, valid.reshape(m)
+            span = zhi9 - zlo9
+            narrow = hit9 & (span <= w_cap)
+            wide = hit9 & ~narrow & (span <= w_cap_wide) \
+                if w_cap_wide > 0.0 else jnp.zeros_like(narrow)
+            bucket = jnp.where(narrow, 0, jnp.where(wide, 1, 2))
+            windowed = narrow | wide
+            zlo = jnp.where(windowed, jnp.maximum(zlo9, 0.0), 0.0).reshape(m)
+            zhi = jnp.where(windowed, zhi9, 0.0).reshape(m)
+            return zlo, zhi, bucket.reshape(m)
 
-        self._win_fn, self._full_fn, self._plan_fn = win_scan, full_group, plan
+        self._win_fn, self._plan_fn = win_scan, plan
+        self._ray_fn = None
         self._depth = None
         self._wsum = None
 
@@ -188,46 +243,67 @@ class SequenceRenderer:
         self._depth = None
         self._wsum = None
 
+    def render_pose(self, pose, intrinsics):
+        """Render one frame of the sequence from a camera pose: rays are
+        generated directly in padded tile-major order on device (one
+        dispatch; no 640k-row host permutes)."""
+        if self._ray_fn is None:
+            from nerfnav_tpu.data.rays import rays_from_pixels
+
+            pi, pj = self._pi, self._pj
+
+            @jax.jit
+            def ray_fn(pose, intr):
+                r = rays_from_pixels(pose, intr, pi, pj)
+                return (r["rays_o"].reshape(self.m, self.chunk, 3),
+                        r["rays_d"].reshape(self.m, self.chunk, 3))
+
+            self._ray_fn = ray_fn
+        ro, rd = self._ray_fn(jnp.asarray(pose, jnp.float32),
+                              jnp.asarray(intrinsics, jnp.float32))
+        return self._render_stacked(ro, rd)
+
     def render(self, rays_o, rays_d):
         """rays_o/rays_d: (H*W, 3) ROW-MAJOR. Returns (image (H, W, 3),
         depth (H, W), stats dict); device arrays. Frame 0 (or after reset)
         renders fully exact."""
-        g = self.cfg.full_group
         ro = jnp.take(rays_o, self._perm, axis=0).reshape(self.m, self.chunk, 3)
         rd = jnp.take(rays_d, self._perm, axis=0).reshape(self.m, self.chunk, 3)
+        return self._render_stacked(ro, rd)
+
+    def _render_stacked(self, ro, rd):
+        g = self.cfg.group
 
         if self._wsum is None:
-            valid_np = np.zeros(self.m, bool)
+            bucket_np = np.full(self.m, 2)
             zlo = zhi = jnp.zeros((self.m,), jnp.float32)
         else:
-            zlo, zhi, valid = self._plan_fn(self._depth, self._wsum)
-            valid_np = np.asarray(valid)
+            zlo, zhi, bucket = self._plan_fn(self._depth, self._wsum)
+            bucket_np = np.asarray(bucket)   # one host sync per frame
 
-        if valid_np.any():
+        if (bucket_np == 0).any():
             img, dep, ws = self._win_fn(ro, rd, zlo, zhi)
         else:
             img = jnp.zeros((self.m, self.chunk, 3), jnp.float32)
             dep = jnp.zeros((self.m, self.chunk), jnp.float32)
             ws = jnp.zeros((self.m, self.chunk), jnp.float32)
 
-        inv_idx = np.nonzero(~valid_np)[0]
-        for s in range(0, len(inv_idx), g):
-            ids = inv_idx[s:s + g]
-            # pad the last group by repeating its first chunk — the
-            # duplicate scatter writes identical values
-            ids_p = np.concatenate([ids, np.repeat(ids[:1], g - len(ids))])
-            ids_j = jnp.asarray(ids_p)
-            img_g, dep_g, ws_g = self._full_fn(
-                jnp.take(ro, ids_j, axis=0), jnp.take(rd, ids_j, axis=0))
-            img = img.at[ids_j].set(img_g)
-            dep = dep.at[ids_j].set(dep_g)
-            ws = ws.at[ids_j].set(ws_g)
+        for b, step in ((1, self._wide_step), (2, self._full_step)):
+            idxs = np.nonzero(bucket_np == b)[0]
+            for s in range(0, len(idxs), g):
+                ids = idxs[s:s + g]
+                ids_p = jnp.asarray(np.concatenate(
+                    [ids, np.repeat(ids[:1], g - len(ids))]))
+                img, dep, ws = step(img, dep, ws, ro, rd, ids_p,
+                                    jnp.take(zlo, ids_p),
+                                    jnp.take(zhi, ids_p))
 
         self._depth, self._wsum = dep, ws
         out = jnp.take(img.reshape(-1, 3), self._inv, axis=0)
         out = out.reshape(self.Hp, self.Wp, 3)[: self.H, : self.W]
         dep_out = jnp.take(dep.reshape(-1), self._inv, axis=0)
         dep_out = dep_out.reshape(self.Hp, self.Wp)[: self.H, : self.W]
-        stats = {"n_win": int(valid_np.sum()),
-                 "n_full": int(self.m - valid_np.sum())}
+        stats = {"n_win": int((bucket_np == 0).sum()),
+                 "n_wide": int((bucket_np == 1).sum()),
+                 "n_full": int((bucket_np == 2).sum())}
         return out, dep_out, stats
