@@ -69,7 +69,7 @@ def main():
                    help="phase-A first-K hybrid compaction (front segments "
                         "at full resolution)")
     p.add_argument("--table_dtype", default="bfloat16",
-                   choices=["float32", "bfloat16", "int8"],
+                   choices=["float32", "bfloat16"],
                    help="hash-table storage dtype (default bfloat16: +17%% "
                         "chip A/B over fp32 at zero quality cost — "
                         "26.7038 -> 26.7035 dB on the 30k checkpoint; "
@@ -101,9 +101,6 @@ def main():
                         "occupied-cell AABB and shrink the static phase-A "
                         "ladder to its diagonal (plan_occupied_crop) — "
                         "exact, zero per-frame cost")
-    p.add_argument("--phase_a", default="xla", choices=["xla", "pallas"],
-                   help="phase-A candidate coords backend (pallas = fused "
-                        "VMEM kernel, ops/phase_a_pallas.py)")
     p.add_argument("--shade_order", default="ray", choices=["ray", "depth"],
                    help="hash-gather issue order in the rounds shading: "
                         "ray-major (default) or depth-major (cross-ray "
@@ -215,17 +212,12 @@ def main():
                       coarse_anchors=args.coarse_anchors,
                       first_k=args.first_k, a0_segments=args.a0,
                       coarse_first_k=args.coarse_first_k,
-                      phase_a_backend=args.phase_a,
                       phase_a_group=args.g_a,
                       t_a0_steps=args.t_a0,
                       dt_gamma=args.dt_gamma)
     params = init_network(jax.random.PRNGKey(0), cfg)
     if args.table_dtype == "bfloat16":
         params["encoder"] = [t.astype(jnp.bfloat16) for t in params["encoder"]]
-    elif args.table_dtype == "int8":
-        from nerfnav_tpu.ops.hashgrid import quantize_table_int8
-
-        params["encoder"] = quantize_table_int8(params["encoder"])
     field = make_field(params, cfg)
 
     # converged-style occupancy: a shell structure ~6% occupied in cascade 0

@@ -78,17 +78,6 @@ def main():
     tr.state = tr.state._replace(ema_params=ema)
     tr.invalidate_render_cache()
     out["bf16_tables"] = round(tr.evaluate(val_ds, use_ema=True), 4)
-    print(json.dumps(out), flush=True)
-
-    # int8 rows + per-level/per-column scales (quantize_table_int8)
-    from nerfnav_tpu.ops.hashgrid import quantize_table_int8
-
-    ema = dict(tr.state.ema_params)
-    ema["encoder"] = quantize_table_int8(
-        [t.astype(jnp.float32) for t in ema["encoder"]])
-    tr.state = tr.state._replace(ema_params=ema)
-    tr.invalidate_render_cache()
-    out["int8_tables"] = round(tr.evaluate(val_ds, use_ema=True), 4)
     print(json.dumps(out))
 
 

@@ -46,7 +46,6 @@ def main():
                          "dispatch (bench.py default); --no-scan for the "
                          "per-chunk pipelined loop")
     ap.add_argument("--first_k", action="store_true")
-    ap.add_argument("--phase_a", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--t_a0", type=int, default=0,
                     help="static phase-A ladder override (bench --occ_crop "
                          "uses plan_occupied_crop; this isolates the ladder-"
@@ -68,7 +67,6 @@ def main():
                          coarse_segments=args.coarse_segments,
                          coarse_anchors=args.coarse_anchors,
                          first_k=args.first_k,
-                         phase_a_backend=args.phase_a,
                          phase_a_group=args.g_a)
     params = init_network(jax.random.PRNGKey(0), cfg)
     if args.table_dtype == "bfloat16":

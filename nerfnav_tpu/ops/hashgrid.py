@@ -193,26 +193,6 @@ def _take_rows_sorted_bwd(rows: int, idx, g):
 _take_rows_sorted.defvjp(_take_rows_sorted_fwd, _take_rows_sorted_bwd)
 
 
-def quantize_table_int8(table):
-    """Eval-only symmetric int8 quantization of the per-level tables.
-
-    Returns a list of (int8_rows, scale) pairs that `hash_grid_encode`
-    accepts in place of float tables. The scale is per level AND per row
-    column ((1, row_dim) fp32), so the dequant multiply broadcasts after the
-    gather at zero extra gather cost. Quarters the gathered bytes vs fp32
-    (halves vs bf16) — the render hot path is HBM rows into these tables.
-    Training always keeps fp32 masters; this is an inference-side cast like
-    the bf16 eval tables (table_compute_dtype), one step further down.
-    """
-    out = []
-    for t in table:
-        t32 = t.astype(jnp.float32)
-        s = jnp.maximum(jnp.max(jnp.abs(t32), axis=0, keepdims=True), 1e-12) / 127.0
-        q = jnp.clip(jnp.round(t32 / s), -127, 127).astype(jnp.int8)
-        out.append((q, s))
-    return out
-
-
 def _take_rows(table, idx, config: HashGridConfig):
     """Flat-index row gather with the configured backward strategy."""
     if config.backward == "sort":
@@ -298,9 +278,6 @@ def hash_grid_encode(
     outs = []
     for level in range(config.num_levels):
         lvl_table = table[level]
-        lvl_scale = None
-        if isinstance(lvl_table, (tuple, list)):  # quantize_table_int8 pair
-            lvl_table, lvl_scale = lvl_table
         if (config.table_compute_dtype == "bfloat16"
                 and lvl_table.dtype == jnp.float32):
             lvl_table = lvl_table.astype(jnp.bfloat16)
@@ -323,15 +300,11 @@ def hash_grid_encode(
         if config.layout == "cell":
             idx = _cell_indices(config, level, pf)  # (N,)
             feats = _take_rows(lvl_table, idx, config)
-            if lvl_scale is not None:  # int8 rows: dequant fuses into interp
-                feats = feats.astype(jnp.float32) * lvl_scale
             feats = feats.reshape(n, num_corners, config.level_dim)
         else:
             corners = pf[:, None, :] + bits[None]  # (N, 2^D, D)
             idx = _corner_indices(config, level, corners)  # (N, 2^D)
             feats = _take_rows(lvl_table, idx.reshape(-1), config)
-            if lvl_scale is not None:
-                feats = feats.astype(jnp.float32) * lvl_scale
             feats = feats.reshape(n, num_corners, config.level_dim)
         outs.append(jnp.sum(feats.astype(jnp.float32) * w[..., None], axis=1))
     out = jnp.concatenate(outs, axis=-1)  # (N, L*F)

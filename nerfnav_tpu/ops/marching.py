@@ -106,14 +106,6 @@ class MarchConfig:
     #   tighten the anchor-match geometry (a run spans fewer block
     #   crossings), so correctness is unaffected (conservative-occupied
     #   only shrinks).
-    phase_a_backend: str = "xla"  # "xla" | "pallas": phase-A candidate
-    #   coords (ladder -> positions -> cascade -> block row/bit) computed by
-    #   XLA elementwise ops or by the fused Pallas kernel
-    #   (ops/phase_a_pallas.py). Identical bits; the kernel collapses ~a
-    #   dozen HBM-materialized (N, T_A) intermediates into one packed int32
-    #   write per candidate (chip-profiled: the ladder math alone was ~57
-    #   ms/frame of the 122 ms phase A at the 800^2 flagship). Block marcher
-    #   + dt_gamma == 0 only; other paths ignore the knob.
     stride_phase: str = "random"  # overflow-stride phase source when a key
     #   is supplied: "random" = stratified per step (reference-style
     #   perturb); "ray_hash" = deterministic per ray (hash of the ray
@@ -1072,20 +1064,9 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         anchors_a = None
         if cfg.coarse_anchors == 2 and g_a > 1:
             anchors_a = [0, g_a - 1]
-        if cfg.phase_a_backend == "pallas":
-            from nerfnav_tpu.ops.phase_a_pallas import (
-                phase_a_coords, unpack_codes,
-            )
-
-            codes = phase_a_coords(
-                rays_o, rays_d, near, dt_a, far, t_a=t_a, hc=hc, bc=bc,
-                cascades=cfg.cascades, bound=cfg.bound,
-                interpret=jax.default_backend() == "cpu")
-            flat_a, local_a, zin_a = unpack_codes(codes)
-        else:
-            pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
-            flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg, block=bc)
-            zin_a = z_a < far[:, None]
+        pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
+        flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg, block=bc)
+        zin_a = z_a < far[:, None]
         occ_a = _grouped_block_test(tbl_coarse, flat_a, local_a,
                                     g_a, anchors=anchors_a)
         occ_next = jnp.concatenate(

@@ -62,7 +62,6 @@ SLOW_NODEIDS = [
     "test_planner.py::TestPlanner::test_learn_init_reduces_cost_and_avoids_obstacle",
     "test_scan_render.py::test_trainer_render_full_eval_scan",
     "test_hashgrid.py::TestEncode::test_sort_backward_matches_xla",
-    "test_phase_a_pallas.py::test_march_rays_block_pallas_backend_matches_xla",
     "test_sharding.py::test_mesh_eval_render_full_equivalence",
     "test_clip_jax.py::TestClipVisionParity",
     # second band (5.5-25 s each on the 1-core box): brings the inner loop
@@ -84,14 +83,12 @@ SLOW_NODEIDS = [
     "test_fused_mlp.py::test_batch_padding_exact",
     "test_fused_mlp.py::test_matches_reference",
     "test_renderer.py::TestRenderRays::test_sphere_hit_and_miss",
-    "test_hashgrid.py::TestInt8Tables::test_int8_corner_layout",
     "test_renderer.py::TestPackedPrefix::test_packed_matches_dense_under_flags",
     "test_torch_import.py::TestImportStateDict::test_torch_roundtrip_and_resume",
     "test_marching.py::TestBlockMarch::test_z_window_identity_and_bounds",
     "test_renderer.py::TestRenderRays::test_render_image_chunking",
     "test_nav_math.py::TestSO3::test_small_angle_stable",
     "test_planner.py::TestPlanner::test_static_horizon_matches_legacy",
-    "test_phase_a_pallas.py::test_codes_match_block_coords",
     "test_planner.py::TestPlanner::test_mpc_update_state",
     "test_eval_render_path.py::TestOccLadderPlan::test_explicit_t_a0_override_wins",
 ]

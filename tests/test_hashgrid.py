@@ -265,43 +265,3 @@ class TestEncode:
             assert a.dtype == jnp.float32  # master-param gradient dtype
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-2, atol=2e-2 * 1e3)
-
-
-class TestInt8Tables:
-    def test_int8_quantized_encode_close_and_int8_rows(self):
-        import dataclasses
-
-        from nerfnav_tpu.ops.hashgrid import quantize_table_int8
-
-        c = HashGridConfig(input_dim=3, num_levels=4, level_dim=4,
-                           base_resolution=4, log2_hashmap_size=9,
-                           desired_resolution=32, layout="cell")
-        table = hash_grid_init(jax.random.PRNGKey(0), c)
-        table = [t * 1e3 for t in table]  # beyond the 1e-4 init scale
-        q = quantize_table_int8(table)
-        for (rows, scale), t in zip(q, table):
-            assert rows.dtype == jnp.int8
-            assert scale.shape == (1, t.shape[1])
-        x = jax.random.uniform(jax.random.PRNGKey(1), (129, 3),
-                               minval=-0.9, maxval=0.9)
-        o32 = np.asarray(hash_grid_encode(table, x, c))
-        oq = np.asarray(hash_grid_encode(q, x, c))
-        # symmetric int8: |err| <= scale/2 per feature, interp is convex
-        max_scale = max(float(np.max(np.asarray(s))) for _, s in q)
-        assert np.max(np.abs(oq - o32)) <= max_scale
-        assert not np.array_equal(oq, o32)
-
-    def test_int8_corner_layout(self):
-        from nerfnav_tpu.ops.hashgrid import quantize_table_int8
-
-        c = HashGridConfig(input_dim=3, num_levels=2, level_dim=2,
-                           base_resolution=4, log2_hashmap_size=9,
-                           desired_resolution=16, layout="corner")
-        table = [t * 1e3 for t in hash_grid_init(jax.random.PRNGKey(2), c)]
-        q = quantize_table_int8(table)
-        x = jax.random.uniform(jax.random.PRNGKey(3), (65, 3),
-                               minval=-0.9, maxval=0.9)
-        o32 = np.asarray(hash_grid_encode(table, x, c))
-        oq = np.asarray(hash_grid_encode(q, x, c))
-        max_scale = max(float(np.max(np.asarray(s))) for _, s in q)
-        assert np.max(np.abs(oq - o32)) <= max_scale
