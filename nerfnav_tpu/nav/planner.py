@@ -376,13 +376,18 @@ class Planner:
         params = {"states": self.states, "initial_accel": self.initial_accel}
         opt_state = self.opt.init(params)
         losses = []
-        chunk = max(1, min(self.cfg.save_every, epochs))
+        # artifact cadence only matters with a workspace; headless solves
+        # (the MPC loop's steady state) run ONE scan chunk — the per-chunk
+        # dispatch + losses sync was ~2/3 of the 100-iter replan's fixed cost
+        chunk = (max(1, min(self.cfg.save_every, epochs)) if self.workspace
+                 else epochs)
         try:
             ep = 0
             while ep < epochs:
                 # first chunk is a single epoch so artifacts land on the
                 # reference's 0, save_every, 2*save_every... cadence
-                n = 1 if ep == 0 else min(chunk, epochs - ep)
+                n = (1 if ep == 0 and self.workspace
+                     else min(chunk, epochs - ep))
                 params, opt_state, chunk_losses = self._step(
                     params, opt_state, self.start_state, self.end_state,
                     n, jnp.float32(ep), jnp.int32(self.active),
