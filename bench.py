@@ -142,8 +142,9 @@ def main():
     p.add_argument("--seq_k", type=int, default=0,
                    help="narrow-bucket per-ray sample budget (0 = same as "
                         "full)")
-    p.add_argument("--seq_margin", type=float, default=4.0,
-                   help="window padding in coarse cells per side")
+    p.add_argument("--seq_motion", type=float, default=2.0,
+                   help="per-frame motion margin in coarse cells per side "
+                        "(scales by plan_lag; thickness margin is fixed)")
     p.add_argument("--seq_segments", type=int, default=0,
                    help="windowed-tile coarse_segments (0 = same as full)")
     p.add_argument("--seq_check", action="store_true",
@@ -317,7 +318,7 @@ def main():
         scfg = SequenceConfig(t_a0_win=args.seq_t_a0,
                               t_a0_wide=args.seq_t_a0_wide,
                               win_k=args.seq_k,
-                              margin_cells=args.seq_margin,
+                              motion_cells=args.seq_motion,
                               win_segments=args.seq_segments,
                               round_samples=args.round_samples,
                               round_compact=args.round_compact,

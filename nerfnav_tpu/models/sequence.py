@@ -56,14 +56,16 @@ from nerfnav_tpu.ops.marching import MarchConfig, _phase_a_cap
 class SequenceConfig:
     """Knobs for SequenceRenderer (defaults chip-swept; see RESULTS.md).
 
-    t_a0_win / t_a0_wide: static ladder lengths for the narrow and wide
-        window buckets. Both keep >= 8 anchor runs (the ladder-shape
-        cliff); wide catches silhouette-span tiles (e.g. surface-to-
-        backdrop) that overflow the narrow reach. t_a0_wide = 0 disables
-        the wide bucket (those tiles go full).
-    margin_cells: window padding in coarse-cell edges, each side. Covers
-        (a) surface thickness beyond the expected-depth estimate and (b)
-        per-frame depth motion; raise it for fast camera paths.
+    t_a0_win / t_a0_wide: static ladder lengths for the window buckets.
+        Both keep >= 8 anchor runs (the ladder-shape cliff). The wide
+        bucket is OFF by default (t_a0_wide = 0): its fused group programs
+        chain through the donated frame buffers and SERIALIZE (chip: more
+        wide tiles made frames slower despite less march work) — a single
+        longer narrow ladder in the one whole-frame scan wins instead.
+    thickness_cells / motion_cells: window padding in coarse-cell edges,
+        each side. thickness covers surface extent beyond the expected-
+        depth estimate (lag-independent); motion covers per-frame depth
+        drift and scales by plan_lag. Raise motion_cells for fast paths.
     hit_thresh: previous-frame weights_sum above which a ray counts as
         opaque-terminated (the reference retires rays at T < 1e-4,
         raymarching.cu:829-922; 0.995 leaves headroom for bf16 tables).
@@ -74,15 +76,25 @@ class SequenceConfig:
     group: chunks per wide/full dispatch group (windowed-out tiles are
         re-rendered in fixed-size groups so the program count stays
         static; the last group pads by repeating a chunk id).
+    plan_lag: how many frames old the window plan may be. 1 = plan from
+        the previous frame, but the plan's host sync then serializes
+        frames (each waits for the previous frame's full pipeline).
+        2 = plan from two frames back: its computation finished long ago,
+        so the sync returns immediately and consecutive frames PIPELINE
+        through the dispatch queue. The window margin scales by the lag
+        (staleness costs coverage, not correctness); self-healing takes
+        `lag` frames instead of one.
     """
 
-    t_a0_win: int = 24
-    t_a0_wide: int = 48
-    margin_cells: float = 4.0
+    t_a0_win: int = 40
+    t_a0_wide: int = 0
+    thickness_cells: float = 2.0
+    motion_cells: float = 2.0
     hit_thresh: float = 0.995
     win_segments: int = 0
     win_k: int = 0
     group: int = 16
+    plan_lag: int = 2
     round_samples: int = 8
     round_compact: int = 4
     shade_order: str = "ray"
@@ -142,7 +154,11 @@ class SequenceRenderer:
         self.w_cap = (cfg.t_a0_win - 2) * cap
         self.w_cap_wide = (cfg.t_a0_wide - 2) * cap if cfg.t_a0_wide else 0.0
         hc = mcfg.grid_size // mcfg.coarse_factor
-        self.margin = cfg.margin_cells * 2.0 * min(1.0, mcfg.bound) / hc
+        # staleness scales only the MOTION part of the margin: a lag-L plan
+        # must cover L frames of depth drift; surface thickness is static
+        cell = 2.0 * min(1.0, mcfg.bound) / hc
+        self.margin = (cfg.thickness_cells
+                       + cfg.motion_cells * max(1, cfg.plan_lag)) * cell
 
         win_cfg = dataclasses.replace(
             mcfg, t_a0_steps=cfg.t_a0_win,
@@ -201,12 +217,29 @@ class SequenceRenderer:
         margin = self.margin
         ny, nx, m = self.ny, self.nx, self.m
 
+        # static frame-border ring: these tiles can see geometry entering
+        # from OFF-SCREEN, which no neighbor can vouch for
+        border2 = np.zeros((ny, nx), bool)
+        border2[0, :] = border2[-1, :] = True
+        border2[:, 0] = border2[:, -1] = True
+        border_j = jnp.asarray(border2)
+        min_near = mcfg.min_near
+
         @jax.jit
         def plan(depth, wsum):
             """Per-chunk (z_lo, z_hi, bucket) from the previous frame's
             buffers (m, chunk); bucket 0 = narrow, 1 = wide, 2 = full.
             Tiles are chunk slots (tile_order is ty-major), so the 3x3
-            dilation is a reshape to (ny, nx)."""
+            dilation is a reshape to (ny, nx).
+
+            Interior tiles window both sides. Frame-BORDER tiles clip the
+            FAR side only (z_lo = 0 keeps the march from the cube entry):
+            an off-screen object entering in front is then detected exactly
+            (it gets marched), while geometry beyond the dilated termination
+            depth was occluded for every ray of an all-hit tile — clipping
+            it is the same self-healing one-frame risk class as interior
+            disocclusion (a clipped reveal drops weights_sum, failing the
+            hit test next frame)."""
             hit = jnp.all(wsum > cfg.hit_thresh, axis=1).reshape(ny, nx)
             dmin = jnp.min(depth, axis=1).reshape(ny, nx)
             dmax = jnp.max(depth, axis=1).reshape(ny, nx)
@@ -217,31 +250,97 @@ class SequenceRenderer:
                         for dy in range(3) for dx in range(3)]
                 return op(jnp.stack(rows), axis=0)
 
-            # frame-edge tiles have no outer neighbor to vouch for incoming
-            # geometry -> padding `hit` with False keeps them on the exact
-            # full path
-            hit9 = dil(hit, jnp.min, False)
+            # interior policy: out-of-frame neighbors veto (pad False);
+            # border policy: the tile vouches for itself (pad True) because
+            # its near side stays fully marched
+            hit9_i = dil(hit, jnp.min, False)
+            hit9_b = dil(hit, jnp.min, True)
             zlo9 = dil(dmin, jnp.min, jnp.inf) - margin
             zhi9 = dil(dmax, jnp.max, -jnp.inf) + margin
             span = zhi9 - zlo9
-            narrow = hit9 & (span <= w_cap)
-            wide = hit9 & ~narrow & (span <= w_cap_wide) \
-                if w_cap_wide > 0.0 else jnp.zeros_like(narrow)
+            interior = ~border_j
+            narrow_i = interior & hit9_i & (span <= w_cap)
+            # border far-clip reach: the ladder must span cube entry ->
+            # zhi9 for every ray; near >= min_near bounds it
+            narrow_b = border_j & hit9_b & ((zhi9 - min_near) <= w_cap)
+            narrow = narrow_i | narrow_b
+            if w_cap_wide > 0.0:
+                wide_i = (interior & hit9_i & ~narrow_i
+                          & (span <= w_cap_wide))
+                wide_b = (border_j & hit9_b & ~narrow_b
+                          & ((zhi9 - min_near) <= w_cap_wide))
+                wide = wide_i | wide_b
+            else:
+                wide_i = wide = jnp.zeros_like(narrow)
             bucket = jnp.where(narrow, 0, jnp.where(wide, 1, 2))
-            windowed = narrow | wide
-            zlo = jnp.where(windowed, jnp.maximum(zlo9, 0.0), 0.0).reshape(m)
-            zhi = jnp.where(windowed, zhi9, 0.0).reshape(m)
+            both_side = narrow_i | wide_i   # border tiles keep zlo = 0
+            zlo = jnp.where(both_side,
+                            jnp.maximum(zlo9, 0.0), 0.0).reshape(m)
+            zhi = jnp.where(narrow | wide, zhi9, 0.0).reshape(m)
             return zlo, zhi, bucket.reshape(m)
 
         self._win_fn, self._plan_fn = win_scan, plan
         self._ray_fn = None
-        self._depth = None
-        self._wsum = None
+        self._plans = []   # device plans, oldest first; plan_lag deep
+        self._poses = []   # (pose, intrinsics) history matching the plans
+
+        # border-tile centers (real-pixel clipped) + inward normals for the
+        # leading-edge reveal gate (see _reveal_mask)
+        ty, tx = np.meshgrid(np.arange(self.ny), np.arange(self.nx),
+                             indexing="ij")
+        cu = np.minimum(tx * tile + tile / 2.0, W - 1.0)
+        cv = np.minimum(ty * tile + tile / 2.0, H - 1.0)
+        self._tile_uv = np.stack([cu.reshape(-1), cv.reshape(-1)], -1)
+        self._border_np = border2.reshape(-1)
 
     def reset(self):
         """Drop the depth history (scene edit, teleport, occupancy update)."""
-        self._depth = None
-        self._wsum = None
+        self._plans = []
+        self._poses = []
+
+    def _reveal_mask(self, pose, intr, zlo_np, zhi_np):
+        """Border tiles on the LEADING edge of the camera motion — where
+        off-screen content flows INTO the frame — must render on the exact
+        full path: their windows come from content that has never seen the
+        entering geometry (the far-clip trust argument only covers geometry
+        occluded by CURRENT content). Trailing/tangential border tiles keep
+        the far-clip window. Flow is measured by reprojecting each border
+        tile's center (at its window mid-depth) from the lag-old pose into
+        the current camera; flow pointing inward from that tile's frame
+        edge marks it revealing."""
+        if (len(self._poses) < max(1, self.cfg.plan_lag)
+                or self._poses[-max(1, self.cfg.plan_lag)] is None):
+            return self._border_np.copy()
+        p0, i0 = self._poses[-max(1, self.cfg.plan_lag)]
+        p0 = np.asarray(p0, np.float64)
+        p1 = np.asarray(pose, np.float64)
+        intr = np.asarray(intr, np.float64)
+        fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+        b = self._border_np
+        uv = self._tile_uv[b]
+        zmid = np.maximum(0.5 * (zlo_np[b] + zhi_np[b]), 1e-3)
+        # tiles whose window is empty (non-hit) go full anyway; any zmid ok
+        d_cam = np.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy,
+                          np.ones(len(uv))], -1)
+        d_w = d_cam @ p0[:3, :3].T
+        x_w = p0[:3, 3] + d_w * zmid[:, None]
+        v1 = (x_w - p1[:3, 3]) @ p1[:3, :3]   # = R1^T (X - o1)
+        z1 = np.maximum(v1[:, 2], 1e-6)
+        u1 = fx * v1[:, 0] / z1 + cx
+        v1p = fy * v1[:, 1] / z1 + cy
+        flow = np.stack([u1 - uv[:, 0], v1p - uv[:, 1]], -1)
+        # inward normals of the frame edges this tile touches
+        tx = (np.arange(self.m) % self.nx)[b]
+        ty = (np.arange(self.m) // self.nx)[b]
+        reveal = np.zeros(len(uv), bool)
+        eps = 1e-3
+        reveal |= (tx == 0) & (flow[:, 0] > eps)            # left edge
+        reveal |= (tx == self.nx - 1) & (flow[:, 0] < -eps)  # right edge
+        reveal |= (ty == 0) & (flow[:, 1] > eps)            # top edge
+        reveal |= (ty == self.ny - 1) & (flow[:, 1] < -eps)  # bottom edge
+        out = np.zeros(self.m, bool)
+        out[b] = reveal
+        return out
 
     def render_pose(self, pose, intrinsics):
         """Render one frame of the sequence from a camera pose: rays are
@@ -261,25 +360,37 @@ class SequenceRenderer:
             self._ray_fn = ray_fn
         ro, rd = self._ray_fn(jnp.asarray(pose, jnp.float32),
                               jnp.asarray(intrinsics, jnp.float32))
-        return self._render_stacked(ro, rd)
+        return self._render_stacked(ro, rd, pose=np.asarray(pose),
+                                    intr=np.asarray(intrinsics))
 
     def render(self, rays_o, rays_d):
         """rays_o/rays_d: (H*W, 3) ROW-MAJOR. Returns (image (H, W, 3),
         depth (H, W), stats dict); device arrays. Frame 0 (or after reset)
-        renders fully exact."""
+        renders fully exact. Without the pose (render_pose), the leading-
+        edge reveal gate cannot run, so EVERY border tile renders on the
+        exact full path."""
         ro = jnp.take(rays_o, self._perm, axis=0).reshape(self.m, self.chunk, 3)
         rd = jnp.take(rays_d, self._perm, axis=0).reshape(self.m, self.chunk, 3)
         return self._render_stacked(ro, rd)
 
-    def _render_stacked(self, ro, rd):
+    def _render_stacked(self, ro, rd, pose=None, intr=None):
         g = self.cfg.group
+        lag = max(1, self.cfg.plan_lag)
 
-        if self._wsum is None:
+        if len(self._plans) < lag:
             bucket_np = np.full(self.m, 2)
             zlo = zhi = jnp.zeros((self.m,), jnp.float32)
         else:
-            zlo, zhi, bucket = self._plan_fn(self._depth, self._wsum)
-            bucket_np = np.asarray(bucket)   # one host sync per frame
+            # lag-deep plan: its computation finished frames ago, so this
+            # sync does not stall the dispatch pipeline (plan_lag >= 2)
+            zlo, zhi, bucket = self._plans[-lag]
+            bucket_np = np.asarray(bucket).copy()
+            if pose is not None:
+                reveal = self._reveal_mask(pose, intr, np.asarray(zlo),
+                                           np.asarray(zhi))
+            else:
+                reveal = self._border_np
+            bucket_np[reveal & (bucket_np != 2)] = 2
 
         if (bucket_np == 0).any():
             img, dep, ws = self._win_fn(ro, rd, zlo, zhi)
@@ -298,7 +409,12 @@ class SequenceRenderer:
                                     jnp.take(zlo, ids_p),
                                     jnp.take(zhi, ids_p))
 
-        self._depth, self._wsum = dep, ws
+        self._plans.append(self._plan_fn(dep, ws))
+        self._poses.append(None if pose is None
+                           else (pose.copy(), np.asarray(intr).copy()))
+        if len(self._plans) > lag:
+            self._plans.pop(0)
+            self._poses.pop(0)
         out = jnp.take(img.reshape(-1, 3), self._inv, axis=0)
         out = out.reshape(self.Hp, self.Wp, 3)[: self.H, : self.W]
         dep_out = jnp.take(dep.reshape(-1), self._inv, axis=0)

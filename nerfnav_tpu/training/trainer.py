@@ -1042,9 +1042,8 @@ class Trainer:
         frames = []
         for i in range(len(ds)):
             if seq is not None:
-                rays = get_all_rays(jnp.asarray(ds.poses[i]),
-                                    jnp.asarray(ds.intrinsics), ds.H, ds.W)
-                image, depth, _ = seq.render(rays["rays_o"], rays["rays_d"])
+                image, depth, _ = seq.render_pose(
+                    np.asarray(ds.poses[i]), np.asarray(ds.intrinsics))
             else:
                 image, depth = self.render_full(
                     params, ds.poses[i], ds.intrinsics, ds.H, ds.W,
