@@ -167,6 +167,11 @@ def main():
                    help="A/B: pass params+occupancy as traced program "
                         "arguments instead of closure constants (the "
                         "Trainer's programs take them as args)")
+    p.add_argument("--args_split", default="both",
+                   choices=["both", "params", "occ"],
+                   help="with --args_mode: which piece is a traced arg "
+                        "(the other stays a closure constant) — isolates "
+                        "the 38%% args-mode slowdown")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke tests; never for "
                         "recorded numbers)")
@@ -434,8 +439,15 @@ def main():
         # mimics it for attribution. Only meaningful under --scan.
         from nerfnav_tpu.models import make_field as _mk
 
-        inner_args = (lambda p, occ, ro, rd:
-                      _rounds_out(_mk(p, cfg), occ, ro, rd))
+        if args.args_split == "params":
+            inner_args = (lambda p, occ, ro, rd:
+                          _rounds_out(_mk(p, cfg), occupancy, ro, rd))
+        elif args.args_split == "occ":
+            inner_args = (lambda p, occ, ro, rd:
+                          _rounds_out(field, occ, ro, rd))
+        else:
+            inner_args = (lambda p, occ, ro, rd:
+                          _rounds_out(_mk(p, cfg), occ, ro, rd))
         inner = lambda ro, rd: _rounds_out(field, occupancy, ro, rd)  # noqa: E731
         if args.nested_jit:
             inner = jax.jit(inner)
