@@ -19,7 +19,7 @@ enable_compilation_cache()
 def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
          levels=16, level_dim=2, log2=None, shell=False, budget=True,
          grid_backward="xla", coarse_segments=16, coarse_anchors=3,
-         table_dtype="float32", phase_a_group=0):
+         table_dtype="float32", phase_a_group=0, fracs=None, scan_steps=1):
     """shell=True replaces the random-init occupancy with a converged-scene
     sphere shell (valid-sample fraction ~0.1 like a trained scene) — the
     regime where the point-budget packed shade pays; budget=False disables
@@ -41,9 +41,10 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
                         grid_backward=grid_backward,
                         grid_table_dtype=table_dtype)
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.2)
+    okw = {} if fracs is None else {"point_budget_fracs": fracs}
     opt = TrainerOptions(name="bench", workspace="/tmp/nerfnav_train_bench",
                          num_rays=num_rays, use_checkpoint="scratch",
-                         bg_train="random", point_budget=budget)
+                         bg_train="random", point_budget=budget, **okw)
     occ = OccupancyConfig(bound=1.0)
     march = MarchConfig(bound=1.0, samples_per_ray=32,
                         coarse_segments=coarse_segments,
@@ -88,14 +89,40 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
     if state.mean_count is not None:
         tr._mean_count_host = float(state.mean_count)
     step_fn = tr._step_fn(H, W, 4)
-    state, loss = step_fn(state, arrays, jnp.asarray(1), key)  # compile budgeted
-    loss.block_until_ready()
-    t0 = time.perf_counter()
-    for s in range(steps):
-        key, sub = jax.random.split(key)
-        state, loss = step_fn(state, arrays, jnp.asarray(s % n_img), sub)
-    loss.block_until_ready()
-    dt = (time.perf_counter() - t0) / steps
+    if scan_steps > 1:
+        base_fn = step_fn
+
+        @jax.jit
+        def step_fn_scan(state, arrays, idxs, keys):
+            def body(st, xk):
+                st, loss = base_fn(st, arrays, xk[0], xk[1])
+                return st, loss
+
+            return jax.lax.scan(body, state, (idxs, keys))
+
+        idxs0 = jnp.arange(scan_steps, dtype=jnp.int32) % n_img
+        keys0 = jax.random.split(key, scan_steps)
+        state, losses = step_fn_scan(state, arrays, idxs0, keys0)
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        for s in range(0, steps, scan_steps):
+            key, sub = jax.random.split(key)
+            idxs = (s + jnp.arange(scan_steps, dtype=jnp.int32)) % n_img
+            state, losses = step_fn_scan(state, arrays, idxs,
+                                         jax.random.split(sub, scan_steps))
+        jax.block_until_ready(losses)
+        dt = (time.perf_counter() - t0) / (steps - steps % scan_steps
+                                           if steps % scan_steps else steps)
+        loss = losses[-1]
+    else:
+        state, loss = step_fn(state, arrays, jnp.asarray(1), key)  # compile budgeted
+        loss.block_until_ready()
+        t0 = time.perf_counter()
+        for s in range(steps):
+            key, sub = jax.random.split(key)
+            state, loss = step_fn(state, arrays, jnp.asarray(s % n_img), sub)
+        loss.block_until_ready()
+        dt = (time.perf_counter() - t0) / steps
     print(json.dumps({
         "metric": "train_steps_per_sec",
         "value": round(1.0 / dt, 2),
@@ -130,9 +157,22 @@ if __name__ == "__main__":
     ap.add_argument("--g_a", type=int, default=0,
                     help="phase-A anchor-run override (MarchConfig"
                          ".phase_a_group; 0 = auto incl. the runs>=8 cap)")
+    ap.add_argument("--fracs", default=None,
+                    help="comma list overriding point_budget_fracs (e.g. "
+                         "0.0625,0.125,0.25): a lower floor shrinks the "
+                         "packed-shade budget; overflow drops samples, the "
+                         "reference's own mean_count semantics "
+                         "(raymarching.py:198-203)")
+    ap.add_argument("--scan_steps", type=int, default=1,
+                    help="steps fused per dispatch via lax.scan (amortizes "
+                         "the relay dispatch floor; the trainer's occupancy "
+                         "cadence allows up to update_extra_interval=16)")
     a = ap.parse_args()
+    fracs = (tuple(float(x) for x in a.fracs.split(","))
+             if a.fracs else None)
     main(num_rays=a.num_rays, layout=a.layout, levels=a.levels,
          level_dim=a.level_dim, log2=a.log2, shell=a.shell,
          budget=not a.no_budget, grid_backward=a.grid_backward,
          coarse_segments=a.coarse_segments, coarse_anchors=a.coarse_anchors,
-         table_dtype=a.table_dtype, phase_a_group=a.g_a)
+         table_dtype=a.table_dtype, phase_a_group=a.g_a,
+         fracs=fracs, scan_steps=a.scan_steps)
