@@ -150,6 +150,9 @@ def main():
     p.add_argument("--seq_check", action="store_true",
                    help="render every 4th orbit pose through the exact full "
                         "path too and report min PSNR parity (not timed)")
+    p.add_argument("--seq_profile", action="store_true",
+                   help="time one steady-state frame's stages separately "
+                        "(ray gen / narrow scan / wide+full groups / plan)")
     p.add_argument("--hw", type=int, default=800,
                    help="image side (CPU smoke runs use a small value)")
     p.add_argument("--yaw", type=float, default=0.0,
@@ -341,6 +344,42 @@ def main():
         img.block_until_ready()
         print(json.dumps({"seq_warmup_stats": stats[:4] + ["..."],
                           "last": stats[-1]}), flush=True)
+
+        if args.seq_profile:
+            import jax as _jax
+
+            pm = poses[-1]
+            ro_p, rd_p = sr._ray_fn(jnp.asarray(pm, jnp.float32), intr)
+            _jax.block_until_ready((ro_p, rd_p))
+            prof = {}
+
+            def t_of(name, fn, reps=3):
+                fn()  # warm
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    out = fn()
+                _jax.block_until_ready(out)
+                prof[name] = round((time.perf_counter() - t0) / reps * 1e3, 1)
+                return out
+
+            t_of("raygen_ms", lambda: sr._ray_fn(
+                jnp.asarray(pm, jnp.float32), intr))
+            zlo_p, zhi_p, bucket_p = sr._plans[-1]
+            t_of("win_scan_ms", lambda: sr._win_fn(ro_p, rd_p, zlo_p, zhi_p))
+            ids_f = jnp.arange(sr.cfg.group)
+
+            def full_once():
+                z0 = jnp.zeros((sr.m, sr.chunk, 3))
+                d0 = jnp.zeros((sr.m, sr.chunk))
+                w0 = jnp.zeros((sr.m, sr.chunk))
+                return sr._full_step(z0, d0, w0, ro_p, rd_p, ids_f,
+                                     jnp.take(zlo_p, ids_f),
+                                     jnp.take(zhi_p, ids_f))
+
+            t_of("full_group16_ms", full_once)
+            dws = sr._win_fn(ro_p, rd_p, zlo_p, zhi_p)
+            t_of("plan_ms", lambda: sr._plan_fn(dws[1], dws[2]))
+            print(json.dumps({"seq_profile": prof}), flush=True)
 
         sr.reset()
         t0 = time.perf_counter()

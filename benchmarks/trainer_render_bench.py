@@ -44,6 +44,10 @@ def main():
                    help="also time the bare whole-frame scan dispatch on "
                         "prebuilt rays (attribution: host frame assembly "
                         "vs program speed)")
+    p.add_argument("--frozen", action="store_true",
+                   help="render_full(frozen=True): params/occupancy baked "
+                        "as program constants (the post-training product "
+                        "path; chip A/B vs the traced-args default)")
     args = p.parse_args()
 
     import jax
@@ -107,9 +111,11 @@ def main():
     params = tr.state.params
 
     # warmup: compile every program render_full uses (plan + scan/chunks)
-    img, _ = tr.render_full(params, pose, intr, H, W, bg_color=1.0)
+    img, _ = tr.render_full(params, pose, intr, H, W, bg_color=1.0,
+                            frozen=args.frozen)
     np.asarray(img)
-    print(json.dumps({"ladder_plan": tr._ladder_plan}), flush=True)
+    print(json.dumps({"ladder_plan": tr._ladder_plan,
+                      "frozen": args.frozen}), flush=True)
 
     if args.inner:
         # attribution: time ONLY the compiled whole-frame scan dispatch on
@@ -144,7 +150,8 @@ def main():
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        img, _ = tr.render_full(params, pose, intr, H, W, bg_color=1.0)
+        img, _ = tr.render_full(params, pose, intr, H, W, bg_color=1.0,
+                                frozen=args.frozen)
         jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / args.iters
     rays_per_sec = H * W / dt

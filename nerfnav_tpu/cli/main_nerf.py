@@ -60,7 +60,7 @@ def main(argv=None):
         val_ds = NeRFDataset(ds_opt, split="val")
         trainer.state = trainer._init_state(len(val_ds))
         trainer._maybe_resume()
-        trainer.evaluate(val_ds)
+        trainer.evaluate(val_ds, frozen=True)
         try:
             test_ds = NeRFDataset(ds_opt, split="test")
         except FileNotFoundError:

@@ -794,6 +794,7 @@ class Trainer:
         self._prepass_chunk_fns = {}
         self._ladder_plan = None
         self._table_cast_cache = None
+        self._frozen_scan_cache = None
 
     def _chunk_renderer(self, t_a0: int = 0):
         """Cached eval chunk renderer, keyed by the planned phase-A ladder
@@ -824,6 +825,41 @@ class Trainer:
 
             fn = self._render_scan_fns[t_a0] = render_scan
         return fn
+
+    def _render_scan_frozen(self, params, occupancy, t_a0: int = 0):
+        """Whole-frame scan renderer with params+occupancy BAKED as closure
+        constants (see render_full(frozen=True)). Cached by (occupancy
+        version, params identity, t_a0); holds the latest entry only —
+        frozen rendering uses one (ckpt, grid) pair at a time."""
+        key = (getattr(self, "_occ_version", 0), id(params), t_a0)
+        cached = getattr(self, "_frozen_scan_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        import dataclasses
+
+        from nerfnav_tpu.models import render_rays_grid_rounds
+
+        cfg = self.cfg
+        mcfg = self._eval_march_cfg()
+        if t_a0:
+            mcfg = dataclasses.replace(mcfg, t_a0_steps=t_a0)
+        shade_order = self.opt.shade_order
+        field = make_field(params, cfg)
+        # keep the baked arrays alive for the program's lifetime
+        occ_ref = occupancy
+
+        @partial(jax.jit, static_argnums=(2,))
+        def render_scan(ro_s, rd_s, bg_color: float, crop_aabb=None):
+            def body(ab):
+                out = render_rays_grid_rounds(
+                    field, occ_ref, mcfg, ab[0], ab[1], bg_color=bg_color,
+                    crop_aabb=crop_aabb, shade_order=shade_order)
+                return out["image"], out["depth"]
+
+            return jax.lax.map(body, (ro_s, rd_s))
+
+        self._frozen_scan_cache = (key, render_scan)
+        return render_scan
 
     def _planned_ladder(self, occupancy) -> int:
         """Occupancy-derived static phase-A ladder length for eval rendering
@@ -857,12 +893,20 @@ class Trainer:
         return t_a0
 
     def render_full(self, params, pose, intrinsics, H, W, bg_color=1.0,
-                    crop_aabb=None, pixel_offset=None):
+                    crop_aabb=None, pixel_offset=None, frozen=False):
         """Staged full-image render with a cached jitted chunk fn
         (reference staged rendering, renderer.py:555-566).
 
         pixel_offset: optional (dx, dy) subpixel shift of every pixel center —
-        the GUI's anti-aliasing spp passes (data/rays.get_all_rays)."""
+        the GUI's anti-aliasing spp passes (data/rays.get_all_rays).
+
+        frozen=True: params/occupancy are BAKED into the compiled program as
+        closure constants instead of traced arguments — chip A/B: the args
+        program runs at 62% of the baked one (2.06M vs 3.29M rays/s; XLA
+        exploits the tables as constants). Use for frozen rendering
+        (test videos, post-training eval, paused-GUI viewing); each new
+        (params, occupancy version) recompiles, so training-time eval and
+        the training GUI keep the args program."""
         if self.opt.eval_table_dtype != "float32":
             params = self._cast_eval_tables(params)
         n = H * W
@@ -930,10 +974,16 @@ class Trainer:
                 plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
                 self._plan_cache = (ck, plan)
         if plan is None and self.opt.eval_scan:
-            out_i, out_d = self._render_scan_fn(occ_t_a0)(
-                params, occupancy, ro.reshape(-1, chunk, 3),
-                rd.reshape(-1, chunk, 3), float(bg_color), crop_aabb
-            )
+            if frozen:
+                fn = self._render_scan_frozen(params, occupancy, occ_t_a0)
+                out_i, out_d = fn(ro.reshape(-1, chunk, 3),
+                                  rd.reshape(-1, chunk, 3),
+                                  float(bg_color), crop_aabb)
+            else:
+                out_i, out_d = self._render_scan_fn(occ_t_a0)(
+                    params, occupancy, ro.reshape(-1, chunk, 3),
+                    rd.reshape(-1, chunk, 3), float(bg_color), crop_aabb
+                )
             image = out_i.reshape(-1, 3)[:n]
             depth = out_d.reshape(-1)[:n]
             if use_tiles:
@@ -967,9 +1017,14 @@ class Trainer:
             image, depth = jnp.take(image, inv, 0), jnp.take(depth, inv, 0)
         return image.reshape(H, W, 3), depth.reshape(H, W)
 
-    def evaluate(self, ds, name: str | None = None, use_ema: bool = True):
+    def evaluate(self, ds, name: str | None = None, use_ema: bool = True,
+                 frozen: bool = False):
         """Reference evaluate_one_epoch (utils.py:838-930): render the split,
-        accumulate PSNR, dump validation images."""
+        accumulate PSNR, dump validation images.
+
+        frozen=True bakes params/occupancy into the render program (chip
+        +60%; see render_full) — use for post-training eval of a loaded
+        checkpoint, NOT for the training loop's periodic eval."""
         params = self.state.ema_params if (use_ema and self.state) else self.params
         if self.state is not None and not use_ema:
             params = self.state.params
@@ -979,7 +1034,8 @@ class Trainer:
         arrays = ds.as_arrays()
         for i in range(len(ds)):
             image, depth = self.render_full(
-                params, ds.poses[i], ds.intrinsics, ds.H, ds.W, bg_color=1.0
+                params, ds.poses[i], ds.intrinsics, ds.H, ds.W, bg_color=1.0,
+                frozen=frozen,
             )
             gt = np.asarray(arrays["images"][i], dtype=np.float32)
             if gt.shape[-1] == 4:
@@ -1047,7 +1103,7 @@ class Trainer:
             else:
                 image, depth = self.render_full(
                     params, ds.poses[i], ds.intrinsics, ds.H, ds.W,
-                    bg_color=1.0
+                    bg_color=1.0, frozen=True
                 )
             img8 = (np.clip(np.asarray(image), 0, 1) * 255).astype(np.uint8)
             frames.append(img8)
@@ -1108,12 +1164,15 @@ class Trainer:
                 "steps_per_sec": step / max(dt, 1e-9)}
 
     def test_gui(self, pose, intrinsics, W, H, bg_color=1.0, spp=1,
-                 downscale=1.0, crop_aabb=None, pixel_offset=None):
+                 downscale=1.0, crop_aabb=None, pixel_offset=None,
+                 frozen=False):
         """Render one interactive frame at `downscale` resolution — the
         viewer's render hook (reference utils.py:703-752 `test_gui`).
 
         pixel_offset: optional (dx, dy) subpixel jitter for anti-aliasing
-        accumulation passes (the viewer varies it per spp)."""
+        accumulation passes (the viewer varies it per spp). frozen=True
+        (viewer passes it while training is paused) bakes params/occupancy
+        into the program — chip +60%."""
         rh, rw = max(int(H * downscale), 8), max(int(W * downscale), 8)
         intr = np.asarray(intrinsics, np.float32) * downscale
         params = self.state.ema_params if self.state else self.params
@@ -1122,7 +1181,8 @@ class Trainer:
             crop_aabb = jnp.asarray(crop_aabb, jnp.float32)
         image, depth = self.render_full(params, pose, intr, rh, rw, bg_color,
                                         crop_aabb=crop_aabb,
-                                        pixel_offset=pixel_offset)
+                                        pixel_offset=pixel_offset,
+                                        frozen=frozen)
         dt = time.time() - t0
         img = np.asarray(image)
         if (rh, rw) != (H, W):

@@ -128,6 +128,28 @@ class TestSequencePath:
         assert tr._sequence_renderer(tr.state.params, 16, 16) is None
 
 
+class TestFrozenRender:
+    def test_frozen_matches_args_path(self, grid_trainer):
+        """render_full(frozen=True) bakes params/occupancy as program
+        constants (chip +60% over the traced-args program) — outputs must
+        match the args path, and the baked program must be cached per
+        (occ version, params identity)."""
+        tr = grid_trainer
+        p = tr.state.params
+        img_a, dep_a = tr.render_full(p, POSE, INTR, 16, 16)
+        img_f, dep_f = tr.render_full(p, POSE, INTR, 16, 16, frozen=True)
+        np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_a),
+                                   atol=2e-5)
+        cached = tr._frozen_scan_cache
+        assert cached is not None
+        tr.render_full(p, POSE, INTR, 16, 16, frozen=True)
+        assert tr._frozen_scan_cache is cached   # same key: program reused
+        # occupancy update invalidates the key
+        _ball_occupancy(tr, radius=0.4)
+        tr.render_full(p, POSE, INTR, 16, 16, frozen=True)
+        assert tr._frozen_scan_cache is not cached
+
+
 class TestOccLadderPlan:
     def test_plan_cached_per_version(self, grid_trainer):
         tr = grid_trainer
