@@ -974,6 +974,11 @@ class Trainer:
                 plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
                 self._plan_cache = (ck, plan)
         if plan is None and self.opt.eval_scan:
+            # the baked-constants program is built for the grid rounds path;
+            # dense-path trainers keep the traced-args program
+            if frozen and not (self.march_cfg is not None
+                               and self.opt.eval_rounds):
+                frozen = False
             if frozen:
                 fn = self._render_scan_frozen(params, occupancy, occ_t_a0)
                 out_i, out_d = fn(ro.reshape(-1, chunk, 3),
