@@ -136,9 +136,11 @@ def main():
                         "from scratch (renderer.py:325-374)")
     p.add_argument("--seq_t_a0", type=int, default=24,
                    help="short-ladder length for windowed tiles")
-    p.add_argument("--seq_t_a0_wide", type=int, default=48,
-                   help="wide-bucket ladder length (0 = off: "
-                        "silhouette-span tiles go full)")
+    p.add_argument("--seq_t_a0_wide", type=int, default=0,
+                   help="wide-bucket ladder length (0 = off, the default: "
+                        "the wide group chain serializes on the donated "
+                        "buffers; the narrow t_a0-40 ladder covers border "
+                        "far-clips)")
     p.add_argument("--seq_k", type=int, default=0,
                    help="narrow-bucket per-ray sample budget (0 = same as "
                         "full)")
