@@ -34,7 +34,8 @@ enable_compilation_cache()
 
 def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                 occ_freeze_after: int = 0, lr_iters: int = 30000,
-                stride_phase: str = "random"):
+                stride_phase: str = "random",
+                occ_thresh_freeze_after: float = 0.0):
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
     from nerfnav_tpu.models import NetworkConfig, RenderConfig
@@ -56,6 +57,7 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                          num_rays=4096,
                          use_checkpoint="scratch", bg_train="white",
                          eval_interval=1, occ_freeze_after=occ_freeze_after,
+                         occ_thresh_freeze_after=occ_thresh_freeze_after,
                          stride_phase=stride_phase)
     tr = Trainer(cfg, rcfg, opt,
                  occupancy_cfg=OccupancyConfig(bound=1.0, min_near=0.05,
@@ -74,7 +76,8 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="control",
-                    choices=["control", "occ_freeze", "lr_fast", "ray_hash"])
+                    choices=["control", "occ_freeze", "lr_fast", "ray_hash",
+                             "thresh_freeze"])
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--epoch_steps", type=int, default=3000)
     ap.add_argument("--scene", default="cluttered")
@@ -100,6 +103,11 @@ def main():
         kw["lr_iters"] = 20000
     elif args.variant == "ray_hash":
         kw["stride_phase"] = "ray_hash"  # reference lr horizon stays
+    elif args.variant == "thresh_freeze":
+        # pin the carve bar at 6k (reference lr horizon stays): maintenance
+        # and EMA-decay carving continue; only the min(mean, thresh) ratchet
+        # stops (the softer form of occ_freeze)
+        kw["occ_thresh_freeze_after"] = 6000 / 30000
     run_variant(args.variant, scene, args.steps, args.epoch_steps, **kw)
 
 

@@ -124,7 +124,8 @@ def _query_cells(params, net_cfg, cfg: OccupancyConfig, cell_idx, cas, key,
 
 
 @partial(jax.jit, static_argnums=(1, 3, 5))
-def _update_full(state, cfg: OccupancyConfig, params, net_cfg, key, mesh=None):
+def _update_full(state, cfg: OccupancyConfig, params, net_cfg, key, mesh=None,
+                 thresh_cap=None):
     grid = state["density_grid"]
     tmp = jnp.full_like(grid, -1.0)
     all_cells = jnp.arange(cfg.n_cells)
@@ -132,12 +133,13 @@ def _update_full(state, cfg: OccupancyConfig, params, net_cfg, key, mesh=None):
         key, sub = jax.random.split(key)
         sig = _query_cells(params, net_cfg, cfg, all_cells, cas, sub, mesh)
         tmp = tmp.at[cas].set(sig * net_cfg.density_scale)
-    return _finish_update(state, cfg, grid, tmp, all_cells_mask=None)
+    return _finish_update(state, cfg, grid, tmp, all_cells_mask=None,
+                          thresh_cap=thresh_cap)
 
 
 @partial(jax.jit, static_argnums=(1, 3, 5))
 def _update_partial(state, cfg: OccupancyConfig, params, net_cfg, key,
-                    mesh=None):
+                    mesh=None, thresh_cap=None):
     grid = state["density_grid"]
     # N/4 uniform cells PLUS N/4 occupied-biased cells per cascade —
     # reference renderer.py:478-494 draws H^3/4 of each, not half of each.
@@ -161,16 +163,26 @@ def _update_partial(state, cfg: OccupancyConfig, params, net_cfg, key,
         cells = jnp.concatenate([rand_cells, occ_cells])
         sig = _query_cells(params, net_cfg, cfg, cells, cas, k3, mesh)
         tmp = tmp.at[cas, cells].max(sig * net_cfg.density_scale)
-    return _finish_update(state, cfg, grid, tmp, all_cells_mask=None)
+    return _finish_update(state, cfg, grid, tmp, all_cells_mask=None,
+                          thresh_cap=thresh_cap)
 
 
-def _finish_update(state, cfg, grid, tmp, all_cells_mask):
+def _finish_update(state, cfg, grid, tmp, all_cells_mask, thresh_cap=None):
     # EMA-max; untrained cells (-1 in grid, -1 in tmp) stay negative
     # (reference renderer.py:496-505)
     valid = grid >= 0
     new_grid = jnp.where(valid, jnp.maximum(grid * cfg.decay, tmp), grid)
     mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
     thresh = jnp.minimum(mean_density, cfg.density_thresh)
+    if thresh_cap is not None:
+        # pinned carve bar (TrainerOptions.occ_thresh_freeze_after): the
+        # reference's min(mean, density_thresh) RATCHETS UP as the field
+        # sharpens (mean rises), progressively carving marginal surface
+        # cells — the chip-measured driver of the 30k late-schedule drift
+        # (occ_freeze holds >=28 dB under the reference lr; the stride-phase
+        # candidates failed). Capping the threshold keeps density updates
+        # and EMA-decay carving alive while stopping only the ratchet.
+        thresh = jnp.minimum(thresh, thresh_cap)
     occ = new_grid > thresh
     bitfield = packbits(occ.astype(jnp.float32))
     # coarse maxpool mirror (row-major (x*H + y)*H + z layout)
@@ -206,13 +218,17 @@ def _finish_update(state, cfg, grid, tmp, all_cells_mask):
 
 
 def update_extra_state(state, cfg: OccupancyConfig, params, net_cfg, key,
-                       mesh=None):
+                       mesh=None, thresh_cap=None):
     """Dispatch full/partial exactly like renderer.py:446-451. Host-level
     branch on the update counter (a host scalar between jitted steps).
-    mesh: optional device mesh — shards the density sweep SPMD."""
+    mesh: optional device mesh — shards the density sweep SPMD.
+    thresh_cap: optional traced scalar pinning the carve threshold (see
+    _finish_update)."""
     if int(state["iter_density"]) < cfg.n_full_updates:
-        return _update_full(state, cfg, params, net_cfg, key, mesh)
-    return _update_partial(state, cfg, params, net_cfg, key, mesh)
+        return _update_full(state, cfg, params, net_cfg, key, mesh,
+                            thresh_cap=thresh_cap)
+    return _update_partial(state, cfg, params, net_cfg, key, mesh,
+                           thresh_cap=thresh_cap)
 
 
 def reset_extra_state(state, cfg: OccupancyConfig):

@@ -71,6 +71,14 @@ class TrainerOptions:
     # renderer.py:508), so late sweeps can carve thin surface cells that
     # early training kept. Freezing pins the carved set once converged.
     occ_freeze_after: int = 0
+    # Softer guard: past this step (fractions <= 1.0 are of `iters`), PIN the
+    # carve threshold at its current value instead of freezing maintenance
+    # outright — density updates and EMA-decay carving continue; only the
+    # min(mean_density, density_thresh) RATCHET stops. Chip evidence
+    # (drift_probe): the rising bar carves marginal surface cells and drives
+    # the 30k reference-schedule collapse (control 28.40 -> 23.6; occ_freeze
+    # holds >= 28; the stride-phase candidates failed). 0 = off.
+    occ_thresh_freeze_after: float = 0.0
     seed: int = 0
     tensorboard: bool = False
     # eval/test/GUI rendering uses the early-termination rounds renderer
@@ -264,6 +272,7 @@ class Trainer:
                 self.log("tensorboardX unavailable; scalars not written")
 
         self._train_step_fns = {}  # (H, W, C, dt_mult, budget) -> jitted step
+        self._pinned_thresh = None  # occ_thresh_freeze_after carve-bar pin
         self._render_chunk_fns = {}    # t_a0 (0 = auto ladder) -> chunk fn
         self._render_scan_fns = {}     # t_a0 -> whole-frame scan fn
         self._table_cast_cache = None  # (params, cast_params) for eval dtype
@@ -719,11 +728,25 @@ class Trainer:
             return
         from nerfnav_tpu.models.occupancy import update_extra_state
 
+        thresh_cap = None
+        tfa = self.opt.occ_thresh_freeze_after
+        if 0 < tfa <= 1.0:
+            tfa = int(tfa * self.opt.iters)
+        if tfa and self.global_step > tfa:
+            if self._pinned_thresh is None:
+                # pin at the CURRENT carve bar (one tiny host read on the
+                # update cadence, which already synchronizes)
+                self._pinned_thresh = float(jnp.minimum(
+                    self.state.occupancy["mean_density"],
+                    self.occupancy_cfg.density_thresh))
+            thresh_cap = jnp.float32(self._pinned_thresh)
+
         self.key, sub = jax.random.split(self.key)
         self.state = self.state._replace(
             occupancy=update_extra_state(
                 self.state.occupancy, self.occupancy_cfg,
                 self.state.params, self.cfg, sub, mesh=self.mesh,
+                thresh_cap=thresh_cap,
             )
         )
         # invalidates cached prepass plans (id() of the new dict can be

@@ -109,3 +109,39 @@ class TestStateStructure:
         init = init_occupancy_state(cfg)
         upd = update_extra_state(init, cfg, params, net_cfg, jax.random.PRNGKey(0))
         assert jax.tree_util.tree_structure(init) == jax.tree_util.tree_structure(upd)
+
+
+def test_thresh_cap_pins_carve_bar():
+    """update_extra_state(thresh_cap=...) must bound the carve threshold:
+    cells above the cap stay occupied even when mean_density has risen past
+    it (the ratchet that drives the 30k reference-schedule drift), while
+    EMA-decay carving still works."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfnav_tpu.models import NetworkConfig, init_network
+    from nerfnav_tpu.models.occupancy import (
+        OccupancyConfig, _finish_update, init_occupancy_state,
+    )
+
+    cfg = OccupancyConfig(bound=1.0, grid_size=8, update_chunk=64)
+    st = init_occupancy_state(cfg)
+    grid = st["density_grid"]
+    # synthetic sweep: half the cells very dense, a marginal band at 1.5
+    n = grid.shape[1]
+    tmp = jnp.zeros_like(grid)
+    tmp = tmp.at[0, : n // 2].set(100.0)
+    tmp = tmp.at[0, n // 2 : n // 2 + 32].set(1.5)
+    out = _finish_update(st, cfg, grid, tmp, None)
+    # mean ~ 50 -> thresh = min(mean, density_thresh=10) = 10: the marginal
+    # band is carved by the reference rule
+    occ = np.unpackbits(np.asarray(out["bitfield"][0]))
+    assert occ[: n // 2].all() and not occ[n // 2 : n // 2 + 32].any()
+    # pinned bar below the band keeps it occupied
+    out2 = _finish_update(st, cfg, grid, tmp, None,
+                          thresh_cap=jnp.float32(1.0))
+    occ2 = np.unpackbits(np.asarray(out2["bitfield"][0]))
+    assert occ2[: n // 2].all() and occ2[n // 2 : n // 2 + 32].all()
+    # zero-density cells stay carved regardless
+    assert not occ2[n // 2 + 32 :].any()
