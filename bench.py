@@ -108,19 +108,11 @@ def main():
     p.add_argument("--a0", type=int, default=0,
                    help="phase-A0 super-coarse prefilter: keep this many "
                         "block spans (0 = off)")
-    p.add_argument("--prepass", action="store_true",
-                   help="depth-prepass tile planning: march a stride-8 ray "
-                        "subgrid once per frame, skip empty tiles, and "
-                        "render each chunk with the smallest phase-A ladder "
-                        "bucket covering its depth window "
-                        "(models/prepass.py)")
-    p.add_argument("--prepass_stride", type=int, default=8)
     p.add_argument("--scan", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="whole-frame single dispatch: lax.map over stacked "
                         "chunks inside ONE jitted program (kills the "
-                        "~0.4 ms/chunk relay dispatch floor; composes with "
-                        "--prepass as one dispatch per ladder bucket). "
+                        "~0.4 ms/chunk relay dispatch floor). "
                         "Default ON: +38%% chip A/B over the pipelined "
                         "per-chunk dispatch at chunk 4096 (RESULTS.md "
                         "round-2 queue-10 table); --no-scan for the A/B "
@@ -439,8 +431,7 @@ def main():
         return
     # default: on-axis framing (the headline metric). --yaw rotates the
     # camera around the scene's Y axis at the same distance — an off-axis
-    # framing where part of the frame sees no occupancy (exercises the
-    # prepass empty-tile skip; A/B-only, never the headline number)
+    # A/B framing, never the headline number
     th = np.radians(args.yaw)
     rot_y = np.array([[np.cos(th), 0, np.sin(th)],
                       [0, 1, 0],
@@ -521,121 +512,6 @@ def main():
         ro, rd = jnp.asarray(ro), jnp.asarray(rd)
         chunks = [(ro[i : i + CHUNK], rd[i : i + CHUNK])
                   for i in range(0, n + pad, CHUNK)]
-
-    if args.prepass:
-        # depth-prepass planning: per-frame subgrid march -> per-chunk
-        # phase-A bucket + depth window; empty chunks skip dispatch entirely
-        assert not args.row_major and args.path == "rounds", \
-            "--prepass needs tile chunks + rounds shading"
-        import dataclasses
-
-        from nerfnav_tpu.models.prepass import DepthPrepass
-
-        dp = DepthPrepass(mcfg, H, W, perm, CHUNK, tile=args.tile,
-                          stride=args.prepass_stride)
-
-        bucket_fns = {}
-
-        def render_chunk_bucket(t_a0):
-            if t_a0 not in bucket_fns:
-                mcfg_b = dataclasses.replace(mcfg, t_a0_steps=t_a0)
-
-                @jax.jit
-                def fn(ro, rd, zlo, zhi):
-                    return render_rays_grid_rounds(
-                        field, occupancy, mcfg_b, ro, rd, bg_color=1.0,
-                        round_samples=args.round_samples,
-                        round_compact=args.round_compact,
-                        shade_order=args.shade_order,
-                        z_window=(zlo, zhi),
-                    )["image"]
-
-                bucket_fns[t_a0] = fn
-            return bucket_fns[t_a0]
-
-        # --scan: one dispatch per LADDER BUCKET — lax.map over that
-        # bucket's stacked chunks inside one jitted program. Specialized per
-        # (bucket, chunk count); a static pose reuses its programs, a moving
-        # camera pays a compile per new count (bench-only A/B; production
-        # would pad counts to coarse size classes).
-        group_fns = {}
-
-        def render_group_bucket(t_a0, count):
-            key = (t_a0, count)
-            if key not in group_fns:
-                mcfg_b = dataclasses.replace(mcfg, t_a0_steps=t_a0)
-
-                @jax.jit
-                def fn(ro_g, rd_g, zlo_g, zhi_g):
-                    def body(arg):
-                        ro, rd, zlo, zhi = arg
-                        return render_rays_grid_rounds(
-                            field, occupancy, mcfg_b, ro, rd, bg_color=1.0,
-                            round_samples=args.round_samples,
-                            round_compact=args.round_compact,
-                            shade_order=args.shade_order,
-                            z_window=(zlo, zhi),
-                        )["image"]
-
-                    return jax.lax.map(body, (ro_g, rd_g, zlo_g, zhi_g))
-
-                group_fns[key] = fn
-            return group_fns[key]
-
-        ro_all = ro.reshape(-1, CHUNK, 3)
-        rd_all = rd.reshape(-1, CHUNK, 3)
-
-        def render_frame():
-            plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
-            last = None
-            n_skip = 0
-            if args.scan:
-                groups = {}
-                for ci, (t_a0, zlo, zhi) in enumerate(plan):
-                    if t_a0 == 0:
-                        n_skip += 1
-                        continue
-                    groups.setdefault(t_a0, []).append((ci, zlo, zhi))
-                for t_a0, items in sorted(groups.items()):
-                    ci = jnp.asarray([i for i, _, _ in items], jnp.int32)
-                    zlo = jnp.asarray([z for _, z, _ in items], jnp.float32)
-                    zhi = jnp.asarray([z for _, _, z in items], jnp.float32)
-                    last = render_group_bucket(t_a0, len(items))(
-                        jnp.take(ro_all, ci, axis=0),
-                        jnp.take(rd_all, ci, axis=0), zlo, zhi)
-                if last is not None:
-                    last.block_until_ready()
-                return plan, n_skip
-            for (t_a0, zlo, zhi), (a, b) in zip(plan, chunks):
-                if t_a0 == 0:
-                    n_skip += 1
-                    continue
-                last = render_chunk_bucket(t_a0)(
-                    a, b, jnp.float32(zlo), jnp.float32(zhi))
-            if last is not None:
-                last.block_until_ready()
-            return plan, n_skip
-
-        # warmup: compile every bucket program this plan uses
-        plan0, n_skip0 = render_frame()
-        used = sorted({t for t, _, _ in plan0 if t})
-        print(json.dumps({"prepass_buckets": used, "skipped_chunks": n_skip0,
-                          "total_chunks": len(chunks)}))
-
-        iters = 5
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            render_frame()
-        dt = (time.perf_counter() - t0) / iters
-        rays_per_sec = n / dt
-
-        print(json.dumps({
-            "metric": "render_rays_per_sec_chip",
-            "value": round(rays_per_sec),
-            "unit": "rays/s",
-            "vs_baseline": round(rays_per_sec / 1e7, 3),
-        }))
-        return
 
     if args.scan:
         # whole-frame single dispatch: every chunk marched+shaded by ONE

@@ -76,17 +76,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    "gathered table bytes (+17%% chip A/B) and is quality-"
                    "free on converged scenes "
                    "(benchmarks/eval_table_dtype.py: -0.0003 dB)")
-    p.add_argument("--eval_prepass", action="store_true",
-                   help="depth-prepass tile planning for eval/test/GUI "
-                   "rendering: skip empty tiles and shorten each tile's "
-                   "phase-A ladder to its measured depth window "
-                   "(models/prepass.py)")
     p.add_argument("--eval_scan", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="whole-frame scan dispatch for eval/test/GUI "
                    "rendering: one jitted lax.map program over all chunks "
                    "instead of a per-chunk dispatch loop (default ON, +17%% "
-                   "chip A/B; ignored on frames planned by --eval_prepass)")
+                   "chip A/B)")
     p.add_argument("--eval_occ_ladder", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="occupancy-derived phase-A ladder shrink for "

@@ -32,7 +32,6 @@ def main(argv=None):
         update_extra_interval=opt.update_extra_interval, tensorboard=True,
         rand_pose=opt.rand_pose, clip_text=opt.clip_text,
         eval_table_dtype=opt.eval_table_dtype,
-        eval_prepass=opt.eval_prepass,
         eval_scan=opt.eval_scan,
         eval_occ_ladder=opt.eval_occ_ladder,
         eval_sequence=opt.eval_sequence,

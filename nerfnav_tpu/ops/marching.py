@@ -91,7 +91,7 @@ class MarchConfig:
     #   candidate for fully-converged thin-shell occupancies; keep False.
     t_a0_steps: int = 0           # STATIC phase-A ladder length override
     #   (normalized ladders only; 0 = auto ceil(2*sqrt(3)*bound / cap)).
-    #   The depth-prepass planner (models/prepass.py) compiles a few bucket
+    #   Window planners (models/sequence.py) compile a few bucket
     #   programs with short ladders and dispatches each image tile to the
     #   smallest bucket whose ladder still covers the tile's measured
     #   occupied-depth window. CALLER CONTRACT: every ray's [near, far]
@@ -331,7 +331,7 @@ def apply_z_window(near, far, z_window):
     """Narrow per-ray [near, far] to a depth window (z_lo, z_hi) — scalars
     or (N,) arrays. A window that excludes a ray entirely degenerates to an
     empty span (far == near), which every marcher masks to zero samples.
-    Produced by the depth-prepass planner (models/prepass.py)."""
+    Produced by the window planners (models/sequence.py)."""
     if z_window is None:
         return near, far
     z_lo, z_hi = z_window
@@ -541,6 +541,14 @@ def _phase_a_cap(cfg: MarchConfig) -> float:
     hc = cfg.grid_size // cfg.coarse_factor
     safe = 0.98 * 2.0 * min(1.0, cfg.bound) / hc
     return max(min(safe, 2.0 * base), base)
+
+
+def full_ladder_steps(cfg: MarchConfig) -> int:
+    """The auto normalized phase-A ladder length (_phase_a_ladder's t_a0):
+    ceil(worst-case AABB crossing / cap). The scale against which window
+    plans (models/sequence.py) and t_a0_steps overrides are judged."""
+    span = 2.0 * _SQRT3 * max(cfg.bound, 1.0)
+    return int(np.ceil(span / _phase_a_cap(cfg)))
 
 
 def phase_a_group_of(cfg: MarchConfig, bc: int = 8) -> int:
@@ -1192,7 +1200,7 @@ def march_rays(rays_o, rays_d, bitfield, cfg: MarchConfig, key=None,
 def march_segments(rays_o, rays_d, occupancy, cfg: MarchConfig,
                    crop_aabb=None):
     """Phase A ONLY, reduced: per-ray occupied depth extent — the cheap
-    conservative probe the prepass planner (models/prepass.py) marches at
+    conservative probe window planners march at
     low resolution. Returns {"z_first", "z_last", "hit"} each (N,).
 
     The reductions run on the UN-compacted candidate lattice: the budgeted

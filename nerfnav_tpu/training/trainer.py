@@ -95,23 +95,13 @@ class TrainerOptions:
     # "depth" (cross-ray spatial coherence — adjacent rays at the same depth
     # gather near-identical table rows; bench.py --shade_order A/B)
     shade_order: str = "ray"
-    # depth-prepass tile planning for render_full (models/prepass.py):
-    # bound each tile's occupied depth with a low-res phase-A march, render
-    # each chunk with the smallest phase-A ladder bucket covering it, skip
-    # empty tiles. Eval/GUI only (needs eval_rounds tiles); off pending the
-    # queue-9 chip A/B.
-    eval_prepass: bool = False
-    eval_prepass_stride: int = 8
     # Whole-frame scan dispatch for render_full: ONE jitted lax.map program
     # over every stacked chunk instead of a host loop of per-chunk dispatches
     # (each costs ~0.4 ms through the remote-dispatch relay; bench.py --scan
     # A/B). The rounds early-exit conds still fire per chunk inside the map.
-    # Mutually exclusive with eval_prepass per frame: the prepass plans a
-    # DIFFERENT program per ladder bucket with per-pose chunk counts, which
-    # would recompile per view — when both are on, prepass wins and scan is
-    # ignored for that frame. Default ON (+17% chip A/B at chunk 4096, +38%
-    # over the round-2 start; RESULTS.md queue-10 table): the product render
-    # path runs the same program shape the bench measures.
+    # Default ON (+17% chip A/B at chunk 4096, +38% over the round-2 start;
+    # RESULTS.md queue-10 table): the product render path runs the same
+    # program shape the bench measures.
     eval_scan: bool = True
     # Occupancy-derived phase-A ladder shrink for eval/test/GUI rendering
     # (ops/marching.plan_occupied_ladder): bound the static phase-A ladder by
@@ -276,10 +266,7 @@ class Trainer:
         self._render_chunk_fns = {}    # t_a0 (0 = auto ladder) -> chunk fn
         self._render_scan_fns = {}     # t_a0 -> whole-frame scan fn
         self._table_cast_cache = None  # (params, cast_params) for eval dtype
-        self._prepass_chunk_fns = {}   # t_a0 -> jitted windowed chunk fn
-        self._prepass_planners = {}    # (H, W, chunk) -> DepthPrepass
         self._occ_version = 0          # bumped on every occupancy replace
-        self._plan_cache = None        # ((geom, pose, occ_version), plan)
         self._ladder_plan = None       # (occ_version, t_a0) occ-ladder cache
         self._tile_layouts = {}        # (H, W, chunk) -> tile-major layout
         self._mean_count_host = 0.0  # host mirror of state.mean_count
@@ -561,13 +548,10 @@ class Trainer:
         return dataclasses.replace(
             mcfg, coarse_segments=seg, coarse_anchors=anch)
 
-    def _build_render_chunk(self, t_a0: int | None = None,
-                            windowed: bool = False):
+    def _build_render_chunk(self, t_a0: int | None = None):
         """The cached jitted eval chunk renderer.
 
-        t_a0 overrides the static phase-A ladder length (occ-ladder plan or
-        depth-prepass bucket); windowed=True builds the depth-prepass bucket
-        variant with traced (zlo, zhi) window args."""
+        t_a0 overrides the static phase-A ladder length (occ-ladder plan)."""
         cfg, rcfg = self.cfg, self.rcfg
         mcfg = self._eval_march_cfg()
         mesh = self.mesh
@@ -603,21 +587,11 @@ class Trainer:
                     shade_order=shade_order, z_window=z_window,
                 )
 
-            if not windowed:
-
-                @partial(jax.jit, static_argnums=(4,))
-                def render_chunk(params, occupancy, rays_o, rays_d,
-                                 bg_color: float, crop_aabb=None):
-                    return core(params, occupancy, rays_o, rays_d, bg_color,
-                                crop_aabb, None)
-            else:
-                # windowed bucket variant (depth-prepass planning): a STATIC
-                # short phase-A ladder + a traced per-chunk depth window
-                @partial(jax.jit, static_argnums=(6,))
-                def render_chunk(params, occupancy, rays_o, rays_d, zlo, zhi,
-                                 bg_color: float, crop_aabb=None):
-                    return core(params, occupancy, rays_o, rays_d, bg_color,
-                                crop_aabb, (zlo, zhi))
+            @partial(jax.jit, static_argnums=(4,))
+            def render_chunk(params, occupancy, rays_o, rays_d,
+                             bg_color: float, crop_aabb=None):
+                return core(params, occupancy, rays_o, rays_d, bg_color,
+                            crop_aabb, None)
         elif mcfg is not None:
             from nerfnav_tpu.models import render_rays_grid
 
@@ -749,8 +723,9 @@ class Trainer:
                 thresh_cap=thresh_cap,
             )
         )
-        # invalidates cached prepass plans (id() of the new dict can be
-        # GC-reused, so an explicit version is the only safe cache key)
+        # bumps the occupancy version (plan/frozen-program cache keys;
+        # id() of the new dict can be GC-reused, so an explicit version is
+        # the only safe key)
         self._occ_version = getattr(self, "_occ_version", 0) + 1
 
     def _cast_eval_tables(self, params):
@@ -767,19 +742,11 @@ class Trainer:
             self._table_cast_cache = (params, cast)
         return self._table_cast_cache[1]
 
-    def _prepass_chunk_fn(self, t_a0: int):
-        """Cached depth-prepass bucket variant of the eval chunk renderer
-        (models/prepass.py)."""
-        if t_a0 not in self._prepass_chunk_fns:
-            self._prepass_chunk_fns[t_a0] = self._build_render_chunk(
-                t_a0, windowed=True)
-        return self._prepass_chunk_fns[t_a0]
-
     def _tile_layout(self, H, W, chunk):
         """Cached tile-major frame layout: padded pixel coords (i, j) device
         arrays for direct tile-order ray generation, the inverse permutation
-        (device, for the output un-permute gather), and the host perm (the
-        prepass planner's tile map). One entry per frame shape."""
+        (device, for the output un-permute gather), and the host perm.
+        One entry per frame shape."""
         key = (H, W, chunk)
         tc = self._tile_layouts.get(key)
         if tc is None:
@@ -814,7 +781,6 @@ class Trainer:
         underneath them (e.g. the GUI's dt_gamma slider)."""
         self._render_chunk_fns = {}
         self._render_scan_fns = {}
-        self._prepass_chunk_fns = {}
         self._ladder_plan = None
         self._table_cast_cache = None
         self._frozen_scan_cache = None
@@ -969,34 +935,7 @@ class Trainer:
         # occupancy-derived ladder shrink (bench-adopted +33%): one plan per
         # occupancy version selects the compiled render program
         occ_t_a0 = self._planned_ladder(occupancy)
-        plan = None
-        if (use_tiles and self.opt.eval_prepass and isinstance(occupancy, dict)):
-            from nerfnav_tpu.models.prepass import DepthPrepass
-
-            pkey = (H, W, chunk)
-            dp = self._prepass_planners.get(pkey)
-            if dp is None:
-                dp = DepthPrepass(self.march_cfg, H, W,
-                                  self._tile_layout(H, W, chunk)["perm"],
-                                  chunk, tile=64,
-                                  stride=self.opt.eval_prepass_stride)
-                self._prepass_planners[pkey] = dp
-            # plan reuse across same-pose re-renders (the GUI's AA passes
-            # jitter pixel centers sub-pixel — well inside the window
-            # margins); any occupancy update replaces the state dict object,
-            # invalidating the key
-            ck = (pkey, np.asarray(pose).tobytes(),
-                  getattr(self, "_occ_version", 0))
-            cached = getattr(self, "_plan_cache", None)
-            if cached is not None and cached[0] == ck:
-                plan = cached[1]
-            else:
-                rays = get_all_rays(jnp.asarray(pose),
-                                    jnp.asarray(intrinsics), H, W,
-                                    offset=pixel_offset)
-                plan = dp.plan(occupancy, rays["rays_o"], rays["rays_d"])
-                self._plan_cache = (ck, plan)
-        if plan is None and self.opt.eval_scan:
+        if self.opt.eval_scan:
             # the baked-constants program is built for the grid rounds path;
             # dense-path trainers keep the traced-args program
             if frozen and not (self.march_cfg is not None
@@ -1018,25 +957,11 @@ class Trainer:
                 image, depth = jnp.take(image, inv, 0), jnp.take(depth, inv, 0)
             return image.reshape(H, W, 3), depth.reshape(H, W)
         imgs, depths = [], []
-        for ci, i in enumerate(range(0, n + pad, chunk)):
-            if plan is not None:
-                t_a0, zlo, zhi = plan[ci]
-                if t_a0 == 0:
-                    # no occupancy anywhere near this chunk's tiles:
-                    # background, exactly what the control render produces
-                    imgs.append(jnp.full((chunk, 3), bg_color, jnp.float32))
-                    depths.append(jnp.zeros((chunk,), jnp.float32))
-                    continue
-                out = self._prepass_chunk_fn(t_a0)(
-                    params, occupancy, ro[i : i + chunk], rd[i : i + chunk],
-                    jnp.float32(zlo), jnp.float32(zhi),
-                    float(bg_color), crop_aabb
-                )
-            else:
-                out = self._chunk_renderer(occ_t_a0)(
-                    params, occupancy, ro[i : i + chunk], rd[i : i + chunk],
-                    float(bg_color), crop_aabb
-                )
+        for i in range(0, n + pad, chunk):
+            out = self._chunk_renderer(occ_t_a0)(
+                params, occupancy, ro[i : i + chunk], rd[i : i + chunk],
+                float(bg_color), crop_aabb
+            )
             imgs.append(out["image"])
             depths.append(out["depth"])
         image = jnp.concatenate(imgs)[:n]

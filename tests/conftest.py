@@ -31,9 +31,6 @@ SLOW_NODEIDS = [
     "test_trainer_e2e.py::test_occ_freeze_after_stops_maintenance",
     "test_trainer_e2e.py::test_error_map_mode_runs",
     "test_gated_metrics.py::test_clip_loss_gated",
-    "test_prepass.py::test_plan_cache_reuses_same_pose",
-    "test_prepass.py::test_trainer_render_full_prepass",
-    "test_prepass.py::test_prepass_image_matches_control",
     "test_marching.py::TestBlockMarch::test_a0_stride_overflow_no_holes",
     "test_marching.py::TestBlockMarch::test_render_matches_dense",
     "test_marching.py::TestBlockMarch::test_matches_two_phase",

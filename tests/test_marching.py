@@ -320,8 +320,9 @@ class TestBlockMarch:
         tight window must confine every valid sample."""
         import dataclasses
 
-        from nerfnav_tpu.models.prepass import full_ladder_steps
-        from nerfnav_tpu.ops.marching import march_rays_block
+        from nerfnav_tpu.ops.marching import (
+            full_ladder_steps, march_rays_block,
+        )
 
         cfg = MarchConfig(bound=bound, grid_size=32, max_steps=256,
                           samples_per_ray=48, min_near=0.05)

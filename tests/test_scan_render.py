@@ -8,9 +8,51 @@ between the standalone jit and the loop-body compilation context."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from tests.test_prepass import CHUNK, H, W, scene  # noqa: F401  (fixture)
+from nerfnav_tpu.data.rays import get_all_rays, tile_order
+from nerfnav_tpu.data.synthetic import textured_sphere_field
 from nerfnav_tpu.models import render_rays_grid_rounds
+from nerfnav_tpu.ops.marching import MarchConfig
+from nerfnav_tpu.ops.morton import pack_blocks, packbits
+
+H = W = 128
+TILE = 16
+CHUNK = TILE * TILE
+
+
+@pytest.fixture(scope="module")
+def scene():
+    field = textured_sphere_field(radius=0.35)
+    mcfg = MarchConfig(bound=1.0, grid_size=64, max_steps=512,
+                       samples_per_ray=32, min_near=0.05,
+                       coarse_segments=12, coarse_anchors=2)
+    Hg = mcfg.grid_size
+    ii = np.arange(Hg**3)
+    c = (np.stack([ii // (Hg * Hg), (ii // Hg) % Hg, ii % Hg], -1) + 0.5) \
+        / Hg * 2 - 1
+    r = np.linalg.norm(c, axis=-1)
+    occ = ((r > 0.30) & (r < 0.45))[None]
+    f = mcfg.coarse_factor
+    hc = Hg // f
+    occ_c = occ.reshape(1, hc, f, hc, f, hc, f).max(axis=(2, 4, 6))
+    occupancy = {
+        "bitfield": packbits(jnp.asarray(occ.astype(np.float32))),
+        "bitfield_coarse": packbits(
+            jnp.asarray(occ_c.reshape(1, -1).astype(np.float32))),
+        "blocks": pack_blocks(jnp.asarray(occ), Hg),
+        "blocks_coarse": pack_blocks(
+            jnp.asarray(occ_c.reshape(1, -1)), hc,
+            block=8 if hc % 8 == 0 else 4),
+    }
+    intr = jnp.asarray([90.0, 90.0, W / 2, H / 2])
+    pose = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.0, 0.0, -1.6]))
+    rays = get_all_rays(pose, intr, H, W)
+    perm, inv = tile_order(H, W, TILE)
+    ro = jnp.asarray(np.asarray(rays["rays_o"])[perm])
+    rd = jnp.asarray(np.asarray(rays["rays_d"])[perm])
+    return field, mcfg, occupancy, rays, ro, rd, perm
+
 
 
 def test_scan_matches_per_chunk_loop(scene):  # noqa: F811
