@@ -228,10 +228,10 @@ class Trainer:
         self.clip_loss_fn = clip_loss_fn
         if opt.rand_pose >= 0 and clip_loss_fn is None:
             raise RuntimeError(
-                "rand_pose mode needs a jax-differentiable clip_loss_fn: the "
-                "torch CLIP scorer (training/clip_loss.py) cannot backprop "
-                "into JAX, and pretrained CLIP weights cannot be fetched in "
-                "this offline environment. Inject a stub or JAX CLIP tower."
+                "rand_pose mode needs a jax-differentiable clip_loss_fn "
+                "(training/clip_jax.py make_clip_loss_fn with user-supplied "
+                "pretrained weights; they cannot be fetched in this offline "
+                "environment). Inject a stub or JAX CLIP tower."
             )
         self.epoch = 0
         self.global_step = 0

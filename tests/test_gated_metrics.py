@@ -115,11 +115,14 @@ class TestJaxLPIPS:
         assert ours == pytest.approx(ref, rel=1e-4)
 
 
-def test_clip_loss_gated():
-    from nerfnav_tpu.training.clip_loss import CLIPLoss
+def test_clip_mode_gated():
+    """rand_pose mode without a clip_loss_fn must fail loudly (trainer gate)."""
+    from nerfnav_tpu.models import NetworkConfig, RenderConfig
+    from nerfnav_tpu.training import Trainer, TrainerOptions
 
-    c = CLIPLoss("a red chair")
-    if c.available:  # pragma: no cover - offline image
-        pytest.skip("CLIP weights available in this environment")
-    with pytest.raises(RuntimeError):
-        c.score(np.zeros((32, 32, 3), np.float32))
+    import tempfile
+
+    opt = TrainerOptions(name="gated", workspace=tempfile.mkdtemp(),
+                         rand_pose=0, use_checkpoint="scratch")
+    with pytest.raises(RuntimeError, match="clip_loss_fn"):
+        Trainer(NetworkConfig(bound=1.0), RenderConfig(), opt)
