@@ -65,6 +65,19 @@ class TrainerOptions:
     use_checkpoint: str = "latest"  # latest | best | scratch | <path>
     error_map: bool = False
     update_extra_interval: int = 16
+    # Train steps fused per device dispatch via lax.scan (train_bench
+    # --scan_steps): each host iteration launches ONE program running k
+    # steps back-to-back. Chunks never cross an occupancy-update or
+    # dt-anneal boundary, so the step sequence is identical to the unfused
+    # loop (bit-equal params, tests/test_trainer_e2e.py); error-map /
+    # mean-count EMAs run inside the scan body unchanged. Default 1 (one
+    # dispatch per step): the chip A/B KILLED the dispatch-fusion
+    # hypothesis — scan_steps 4/8 = 44.4/45.2 steps/s vs 92.7 unfused
+    # (RESULTS.md round-4) — the async dispatch pipeline already hides the
+    # relay floor, and the scanned body loses XLA's cross-step scheduling.
+    # Kept as an option for single-dispatch training contexts (dryruns,
+    # remote relays without async dispatch). Not used in rand_pose mode.
+    scan_steps: int = 1
     # Stop occupancy-grid maintenance after this step (0 = never). Diagnostic
     # knob for late-schedule drift: the update threshold min(mean_density,
     # density_thresh) RISES as training sharpens the field (reference
@@ -323,13 +336,26 @@ class Trainer:
                       "best_result": None}
 
     # ------------------------------------------------------------- train step
-    def _step_fn(self, H, W, C):
+    def _step_fn(self, H, W, C, scan_steps: int = 1):
         """Jitted train step for the current anneal phase + point budget
-        (cached per (shape, dt_mult, budget) — a handful of programs)."""
-        key = (H, W, C, self._dt_mult(), self._current_budget())
+        (cached per (shape, dt_mult, budget, scan) — a handful of programs)."""
+        key = (H, W, C, self._dt_mult(), self._current_budget(), scan_steps)
         if key not in self._train_step_fns:
             self._train_step_fns[key] = self._build_train_step(*key)
         return self._train_step_fns[key]
+
+    def _steps_to_phase_boundary(self) -> int:
+        """Steps until the next occupancy-update or dt-anneal boundary — the
+        max scan chunk that keeps the fused loop step-identical to the
+        per-step loop (program rebuilds happen only at these boundaries)."""
+        interval = self.opt.update_extra_interval
+        dist = interval - (self.global_step % interval)
+        for threshold, _ in self.opt.dt_anneal:
+            if threshold <= 1.0:
+                threshold = threshold * self.opt.iters
+            if self.global_step < threshold:
+                dist = min(dist, int(threshold) - self.global_step)
+        return max(dist, 1)
 
     def _current_budget(self) -> int | None:
         """Static sample budget for the packed train shade, from the host
@@ -362,7 +388,8 @@ class Trainer:
         return mult
 
     def _build_train_step(self, H, W, C, dt_mult: int = 1,
-                          sample_budget: int | None = None):
+                          sample_budget: int | None = None,
+                          scan_steps: int = 1):
         cfg, rcfg, opt = self.cfg, self.rcfg, self.opt
         optimizer = self.optimizer
         mcfg = self.march_cfg
@@ -478,6 +505,17 @@ class Trainer:
                 mean_count=mean_count,
             )
             return new_state, loss
+
+        if scan_steps > 1:
+            # fuse k steps into one dispatched program; (idxs, keys) are
+            # (k,)-leading stacks and the result carries the per-step losses
+            def scan_step(state: TrainState, arrays, idxs, keys):
+                def body(st, xk):
+                    return train_step(st, arrays, xk[0], xk[1])
+
+                return jax.lax.scan(body, state, (idxs, keys))
+
+            return jax.jit(scan_step, donate_argnums=(0,))
 
         return jax.jit(train_step, donate_argnums=(0,))
 
@@ -643,7 +681,8 @@ class Trainer:
             self.epoch += 1
             t0 = time.time()
             total = None
-            for s in range(steps):
+            s = 0
+            while s < steps:
                 self._maybe_update_occupancy()
                 self.key, sub = jax.random.split(self.key)
                 rp = self.opt.rand_pose
@@ -660,19 +699,35 @@ class Trainer:
                     self.state, loss = clip_fn(
                         self.state, pose, arrays["intrinsics"] / scale, sub
                     )
+                    k = 1
+                elif self.opt.scan_steps > 1 and rp < 0:
+                    # fused dispatch: k steps in one program, chunk clipped to
+                    # the next occupancy/anneal boundary so the step sequence
+                    # matches the per-step loop exactly
+                    k = min(self.opt.scan_steps, steps - s,
+                            self._steps_to_phase_boundary())
+                    idxs = jnp.asarray(
+                        rng.integers(len(train_ds), size=k), jnp.int32)
+                    self.state, losses = self._step_fn(H, W, C, k)(
+                        self.state, arrays, idxs, jax.random.split(sub, k)
+                    )
+                    loss = losses[-1]
                 else:
                     idx = int(rng.integers(len(train_ds)))
                     self.state, loss = self._step_fn(H, W, C)(
                         self.state, arrays, jnp.asarray(idx), sub
                     )
-                self.global_step += 1
+                    k = 1
+                self.global_step += k
+                s += k
                 # accumulate on device: float(loss) every step would
                 # host-sync and stall the async dispatch pipeline (the
                 # reference's per-step loss.item() stall, utils.py:796) —
                 # so the tensorboard scalar (reference utils.py:804-806 logs
                 # per step) is fetched only on the occupancy-update cadence,
                 # where the pipeline already synchronizes
-                total = loss if total is None else total + loss
+                chunk = loss if k == 1 else jnp.sum(losses)
+                total = chunk if total is None else total + chunk
                 if (self.writer is not None and self.global_step
                         % self.opt.update_extra_interval == 0):
                     self.writer.add_scalar("train/loss", float(loss), self.global_step)

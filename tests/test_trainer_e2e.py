@@ -184,6 +184,76 @@ def test_occ_freeze_after_stops_maintenance(scene_dir, cfg, tmp_path):
     assert np.array_equal(snap, np.asarray(tr.state.occupancy["density_grid"]))
 
 
+def test_scan_steps_matches_per_step(scene_dir, cfg, tmp_path):
+    """The fused lax.scan train step (TrainerOptions.scan_steps) must produce
+    bit-identical params to running the per-step program sequentially with
+    the same (idx, key) sequence."""
+    import jax
+    import jax.numpy as jnp
+
+    train_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "train")
+    arrays = train_ds.as_arrays()
+    H, W = train_ds.H, train_ds.W
+    C = arrays["images"].shape[-1]
+
+    tr = make_trainer(cfg, str(tmp_path / "ws_scan"))
+    tr.state = tr._init_state(len(train_ds))
+
+    def copy_state(st):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+
+    # the step programs donate their input state: run each arm on its own copy
+    state_a = copy_state(tr.state)
+    state_b = copy_state(tr.state)
+
+    key = jax.random.PRNGKey(7)
+    keys = jax.random.split(key, 3)
+    idxs = jnp.asarray([0, 3, 1], jnp.int32)
+
+    step1 = tr._build_train_step(H, W, C)
+    st = state_a
+    for i in range(3):
+        st, loss = step1(st, arrays, idxs[i], keys[i])
+    ref_params = st.params
+
+    stepk = tr._build_train_step(H, W, C, scan_steps=3)
+    st2, losses = stepk(state_b, arrays, idxs, keys)
+    assert losses.shape == (3,)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(st2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(st2.global_step) == 3
+
+
+def test_scan_steps_train_loop_boundaries(scene_dir, cfg, tmp_path):
+    """Trainer.train with scan_steps on the grid fast path: chunks never
+    cross the occupancy cadence, the step count is exact, and training
+    still learns."""
+    from nerfnav_tpu.models.occupancy import OccupancyConfig
+    from nerfnav_tpu.ops.marching import MarchConfig
+
+    train_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "train")
+    rcfg = RenderConfig(num_steps=48, upsample_steps=0, min_near=0.05,
+                        max_ray_batch=1600)
+    opt = TrainerOptions(
+        name="scan", workspace=str(tmp_path / "ws_scanloop"), lr=1e-2,
+        iters=1000, num_rays=512, bg_train="white", use_checkpoint="scratch",
+        update_extra_interval=16, scan_steps=16,
+    )
+    occ_cfg = OccupancyConfig(bound=1.0, grid_size=32, update_chunk=8192,
+                              density_thresh=2.0, min_near=0.05)
+    mcfg = MarchConfig(bound=1.0, grid_size=32, max_steps=256,
+                       samples_per_ray=32, min_near=0.05)
+    tr = Trainer(cfg, rcfg, opt, occupancy_cfg=occ_cfg, march_cfg=mcfg)
+    # 50 is not a multiple of 16: exercises the steps-remaining clip
+    tr.train(train_ds, max_epochs=2, steps_per_epoch=50)
+    assert tr.global_step == 100
+    assert int(tr.state.global_step) == 100
+    assert tr.stats["loss"][-1] < tr.stats["loss"][0]
+    # occupancy maintenance ran (cadence boundaries were hit exactly)
+    assert getattr(tr, "_occ_version", 0) > 1
+
+
 def test_test_renders_frames(scene_dir, cfg, tmp_path):
     val_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "val")
     tr = make_trainer(cfg, str(tmp_path / "ws4"))
