@@ -129,9 +129,14 @@ class TrainerOptions:
     # Frame-coherent camera-path rendering for test() videos (and any other
     # smooth multi-pose sequence): each frame's depth bounds the next frame's
     # march via per-tile windows with an exact full-ladder fallback for
-    # untrusted tiles (models/sequence.py). Single-frame renders (evaluate,
-    # GUI spp passes) keep render_full.
-    eval_sequence: bool = True
+    # untrusted tiles (models/sequence.py). Default OFF after the round-4
+    # make-or-kill: three chip versions (2.07-2.38M rays/s) all lost to the
+    # 3.30M single-pose frozen scan — the v3 stage profile shows the window
+    # scan costs MORE per tile (1.76 ms) than the full occ-ladder scan
+    # (1.40 ms) because the single static window shape loses the per-scene
+    # occ-ladder fit (benchmarks/RESULTS.md round 4). Parity is exact
+    # (98.9 dB min over 24-pose orbits) — opt in for re-evaluation.
+    eval_sequence: bool = False
     # Eval/test/GUI march trims (render-only; the training march keeps the
     # MarchConfig values): phase-A segment budget + anchors per run. On a
     # CONVERGED grid seg12/anch2 is quality-neutral (26.69 vs 26.73 dB on the

@@ -91,9 +91,9 @@ class TestDefaults:
 class TestSequencePath:
     def test_test_uses_sequence_renderer(self, grid_trainer):
         """Trainer.test on a multi-pose path routes through the
-        frame-coherent sequence renderer (eval_sequence default ON) and
-        matches render_full frame-by-frame; single-frame and
-        eval_sequence=False fall back to render_full."""
+        frame-coherent sequence renderer (eval_sequence opt-in since the
+        round-4 make-or-kill) and matches render_full frame-by-frame;
+        single-frame and eval_sequence=False fall back to render_full."""
 
         class PathDS:
             H = W = 16
@@ -104,6 +104,7 @@ class TestSequencePath:
                 return 3
 
         tr = grid_trainer
+        tr.opt.eval_sequence = True  # opt in (default OFF since round 4)
         for i, p in enumerate(PathDS.poses):
             p[0, 3] = 0.02 * i  # slow lateral drift (smooth sequence)
         assert tr._sequence_renderer(tr.state.params, 16, 16) is not None
