@@ -35,7 +35,9 @@ enable_compilation_cache()
 def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                 occ_freeze_after: int = 0, lr_iters: int = 30000,
                 stride_phase: str = "random",
-                occ_thresh_freeze_after: float = 0.0):
+                occ_thresh_freeze_after: float = 0.0,
+                mlp_dtype: str = "bfloat16",
+                grid_table_dtype: str = "float32"):
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
     from nerfnav_tpu.models import NetworkConfig, RenderConfig
@@ -45,9 +47,9 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
 
     train_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "train")
     val_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "val")
-    cfg = NetworkConfig(bound=1.0, mlp_dtype="bfloat16", grid_layout="cell",
+    cfg = NetworkConfig(bound=1.0, mlp_dtype=mlp_dtype, grid_layout="cell",
                         grid_log2_hashmap_size=17, grid_levels=4,
-                        grid_level_dim=8)
+                        grid_level_dim=8, grid_table_dtype=grid_table_dtype)
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
     # iters stays 30000 so the fractional dt-anneal thresholds are IDENTICAL
     # across variants; only the lr horizon moves (lr_iters) — otherwise the
@@ -77,7 +79,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="control",
                     choices=["control", "occ_freeze", "lr_fast", "ray_hash",
-                             "thresh_freeze"])
+                             "thresh_freeze", "fp32_mlp", "bf16_tables"])
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--epoch_steps", type=int, default=3000)
     ap.add_argument("--scene", default="cluttered")
@@ -106,8 +108,22 @@ def main():
     elif args.variant == "thresh_freeze":
         # pin the carve bar at 6k (reference lr horizon stays): maintenance
         # and EMA-decay carving continue; only the min(mean, thresh) ratchet
-        # stops (the softer form of occ_freeze)
+        # stops (the softer form of occ_freeze). MEASURED round 4: COLLAPSES
+        # (peak 28.40 @9k -> 23.48 final) — the ratchet is NOT the root
+        # cause; occ_freeze's hold implicates some other maintenance term.
         kw["occ_thresh_freeze_after"] = 6000 / 30000
+    elif args.variant == "fp32_mlp":
+        # reference lr horizon + fp32 MLP compute: tests whether bf16 MLP
+        # rounding x high late lr drives the collapse (the reference trains
+        # fp16 UNDER A GRAD SCALER, main_nerf.py fp16 + torch autocast —
+        # our bf16 path has no loss scaling; never A/B'd before round 4)
+        kw["mlp_dtype"] = "float32"
+    elif args.variant == "bf16_tables":
+        # quality gate for the +6.6% train throughput win (train_bench
+        # --table_dtype bfloat16, RESULTS.md round-4 queue 1): full 30k
+        # schedule with bf16 TRAIN-time table compute. Adopt as default
+        # only if final PSNR matches control within 0.1 dB.
+        kw["grid_table_dtype"] = "bfloat16"
     run_variant(args.variant, scene, args.steps, args.epoch_steps, **kw)
 
 

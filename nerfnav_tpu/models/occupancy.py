@@ -168,9 +168,14 @@ def _update_partial(state, cfg: OccupancyConfig, params, net_cfg, key,
 
 
 def _finish_update(state, cfg, grid, tmp, all_cells_mask, thresh_cap=None):
-    # EMA-max; untrained cells (-1 in grid, -1 in tmp) stay negative
-    # (reference renderer.py:496-505)
-    valid = grid >= 0
+    # EMA-max over the cells SAMPLED THIS ROUND only: the reference's
+    # valid_mask is (grid >= 0) & (tmp >= 0) (renderer.py:500-505) — cells a
+    # partial update did not draw keep their stored density untouched.
+    # Decaying unsampled cells too (the pre-round-4 behavior) bled 5% per
+    # sweep out of every occupied cell the occupied-biased draw happened to
+    # miss (~1.5%/sweep at converged occupancy), a slow leak the reference
+    # does not have. Untrained cells (-1 in grid) stay negative either way.
+    valid = (grid >= 0) & (tmp >= 0)
     new_grid = jnp.where(valid, jnp.maximum(grid * cfg.decay, tmp), grid)
     mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
     thresh = jnp.minimum(mean_density, cfg.density_thresh)
