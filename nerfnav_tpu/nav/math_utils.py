@@ -64,7 +64,8 @@ def rot_matrix_to_vec(R):
     """Rotation matrix (..., 3, 3) -> axis-angle (..., 3) (log map,
     reference math_utils.py:116-157)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    theta = _acos_safe((trace - 1.0) / 2.0)
+    cos_theta = (trace - 1.0) / 2.0
+    theta = _acos_safe(cos_theta)
     off = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -77,7 +78,31 @@ def rot_matrix_to_vec(R):
     # theta -> 0 limit: off/2 * (1 + theta^2/6 + ...)
     sin_theta = jnp.maximum(jnp.sin(theta), 1e-12)
     factor = jnp.where(theta < 1e-6, 0.5 + theta**2 / 12.0, theta / (2.0 * sin_theta))
-    return off * factor[..., None]
+    generic = off * factor[..., None]
+
+    # Near theta = pi the generic form is 0/0: `off` = 2 sin(theta) a decays
+    # to fp noise while 1/sin blows up, and the clamp above turned that noise
+    # into ~1e5-magnitude vectors (a near-180-degree relative attitude in the
+    # planner produced omega ~ 1e6 rad/s and an inf torque^4 cost -> NaN
+    # solve). R + R^T - (trace - 1) I = 2(1 - cos) a a^T stays
+    # well-conditioned there: its largest-diagonal column IS the axis scaled
+    # by 2(1-cos) a_j; sign-align it with `off` (ambiguous only at exactly
+    # pi, where a and -a are the same rotation).
+    sym = (
+        R + jnp.swapaxes(R, -1, -2)
+        - (trace - 1.0)[..., None, None] * jnp.broadcast_to(jnp.eye(3), R.shape)
+    )
+    diag = jnp.stack([sym[..., 0, 0], sym[..., 1, 1], sym[..., 2, 2]], axis=-1)
+    j = jnp.argmax(diag, axis=-1)
+    col = jnp.take_along_axis(sym, j[..., None, None], axis=-1)[..., 0]
+    axis = col / _norm_safe(col)
+    sign = jnp.where(jnp.sum(col * off, axis=-1) >= 0.0, 1.0, -1.0)
+    near_pi = theta[..., None] * sign[..., None] * axis
+    return jnp.where((cos_theta < -0.99)[..., None], near_pi, generic)
+
+
+def _norm_safe(v, eps: float = 1e-12):
+    return jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps)
 
 
 def rot_x(theta):

@@ -48,6 +48,25 @@ class TestSO3:
         assert np.all(np.isfinite(np.asarray(g)))
         np.testing.assert_allclose(np.asarray(g), np.eye(3), atol=1e-3)
 
+    def test_log_near_pi_stable(self):
+        # regression: the theta/(2 sin theta) form is 0/0 at theta = pi;
+        # before the sym-matrix branch, fp noise in R - R^T blew up into
+        # ~1e5-magnitude vectors (planner omega ~1e6 rad/s -> inf torque^4
+        # cost -> NaN solve in examples/quickstart.py stage 5)
+        rng = np.random.default_rng(1)
+        for theta in [3.0, 3.14, np.pi - 1e-6, np.pi]:
+            ax = rng.normal(size=(4, 3))
+            ax /= np.linalg.norm(ax, axis=-1, keepdims=True)
+            v = jnp.asarray(ax * theta, jnp.float32)
+            R = vec_to_rot_matrix(v)
+            back = rot_matrix_to_vec(R)
+            # axis sign is ambiguous at pi: compare the rotations
+            R2 = vec_to_rot_matrix(back)
+            assert float(jnp.abs(jnp.linalg.norm(back, axis=-1) - theta).max()) < 1e-3
+            assert float(jnp.abs(R - R2).max()) < 1e-3
+            g = jax.grad(lambda M: jnp.sum(rot_matrix_to_vec(M) ** 2))(R)
+            assert bool(jnp.isfinite(g).all())
+
     def test_identity_log_is_zero(self):
         np.testing.assert_allclose(
             np.asarray(rot_matrix_to_vec(jnp.eye(3))), np.zeros(3), atol=1e-6
