@@ -290,6 +290,20 @@ def main():
         if t_a0:
             mcfg = dataclasses.replace(mcfg, t_a0_steps=t_a0)
         print(json.dumps({"occ_ladder_t_a0": t_a0}), flush=True)
+    elif args.occ_ladder:
+        # gamma analogue: bound the static gamma ladder's SPAN by the
+        # occupied AABB (plan_gamma_span) — same exact corner-distance bound,
+        # world units because gamma steps are non-uniform
+        import dataclasses
+
+        from nerfnav_tpu.ops.marching import plan_gamma_span
+
+        span = plan_gamma_span(np.stack(occs), mcfg)
+        if span:
+            mcfg = dataclasses.replace(mcfg, gamma_span=span)
+        print(json.dumps({"gamma_span": round(span, 4),
+                          "gamma_steps": len(mcfg.coarse_gamma_ladder[0])}),
+              flush=True)
 
     if args.proxy:
         # segment-termination table: min-pooled SCALED density (sigma ~O(1)

@@ -37,7 +37,8 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                 stride_phase: str = "random",
                 occ_thresh_freeze_after: float = 0.0,
                 mlp_dtype: str = "bfloat16",
-                grid_table_dtype: str = "float32"):
+                grid_table_dtype: str = "float32",
+                ema_sampled_only: bool = False):
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
     from nerfnav_tpu.models import NetworkConfig, RenderConfig
@@ -63,7 +64,8 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                          stride_phase=stride_phase)
     tr = Trainer(cfg, rcfg, opt,
                  occupancy_cfg=OccupancyConfig(bound=1.0, min_near=0.05,
-                                               density_thresh=5.0),
+                                               density_thresh=5.0,
+                                               ema_sampled_only=ema_sampled_only),
                  march_cfg=MarchConfig(bound=1.0, samples_per_ray=32,
                                        min_near=0.05))
     tr.train(train_ds, valid_ds=val_ds,
@@ -79,7 +81,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="control",
                     choices=["control", "occ_freeze", "lr_fast", "ray_hash",
-                             "thresh_freeze", "fp32_mlp", "bf16_tables"])
+                             "thresh_freeze", "fp32_mlp", "bf16_tables",
+                             "ema_sampled"])
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--epoch_steps", type=int, default=3000)
     ap.add_argument("--scene", default="cluttered")
@@ -118,6 +121,12 @@ def main():
         # fp16 UNDER A GRAD SCALER, main_nerf.py fp16 + torch autocast —
         # our bf16 path has no loss scaling; never A/B'd before round 4)
         kw["mlp_dtype"] = "float32"
+    elif args.variant == "ema_sampled":
+        # reference EMA valid-mask (decay only sampled cells). MEASURED round
+        # 4: collapses EARLIER and DEEPER than decay-all (26.0 peak @3k ->
+        # 21.5 final vs 28.4 -> 23.5) — reference parity loses under the
+        # static sample budget; OccupancyConfig default stays decay-all.
+        kw["ema_sampled_only"] = True
     elif args.variant == "bf16_tables":
         # quality gate for the +6.6% train throughput win (train_bench
         # --table_dtype bfloat16, RESULTS.md round-4 queue 1): full 30k

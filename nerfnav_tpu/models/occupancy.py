@@ -39,6 +39,17 @@ class OccupancyConfig:
     update_chunk: int = 2 ** 17          # density-query batch inside the sweep
     min_near: float = 0.2
     coarse_factor: int = 4               # coarse bitfield maxpool (marcher phase A)
+    # EMA-decay scope for partial updates. The REFERENCE decays only cells the
+    # sweep actually sampled (valid_mask = (grid >= 0) & (tmp >= 0),
+    # renderer.py:500-505); decaying every trained cell ("all") additionally
+    # bleeds 5%/sweep out of cells the draw missed. Chip A/B on the 30k
+    # reference-lr drift probe (RESULTS.md round 4): reference semantics
+    # ("sampled") collapses EARLIER and 2 dB DEEPER (26.0 peak -> 21.5) than
+    # "all" (28.4 -> 23.5) — under our STATIC per-ray sample budget a
+    # slower-carved (denser) grid dilutes sampling resolution, a coupling the
+    # reference's adaptive-length marcher doesn't have. Default keeps the
+    # measured-better decay-all behavior.
+    ema_sampled_only: bool = False
 
     @cached_property
     def cascades(self) -> int:
@@ -168,14 +179,15 @@ def _update_partial(state, cfg: OccupancyConfig, params, net_cfg, key,
 
 
 def _finish_update(state, cfg, grid, tmp, all_cells_mask, thresh_cap=None):
-    # EMA-max over the cells SAMPLED THIS ROUND only: the reference's
-    # valid_mask is (grid >= 0) & (tmp >= 0) (renderer.py:500-505) — cells a
-    # partial update did not draw keep their stored density untouched.
-    # Decaying unsampled cells too (the pre-round-4 behavior) bled 5% per
-    # sweep out of every occupied cell the occupied-biased draw happened to
-    # miss (~1.5%/sweep at converged occupancy), a slow leak the reference
-    # does not have. Untrained cells (-1 in grid) stay negative either way.
-    valid = (grid >= 0) & (tmp >= 0)
+    # EMA-max. Decay scope is cfg.ema_sampled_only (see OccupancyConfig):
+    # "sampled" is the reference's valid_mask (renderer.py:500-505) but
+    # chip-measured 2 dB WORSE on the 30k drift probe under our static
+    # sample budget; the default decays every trained cell. Untrained cells
+    # (-1 in grid) stay negative either way.
+    if cfg.ema_sampled_only:
+        valid = (grid >= 0) & (tmp >= 0)
+    else:
+        valid = grid >= 0
     new_grid = jnp.where(valid, jnp.maximum(grid * cfg.decay, tmp), grid)
     mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
     thresh = jnp.minimum(mean_density, cfg.density_thresh)

@@ -120,6 +120,14 @@ class MarchConfig:
     #   decorrelated across rays (no global lattice<->field coupling — the
     #   round-1 failure was ONE phase shared by all rays). Rays with
     #   count <= K are exact marches either way.
+    gamma_span: float = 0.0       # STATIC gamma-ladder span override in world
+    #   units (dt_gamma > 0 only; 0 = full worst-case crossing
+    #   2*sqrt(3)*bound). The gamma analogue of t_a0_steps: plan_gamma_span
+    #   bounds the span any ray's occupied content can cover by the
+    #   occupied-AABB corner distances, and the static gamma ladders
+    #   (MarchConfig.ladder / coarse_gamma_ladder) stop once tau exceeds it —
+    #   candidates dropped are beyond every occupied cell by construction,
+    #   so the sample set is unchanged. A span change recompiles the march.
     a0_segments: int = 0          # super-coarse phase-A0 prefilter (block
     #   marcher, normalized ladders only): walk a ~15-candidate ladder at one
     #   COARSE-BLOCK-edge step against the "any cell in block occupied" bit
@@ -150,6 +158,8 @@ class MarchConfig:
         taus, dts = [], []
         t = 0.0
         span = 2.0 * _SQRT3 * max(self.bound, 1.0)
+        if self.gamma_span > 0.0:
+            span = min(span, self.gamma_span)
         for _ in range(self.max_steps):
             dt = float(np.clip(t * self.dt_gamma, self.dt_min, self.dt_max))
             taus.append(t)
@@ -173,6 +183,8 @@ class MarchConfig:
         hc = self.grid_size // self.coarse_factor
         cap = 0.95 * 2.0 * min(2.0 ** (self.cascades - 1), self.bound) / hc
         span = 2.0 * _SQRT3 * max(self.bound, 1.0)
+        if self.gamma_span > 0.0:
+            span = min(span, self.gamma_span)
         taus, dtcs = [], []
         t = 0.0
         for _ in range(self.max_steps):  # bounded; real count is far smaller
@@ -650,6 +662,38 @@ def plan_occupied_ladder(occ_grids, cfg: MarchConfig, pad_cells: int = 1):
     if -(-t_a0 // g_a) < 8:          # under the cliff: pad to 8 full runs
         t_a0 = 8 * g_a
     return min(t_a0, auto)
+
+
+def plan_gamma_span(occ_grids, cfg: MarchConfig, pad_cells: int = 1):
+    """Gamma-ladder analogue of plan_occupied_ladder: bound the STATIC gamma
+    ladder's span (MarchConfig.gamma_span) by the occupied geometry.
+
+    The gamma ladders measure tau from each ray's cube entry, and any ray's
+    occupied content ends by its occupied-AABB exit, so
+    (t_exit_aabb - t_entry_cube) <= max over cube-corner x aabb-corner
+    distances — the identical exact bound the gamma=0 plan uses for its step
+    count, in world units because the gamma ladder's steps are non-uniform.
+    Two top-cascade coarse cells of margin absorb the near jitter and the
+    endpoint-pair test. Returns the span float (0.0 = nothing occupied /
+    no shrink available); apply with
+    dataclasses.replace(cfg, gamma_span=span). Plan once per occupancy
+    version — a span change recompiles the march.
+    """
+    aabb, _ = plan_occupied_crop(occ_grids, cfg, pad_cells)
+    full = 2.0 * _SQRT3 * max(cfg.bound, 1.0)
+    if aabb is None:
+        return 0.0
+    lo, hi = aabb[:3], aabb[3:]
+    b = cfg.bound
+    cube = np.array([[x, y, z] for x in (-b, b) for y in (-b, b)
+                     for z in (-b, b)])
+    ac = np.array([[p[0], q[1], r[2]] for p in (lo, hi) for q in (lo, hi)
+                   for r in (lo, hi)])
+    span = float(np.sqrt(((cube[:, None, :] - ac[None, :, :]) ** 2)
+                         .sum(-1).max()))
+    hc = cfg.grid_size // cfg.coarse_factor
+    cap = 0.95 * 2.0 * min(2.0 ** (cfg.cascades - 1), cfg.bound) / hc
+    return float(min(span + 2.0 * cap, full))
 
 
 def autotune_march_shape(occupancy, cfg: MarchConfig, rays_o, rays_d,

@@ -575,6 +575,19 @@ class Trainer:
             self._train_step_fns[key] = (self._build_clip_step(rH, rW), s)
         return self._train_step_fns[key]
 
+    @staticmethod
+    def _apply_ladder_plan(mcfg, plan):
+        """Apply a _planned_ladder result to a MarchConfig: an int is a
+        t_a0_steps override (gamma=0 normalized ladder), a float is a
+        gamma_span bound (dt_gamma > 0 static gamma ladder). 0 = no plan."""
+        if not plan or mcfg is None:
+            return mcfg
+        import dataclasses
+
+        if isinstance(plan, float):
+            return dataclasses.replace(mcfg, gamma_span=plan)
+        return dataclasses.replace(mcfg, t_a0_steps=plan)
+
     def _eval_march_cfg(self):
         """The march config eval/test/GUI rendering uses: the training
         MarchConfig with the render-only trims applied
@@ -613,13 +626,10 @@ class Trainer:
             return t["ro"], t["rd"]
 
         if mcfg is not None and self.opt.eval_rounds:
-            import dataclasses
-
             from nerfnav_tpu.models import render_rays_grid_rounds
 
             shade_order = self.opt.shade_order
-            mcfg_r = (mcfg if not t_a0
-                      else dataclasses.replace(mcfg, t_a0_steps=t_a0))
+            mcfg_r = self._apply_ladder_plan(mcfg, t_a0)
 
             def core(params, occupancy, rays_o, rays_d, bg_color, crop_aabb,
                      z_window):
@@ -884,14 +894,10 @@ class Trainer:
         cached = getattr(self, "_frozen_scan_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
-        import dataclasses
-
         from nerfnav_tpu.models import render_rays_grid_rounds
 
         cfg = self.cfg
-        mcfg = self._eval_march_cfg()
-        if t_a0:
-            mcfg = dataclasses.replace(mcfg, t_a0_steps=t_a0)
+        mcfg = self._apply_ladder_plan(self._eval_march_cfg(), t_a0)
         shade_order = self.opt.shade_order
         field = make_field(params, cfg)
         # keep the baked arrays alive for the program's lifetime
@@ -915,31 +921,50 @@ class Trainer:
         (TrainerOptions.eval_occ_ladder), planned once per occupancy version.
 
         Returns 0 (use the config's auto ladder) when planning is off, the
-        march has an explicit t_a0 override, the ladder is not normalized, or
-        nothing is occupied yet. The plan is quantized UP to whole anchor
-        runs so small occupancy drifts reuse the compiled render program."""
+        march has an explicit override, the gamma=0 ladder is not normalized,
+        or nothing is occupied yet. Otherwise an int t_a0_steps (dt_gamma=0)
+        or a float gamma_span bound (dt_gamma > 0) — see _apply_ladder_plan.
+        Plans are quantized UP (anchor runs / coarse-cell edges) so small
+        occupancy drifts reuse the compiled render program."""
         mcfg = self.march_cfg
         if (mcfg is None or not self.opt.eval_occ_ladder
-                or not self.opt.eval_rounds or not isinstance(occupancy, dict)
-                or not mcfg.coarse_normalized or mcfg.dt_gamma != 0.0
-                or mcfg.t_a0_steps):
+                or not self.opt.eval_rounds or not isinstance(occupancy, dict)):
+            return 0
+        gamma = mcfg.dt_gamma > 0.0
+        if gamma:
+            if mcfg.gamma_span:
+                return 0
+        elif not mcfg.coarse_normalized or mcfg.t_a0_steps:
             return 0
         ver = getattr(self, "_occ_version", 0)
         cached = self._ladder_plan
         if cached is not None and cached[0] == ver:
             return cached[1]
         from nerfnav_tpu.ops.marching import (
-            phase_a_group_of, plan_occupied_ladder,
+            phase_a_group_of, plan_gamma_span, plan_occupied_ladder,
         )
 
         bits = np.asarray(occupancy["bitfield"])
         occ = np.unpackbits(bits, axis=-1, bitorder="little")
-        t_a0 = plan_occupied_ladder(occ, self._eval_march_cfg())
-        if t_a0:
-            g = phase_a_group_of(self._eval_march_cfg())
-            t_a0 = -(-t_a0 // g) * g
-        self._ladder_plan = (ver, t_a0)
-        return t_a0
+        ecfg = self._eval_march_cfg()
+        if gamma:
+            span = plan_gamma_span(occ, ecfg)
+            if span:
+                # quantize up to coarse-cell edges (the gamma ladder's step
+                # cap) so occupancy drifts within a cell reuse the program
+                hc = ecfg.grid_size // ecfg.coarse_factor
+                cap = 0.95 * 2.0 * min(2.0 ** (ecfg.cascades - 1),
+                                       ecfg.bound) / hc
+                span = float(np.ceil(span / cap) * cap)
+            plan = span
+        else:
+            t_a0 = plan_occupied_ladder(occ, ecfg)
+            if t_a0:
+                g = phase_a_group_of(ecfg)
+                t_a0 = -(-t_a0 // g) * g
+            plan = t_a0
+        self._ladder_plan = (ver, plan)
+        return plan
 
     def render_full(self, params, pose, intrinsics, H, W, bg_color=1.0,
                     crop_aabb=None, pixel_offset=None, frozen=False):
@@ -1091,9 +1116,7 @@ class Trainer:
         if self.opt.eval_table_dtype != "float32":
             params = self._cast_eval_tables(params)
         occupancy = self.state.occupancy
-        t_a0 = self._planned_ladder(occupancy)
-        if t_a0:
-            mcfg = dataclasses.replace(mcfg, t_a0_steps=t_a0)
+        mcfg = self._apply_ladder_plan(mcfg, self._planned_ladder(occupancy))
         field = make_field(params, self.cfg)
         scfg = SequenceConfig(shade_order=self.opt.shade_order,
                               bg_color=float(bg_color))

@@ -900,6 +900,63 @@ class TestGammaMarch:
                                       np.asarray(m_b["valid"]))
         np.testing.assert_allclose(np.asarray(m_d["z"]), np.asarray(m_b["z"]))
 
+    def test_gamma_span_plan_preserves_samples(self):
+        """plan_gamma_span truncates the static gamma ladder to the occupied
+        span (the gamma analogue of the occ-ladder plan): the dropped
+        candidates lie beyond every occupied cell, so the marched sample set
+        must be IDENTICAL. phase_a_group is pinned across the pair so the
+        anchor-run geometry on the shared ladder prefix matches exactly."""
+        import dataclasses
+
+        from nerfnav_tpu.ops.marching import (
+            march_rays_block, march_rays_two_phase, plan_gamma_span,
+        )
+        from nerfnav_tpu.ops.morton import pack_blocks, unpackbits
+
+        cfg = self._cfg(1 / 64)
+        bf, bfc = self._occ(cfg)
+        occ = unpackbits(bf).reshape(cfg.cascades, -1)
+        span = plan_gamma_span(np.asarray(occ), cfg)
+        full = 2.0 * np.sqrt(3.0) * cfg.bound
+        assert 0.0 < span < full  # the sphere occupies a strict subset
+        cfg_p = dataclasses.replace(cfg, gamma_span=span)
+        assert len(cfg_p.coarse_gamma_ladder[0]) < len(cfg.coarse_gamma_ladder[0])
+
+        rng = np.random.default_rng(11)
+        o = jnp.asarray(np.concatenate(
+            [rng.uniform(-0.3, 0.3, (16, 2)), np.full((16, 1), -1.9)], -1
+        ), jnp.float32)
+        d = rng.normal(size=(16, 3))
+        d[:, 2] = np.abs(d[:, 2]) + 1.0
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                        jnp.float32)
+
+        # byte two-phase marcher: candidate tests are per-candidate, so the
+        # truncation must be bitwise sample-preserving
+        m_full = march_rays_two_phase(o, d, bf, bfc, cfg)
+        m_plan = march_rays_two_phase(o, d, bf, bfc, cfg_p)
+        np.testing.assert_array_equal(np.asarray(m_full["valid"]),
+                                      np.asarray(m_plan["valid"]))
+        v = np.asarray(m_full["valid"])
+        np.testing.assert_allclose(np.asarray(m_full["z"])[v],
+                                   np.asarray(m_plan["z"])[v], rtol=1e-6)
+
+        # block marcher with pinned anchor-run length
+        H = cfg.grid_size
+        hc = H // cfg.coarse_factor
+        occ_c = unpackbits(bfc).reshape(cfg.cascades, -1)
+        blocks = pack_blocks(occ, H)
+        blocks_c = pack_blocks(occ_c, hc, block=8 if hc % 8 == 0 else 4)
+        cfg_g = dataclasses.replace(cfg, phase_a_group=4)
+        cfg_pg = dataclasses.replace(cfg_p, phase_a_group=4)
+        b_full = march_rays_block(o, d, blocks, blocks_c, cfg_g)
+        b_plan = march_rays_block(o, d, blocks, blocks_c, cfg_pg)
+        np.testing.assert_array_equal(np.asarray(b_full["valid"]),
+                                      np.asarray(b_plan["valid"]))
+        vb = np.asarray(b_full["valid"])
+        np.testing.assert_allclose(np.asarray(b_full["z"])[vb],
+                                   np.asarray(b_plan["z"])[vb], rtol=1e-6)
+
     def test_gamma_render_close_to_uniform(self):
         """Adaptive stepping renders the same scene close to the dt_gamma=0
         reference (integration coarsens far from origin, tolerance loose)."""
