@@ -172,6 +172,16 @@ def main():
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke tests; never for "
                         "recorded numbers)")
+    p.add_argument("--ckpt", default="",
+                   help="bench a TRAINED checkpoint instead of the synthetic "
+                        "shell workload: loads ema_params + the trained "
+                        "occupancy state from a Trainer .npz (the drift/"
+                        "quality 30k protocol: bound=1, 4x8 @ 2^17, grid "
+                        "128). Validates the synthetic proxy — same render "
+                        "programs, real carved occupancy + real densities")
+    p.add_argument("--bound", type=float, default=0.0,
+                   help="scene bound (0 = auto: 2.0 for the synthetic "
+                        "shell, 1.0 with --ckpt — the trained 30k protocol)")
     args = p.parse_args()
     import jax
 
@@ -187,7 +197,7 @@ def main():
     from nerfnav_tpu.ops.marching import MarchConfig
     from nerfnav_tpu.ops.morton import pack_blocks, packbits
 
-    BOUND = 2.0
+    BOUND = args.bound or (1.0 if args.ckpt else 2.0)
     H = W = args.hw
     # TPU-flagship field config: cell-layout hash tables (one wide gather per
     # level instead of 8 narrow ones), 4 levels x 8 features (quarter the
@@ -204,7 +214,9 @@ def main():
     cfg = NetworkConfig(bound=BOUND, mlp_dtype="bfloat16", grid_layout="cell",
                         grid_log2_hashmap_size=args.log2,
                         grid_levels=args.levels, grid_level_dim=args.level_dim,
-                        density_scale=args.density_scale)
+                        # a trained field carries real densities; the
+                        # converged-opacity stand-in is for the random init
+                        density_scale=1.0 if args.ckpt else args.density_scale)
     mcfg = MarchConfig(bound=BOUND, grid_size=128, max_steps=1024,
                       samples_per_ray=args.k, min_near=0.2,
                       coarse_normalized=not args.fixed_march,
@@ -219,38 +231,66 @@ def main():
                       t_a0_steps=args.t_a0,
                       dt_gamma=args.dt_gamma)
     params = init_network(jax.random.PRNGKey(0), cfg)
+    Hg = mcfg.grid_size
+    f = mcfg.coarse_factor
+    hc = Hg // f
+    density_grid = None
+    if args.ckpt:
+        # trained workload: ema_params + the trained occupancy state (carved
+        # bitfields, block tables, EMA densities) straight from a Trainer
+        # checkpoint — the drift/quality 30k protocol's artifact
+        from nerfnav_tpu.models.occupancy import (
+            OccupancyConfig, init_occupancy_state,
+        )
+        from nerfnav_tpu.training.checkpoint import load_checkpoint
+
+        occ_cfg = OccupancyConfig(bound=BOUND, grid_size=Hg,
+                                  coarse_factor=f, min_near=mcfg.min_near)
+        like = {"ema_params": params,
+                "occupancy": init_occupancy_state(occ_cfg)}
+        tree, _meta, report = load_checkpoint(args.ckpt, like)
+        if report:
+            raise SystemExit(f"ckpt load mismatches: {report}")
+        params = tree["ema_params"]
+        occupancy = {k: tree["occupancy"][k]
+                     for k in ("bitfield", "bitfield_coarse",
+                               "blocks", "blocks_coarse")}
+        occs = [np.unpackbits(np.asarray(occupancy["bitfield"][c]),
+                              bitorder="little").astype(bool)
+                for c in range(mcfg.cascades)]
+        density_grid = np.asarray(tree["occupancy"]["density_grid"])
+        print(json.dumps({"ckpt": args.ckpt,
+                          "occ_frac": [round(float(o.mean()), 4)
+                                       for o in occs]}), flush=True)
+    else:
+        # converged-style occupancy: shell structure ~6% occupied in cascade 0
+        idx = np.arange(Hg**3)
+        c = (np.stack([idx // (Hg * Hg), (idx // Hg) % Hg, idx % Hg], -1) + 0.5) / Hg * 2 - 1
+        r = np.linalg.norm(c, axis=-1)
+        occ0 = ((r > 0.35) & (r < 0.5)) | (np.abs(c[:, 2] + 0.8) < 0.05)  # shell+floor
+        occs = [occ0] + [(r < 0.3) for _ in range(1, mcfg.cascades)]
+        bitfield = jnp.stack([packbits(jnp.asarray(o.astype(np.float32))) for o in occs])
+        coarse = jnp.stack([
+            packbits(jnp.asarray(
+                o.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
+                .astype(np.float32)))
+            for o in occs
+        ])
+        occ_all = jnp.asarray(np.stack(occs))
+        occ_coarse = jnp.asarray(np.stack([
+            o.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
+            for o in occs
+        ]))
+        occupancy = {
+            "bitfield": bitfield,
+            "bitfield_coarse": coarse,
+            # block rows: the marcher's gather-lean fast path (coarse 512-bit)
+            "blocks": pack_blocks(occ_all, Hg),
+            "blocks_coarse": pack_blocks(occ_coarse, hc, block=8),
+        }
     if args.table_dtype == "bfloat16":
         params["encoder"] = [t.astype(jnp.bfloat16) for t in params["encoder"]]
     field = make_field(params, cfg)
-
-    # converged-style occupancy: a shell structure ~6% occupied in cascade 0
-    Hg = mcfg.grid_size
-    idx = np.arange(Hg**3)
-    c = (np.stack([idx // (Hg * Hg), (idx // Hg) % Hg, idx % Hg], -1) + 0.5) / Hg * 2 - 1
-    r = np.linalg.norm(c, axis=-1)
-    occ0 = ((r > 0.35) & (r < 0.5)) | (np.abs(c[:, 2] + 0.8) < 0.05)  # shell+floor
-    occs = [occ0] + [(r < 0.3) for _ in range(1, mcfg.cascades)]
-    bitfield = jnp.stack([packbits(jnp.asarray(o.astype(np.float32))) for o in occs])
-    f = mcfg.coarse_factor
-    hc = Hg // f
-    coarse = jnp.stack([
-        packbits(jnp.asarray(
-            o.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
-            .astype(np.float32)))
-        for o in occs
-    ])
-    occ_all = jnp.asarray(np.stack(occs))
-    occ_coarse = jnp.asarray(np.stack([
-        o.reshape(hc, f, hc, f, hc, f).max(axis=(1, 3, 5)).reshape(-1)
-        for o in occs
-    ]))
-    occupancy = {
-        "bitfield": bitfield,
-        "bitfield_coarse": coarse,
-        # block rows: the marcher's gather-lean fast path (coarse at 512-bit)
-        "blocks": pack_blocks(occ_all, Hg),
-        "blocks_coarse": pack_blocks(occ_coarse, hc, block=8),
-    }
     crop_aabb = None
     if args.autotune:
         from nerfnav_tpu.data.rays import get_all_rays as _gar, tile_order as _to
@@ -308,8 +348,11 @@ def main():
     if args.proxy:
         # segment-termination table: min-pooled SCALED density (sigma ~O(1)
         # x density_scale in occupied cells — a ray extinguishes within ~4-5
-        # samples, the converged-scene behavior the termination exploits)
-        dens = np.stack(occs).astype(np.float32) * args.density_scale
+        # samples, the converged-scene behavior the termination exploits).
+        # A trained checkpoint supplies REAL EMA densities instead.
+        dens = (np.clip(density_grid, 0.0, None)
+                if density_grid is not None
+                else np.stack(occs).astype(np.float32) * args.density_scale)
         occupancy["density_coarse_min"] = jnp.asarray(
             dens.reshape(-1, hc, f, hc, f, hc, f).min(axis=(2, 4, 6))
             .reshape(len(occs), -1))

@@ -45,14 +45,18 @@ tr = Trainer(cfg, rcfg, opt,
 tr.train(train_ds, max_epochs=1, steps_per_epoch=1500)
 
 variants = {
+    # round-4 sweep (verdict item 2b): first_k and the segment proxy have
+    # never been A/B'd TOGETHER at the flagship eval trims. Quality gate:
+    # within 0.1 dB of control to adopt for the headline config.
     "k32_spread": dict(samples_per_ray=32),
-    "k32_seg8_anch2_cfk": dict(samples_per_ray=32, coarse_segments=8,
-                               coarse_anchors=2, coarse_first_k=True),
-    "k32_seg12_anch2_cfk": dict(samples_per_ray=32, coarse_segments=12,
-                                coarse_anchors=2, coarse_first_k=True),
-    "k32_seg8_anch2_cfk9": dict(samples_per_ray=32, coarse_segments=8,
-                                coarse_anchors=2, coarse_first_k=True,
-                                first_k_frac=0.9),
+    "k32_firstk": dict(samples_per_ray=32, first_k=True),
+    "k32_proxy": dict(samples_per_ray=32, proxy_terminate=True),
+    "k32_firstk_proxy": dict(samples_per_ray=32, first_k=True,
+                             proxy_terminate=True),
+    "k32_seg12_anch2_firstk_proxy": dict(samples_per_ray=32, first_k=True,
+                                         proxy_terminate=True,
+                                         coarse_segments=12,
+                                         coarse_anchors=2),
 }
 out = {}
 for name, kw in variants.items():

@@ -34,6 +34,15 @@ def main():
     ap.add_argument("--workspace", required=True,
                     help="workspace dir holding the 30k q_cell checkpoints")
     ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--name", default="q_cell",
+                    help="Trainer run name the checkpoints were saved under "
+                         "(the drift-probe runs use drift_<variant>)")
+    ap.add_argument("--set", default="segments",
+                    choices=["segments", "firstk_proxy"],
+                    help="variant sweep: segment trims (round-3) or the "
+                         "first_k x proxy-termination grid (round-4, "
+                         "verdict item 2b — the converged-scene sample-"
+                         "shaving gate)")
     args = ap.parse_args()
 
     scene_dir = tempfile.mkdtemp()
@@ -46,7 +55,7 @@ def main():
                         grid_level_dim=8)
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
     base_march = MarchConfig(bound=1.0, samples_per_ray=32, min_near=0.05)
-    opt = TrainerOptions(name="q_cell", workspace=args.workspace, lr=1e-2,
+    opt = TrainerOptions(name=args.name, workspace=args.workspace, lr=1e-2,
                          iters=30000, num_rays=4096, use_checkpoint="latest",
                          bg_train="white")
     tr = Trainer(cfg, rcfg, opt,
@@ -61,10 +70,22 @@ def main():
     # avoid clobbering the stored best checkpoint from eval-variant sweeps
     tr.stats["best_result"] = 1e9
 
-    variants = {
-        "seg12_anch2": dict(coarse_segments=12, coarse_anchors=2),
-        "seg10_anch2": dict(coarse_segments=10, coarse_anchors=2),
-    }
+    if args.set == "firstk_proxy":
+        variants = {
+            "control": dict(),
+            "firstk": dict(first_k=True),
+            "proxy": dict(proxy_terminate=True),
+            "firstk_proxy": dict(first_k=True, proxy_terminate=True),
+            "seg12_anch2_firstk_proxy": dict(first_k=True,
+                                             proxy_terminate=True,
+                                             coarse_segments=12,
+                                             coarse_anchors=2),
+        }
+    else:
+        variants = {
+            "seg12_anch2": dict(coarse_segments=12, coarse_anchors=2),
+            "seg10_anch2": dict(coarse_segments=10, coarse_anchors=2),
+        }
     out = {}
     for name, kw in variants.items():
         tr.march_cfg = dataclasses.replace(base_march, **kw)
