@@ -71,15 +71,22 @@ def main():
     tr.stats["best_result"] = 1e9
 
     if args.set == "firstk_proxy":
+        # K=32 + proxy marches identical samples (the budget is not binding
+        # on a carved grid) — the speed win requires shrinking K too, which
+        # is exactly what cost 2.5-7 dB on the 1500-step PARTIALLY-carved
+        # grid (RESULTS.md pass-4 table). The converged 30k grid is the
+        # regime the reference's 4-10-sample retirement exploits
+        # (raymarching.cu:829-922); this set decides whether K-shrink +
+        # first_k + proxy is quality-free there.
         variants = {
             "control": dict(),
-            "firstk": dict(first_k=True),
-            "proxy": dict(proxy_terminate=True),
             "firstk_proxy": dict(first_k=True, proxy_terminate=True),
-            "seg12_anch2_firstk_proxy": dict(first_k=True,
-                                             proxy_terminate=True,
-                                             coarse_segments=12,
-                                             coarse_anchors=2),
+            "k16_firstk_proxy": dict(samples_per_ray=16, first_k=True,
+                                     proxy_terminate=True),
+            "k12_firstk_proxy": dict(samples_per_ray=12, first_k=True,
+                                     proxy_terminate=True),
+            "k16_firstk": dict(samples_per_ray=16, first_k=True),
+            "k16": dict(samples_per_ray=16),
         }
     else:
         variants = {
