@@ -34,4 +34,7 @@ run python benchmarks/eval_trims_30k.py --workspace "$WS" \
 #      can be met together without the frozen path's model-mismatch bias
 run python benchmarks/nav_bench.py --skip_planner --filter_render all \
     --filter_opt gn --poi_backend orb --poi_downscale 2
+#   7. fresh stage breakdown (march / encode+MLP / composite ratios) to aim
+#      the next structural render attack
+run python benchmarks/profile_render.py
 echo "QUEUE4-DONE" >> "$LOG"

@@ -673,9 +673,9 @@ def plan_gamma_span(occ_grids, cfg: MarchConfig, pad_cells: int = 1):
     (t_exit_aabb - t_entry_cube) <= max over cube-corner x aabb-corner
     distances — the identical exact bound the gamma=0 plan uses for its step
     count, in world units because the gamma ladder's steps are non-uniform.
-    Two top-cascade coarse cells of margin absorb the near jitter and the
-    endpoint-pair test. Returns the span float (0.0 = nothing occupied /
-    no shrink available); apply with
+    Margin: one dt_min of near jitter plus one top-cascade coarse step (the
+    endpoint-pair test's reach past the truncation point). Returns the span
+    float (0.0 = nothing occupied / no shrink available); apply with
     dataclasses.replace(cfg, gamma_span=span). Plan once per occupancy
     version — a span change recompiles the march.
     """
@@ -693,7 +693,7 @@ def plan_gamma_span(occ_grids, cfg: MarchConfig, pad_cells: int = 1):
                          .sum(-1).max()))
     hc = cfg.grid_size // cfg.coarse_factor
     cap = 0.95 * 2.0 * min(2.0 ** (cfg.cascades - 1), cfg.bound) / hc
-    return float(min(span + 2.0 * cap, full))
+    return float(min(span + cfg.dt_min + cap, full))
 
 
 def autotune_march_shape(occupancy, cfg: MarchConfig, rays_o, rays_d,

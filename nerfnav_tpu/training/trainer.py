@@ -950,12 +950,16 @@ class Trainer:
         if gamma:
             span = plan_gamma_span(occ, ecfg)
             if span:
-                # quantize up to coarse-cell edges (the gamma ladder's step
-                # cap) so occupancy drifts within a cell reuse the program
-                hc = ecfg.grid_size // ecfg.coarse_factor
-                cap = 0.95 * 2.0 * min(2.0 ** (ecfg.cascades - 1),
-                                       ecfg.bound) / hc
-                span = float(np.ceil(span / cap) * cap)
+                # quantize up to FINE-cell edges so occupancy drifts within
+                # a cell reuse the compiled program; a quantized span at or
+                # over the full crossing is no shrink — plan 0 keeps the
+                # auto ladder (and its compiled program)
+                cell = 2.0 * min(2.0 ** (ecfg.cascades - 1),
+                                 ecfg.bound) / ecfg.grid_size
+                span = float(np.ceil(span / cell) * cell)
+                full = 2.0 * np.sqrt(3.0) * max(ecfg.bound, 1.0)
+                if span >= full:
+                    span = 0.0
             plan = span
         else:
             t_a0 = plan_occupied_ladder(occ, ecfg)

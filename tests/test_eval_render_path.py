@@ -198,6 +198,40 @@ class TestOccLadderPlan:
         # empty scene renders pure background
         np.testing.assert_allclose(np.asarray(img), 1.0, atol=1e-5)
 
+    def test_gamma_plan_is_span_float(self, grid_trainer):
+        """dt_gamma > 0: the planner returns a float gamma_span bound (the
+        round-4 gamma analogue of the t_a0 plan) and render_full agrees
+        closely with the unplanned full-span ladder."""
+        import dataclasses
+
+        tr = grid_trainer
+        _ball_occupancy(tr, radius=0.3)  # strict subset: a shrink exists
+        tr.march_cfg = dataclasses.replace(tr.march_cfg, dt_gamma=1 / 64)
+        tr.invalidate_render_cache()
+        img_on, _ = tr.render_full(tr.state.params, POSE, INTR, 16, 16)
+        plan = tr._ladder_plan[1]
+        assert isinstance(plan, float) and plan > 0.0
+        full = 2.0 * np.sqrt(3.0) * tr.march_cfg.bound
+        assert plan < full
+        tr.opt.eval_occ_ladder = False
+        tr.invalidate_render_cache()
+        img_off, _ = tr.render_full(tr.state.params, POSE, INTR, 16, 16)
+        # identical sample set by construction (exactness bound); allow fp
+        # noise from the recompiled program
+        diff = np.abs(np.asarray(img_on) - np.asarray(img_off))
+        assert diff.max() < 1e-5, diff.max()
+        tr.opt.eval_occ_ladder = True
+
+    def test_explicit_gamma_span_override_wins(self, grid_trainer):
+        import dataclasses
+
+        tr = grid_trainer
+        tr.march_cfg = dataclasses.replace(tr.march_cfg, dt_gamma=1 / 64,
+                                           gamma_span=2.0)
+        tr.invalidate_render_cache()
+        tr.render_full(tr.state.params, POSE, INTR, 16, 16)
+        assert tr._ladder_plan is None
+
     def test_explicit_t_a0_override_wins(self, grid_trainer, tmp_path):
         import dataclasses
 
