@@ -23,6 +23,13 @@ run python bench.py --dt_gamma 0.0078125 --no-occ_ladder
 run python bench.py --first_k --proxy
 run python bench.py --k 16 --first_k --proxy
 run python bench.py --k 12 --first_k --proxy
+#   3b. shading-row curve: rows/sample = grid_levels (the render is
+#       gather-RATE bound; 4 levels x 8 dims is the flagship). 2x16 halves
+#       the shading rows at equal feature width — quality arm only if the
+#       speed win is real
+run python bench.py --levels 3 --level_dim 8
+run python bench.py --levels 2 --level_dim 16
+run python bench.py --levels 2 --level_dim 8
 run python bench.py --ckpt "$CKPT"
 run python bench.py --ckpt "$CKPT" --first_k --proxy
 run python bench.py --ckpt "$CKPT" --k 16 --first_k --proxy
