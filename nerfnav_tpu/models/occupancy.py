@@ -192,13 +192,12 @@ def _finish_update(state, cfg, grid, tmp, all_cells_mask, thresh_cap=None):
     mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
     thresh = jnp.minimum(mean_density, cfg.density_thresh)
     if thresh_cap is not None:
-        # pinned carve bar (TrainerOptions.occ_thresh_freeze_after): the
-        # reference's min(mean, density_thresh) RATCHETS UP as the field
-        # sharpens (mean rises), progressively carving marginal surface
-        # cells — the chip-measured driver of the 30k late-schedule drift
-        # (occ_freeze holds >=28 dB under the reference lr; the stride-phase
-        # candidates failed). Capping the threshold keeps density updates
-        # and EMA-decay carving alive while stopping only the ratchet.
+        # pinned carve bar (TrainerOptions.occ_thresh_freeze_after): stops
+        # the min(mean, density_thresh) ratchet while density updates and
+        # EMA-decay carving continue. Round-4 chip verdict: on the drift
+        # probe the arm is bitwise identical to control (the bar was already
+        # pinned at density_thresh), so the ratchet is NOT the late-schedule
+        # collapse driver. Diagnostic knob only.
         thresh = jnp.minimum(thresh, thresh_cap)
     occ = new_grid > thresh
     bitfield = packbits(occ.astype(jnp.float32))

@@ -87,10 +87,13 @@ class TrainerOptions:
     # Softer guard: past this step (fractions <= 1.0 are of `iters`), PIN the
     # carve threshold at its current value instead of freezing maintenance
     # outright — density updates and EMA-decay carving continue; only the
-    # min(mean_density, density_thresh) RATCHET stops. Chip evidence
-    # (drift_probe): the rising bar carves marginal surface cells and drives
-    # the 30k reference-schedule collapse (control 28.40 -> 23.6; occ_freeze
-    # holds >= 28; the stride-phase candidates failed). 0 = off.
+    # min(mean_density, density_thresh) RATCHET stops. Round-4 chip verdict:
+    # the ratchet hypothesis is DEAD — the thresh_freeze drift arm is
+    # bitwise identical to control (the bar was already pinned at
+    # density_thresh on the probe scene), so this knob does not address the
+    # 30k reference-schedule collapse (occ_freeze remains the only full
+    # mitigation; see benchmarks/RESULTS.md round 4). Kept as a diagnostic.
+    # 0 = off.
     occ_thresh_freeze_after: float = 0.0
     seed: int = 0
     tensorboard: bool = False
