@@ -280,6 +280,7 @@ def main():
                 "value": round(dt_s * 1e3, 1),
                 "unit": f"ms ({iters} x 1024 rays)",
                 "pos_drift_m": round(pos_err, 4),
+                "sections": est.last_timings,
             }))
             if filt_s is None or dt_s < filt_s:
                 filt_s = dt_s

@@ -25,6 +25,7 @@ one compiled program.
 
 import json
 import os
+import time
 from dataclasses import dataclass
 
 import jax
@@ -179,6 +180,7 @@ class Estimator:
         self.sig = np.eye(12, dtype=np.float32) * cfg.sig0
         self.Q = np.eye(12, dtype=np.float32) * cfg.q_diag
         self.iteration = 0
+        self.last_timings = None  # estimate_state's section breakdown
         self._opt = optax.adam(cfg.lr)
         self._jit_cache = {}
         # one jitted program for the predict step: the eager alternative
@@ -423,6 +425,8 @@ class Estimator:
         Returns the posterior 12-dim state estimate.
         """
         assert self.xt is not None, "call set_initial_state first"
+        t_walls = {}
+        t0 = time.perf_counter()
         H, W = obs_img.shape[:2]
         if obs_img.dtype == np.uint8:
             # keep the provided quantization — the old u8->f32->u8
@@ -434,10 +438,14 @@ class Estimator:
             img_u8 = (np.clip(img_f, 0, 1) * 255).astype(np.uint8)
 
         action = jnp.asarray(action, jnp.float32)
+        t_walls["img_ms"] = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
 
         # ---- measurement front-end (host)
         poi = find_poi(img_u8, backend=self.cfg.poi_backend,
                        downscale=self.cfg.poi_downscale)
+        t_walls["poi_ms"] = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
         if len(poi) < 3:
             # no features: fall back to the prior (estimator_helpers.py:185-190)
             x_pred, A = self._predict(self.xt, action)
@@ -458,6 +466,8 @@ class Estimator:
         gt_pixels = jnp.asarray(img_f.reshape(-1, 3)[pool])
         pool_inds = jnp.arange(self.cfg.pool_size)  # index into gt_pixels/pool
         rays_pool = jnp.asarray(pool)
+        t_walls["mask_pool_ms"] = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
 
         key = (H, W)
         if key not in self._jit_cache:
@@ -485,6 +495,8 @@ class Estimator:
             self.sig = np.asarray(sig_post)
             self.xt = x
             self.iteration += 1
+            t_walls["solve_ms"] = (time.perf_counter() - t0) * 1e3
+            t0 = time.perf_counter()
         else:
             x_pred, A = self._predict(self.xt, action)
             A = np.asarray(A)
@@ -516,6 +528,8 @@ class Estimator:
             self.iteration += 1
 
         # ---- artifacts + error report
+        t_walls.setdefault("solve_ms", (time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter()
         if self.workspace or obs_pose_gt is not None:
             pose_est = np.asarray(self._pose_fn(x))
             rot_err, trans_err = (None, None)
@@ -552,4 +566,9 @@ class Estimator:
                             "trans_err": trans_err,
                         }, f,
                     )
+        t_walls["artifacts_ms"] = (time.perf_counter() - t0) * 1e3
+        # wall-clock section breakdown of THIS update (img conversions, POI
+        # front-end, mask+pool build, solve incl. device sync, artifacts) —
+        # nav_bench reads it to attribute the update's fixed cost
+        self.last_timings = {k: round(v, 1) for k, v in t_walls.items()}
         return np.asarray(self.xt)
