@@ -41,6 +41,11 @@ run python benchmarks/eval_trims_30k.py --workspace "$WS" \
 #      can be met together without the frozen path's model-mismatch bias
 run python benchmarks/nav_bench.py --skip_planner --filter_render all \
     --filter_opt gn --poi_backend orb --poi_downscale 2
+#   6b. CPU bisect (H=200): frozen+sift 19.6mm, frozen+orb 1.1mm,
+#       dense+sift 0.17mm, dense+orb 2.2mm — dense+sift is the unbiased
+#       combination; measure its chip cost at 800^2
+run python benchmarks/nav_bench.py --skip_planner --filter_render all \
+    --filter_opt gn --poi_backend sift --poi_downscale 2
 #   7. fresh stage breakdown (march / encode+MLP / composite ratios) to aim
 #      the next structural render attack
 run python benchmarks/profile_render.py
