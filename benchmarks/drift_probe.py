@@ -38,7 +38,8 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                 occ_thresh_freeze_after: float = 0.0,
                 mlp_dtype: str = "bfloat16",
                 grid_table_dtype: str = "float32",
-                ema_sampled_only: bool = False):
+                ema_sampled_only: bool = False,
+                occ_hysteresis: float = 0.0):
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
     from nerfnav_tpu.models import NetworkConfig, RenderConfig
@@ -65,7 +66,8 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
     tr = Trainer(cfg, rcfg, opt,
                  occupancy_cfg=OccupancyConfig(bound=1.0, min_near=0.05,
                                                density_thresh=5.0,
-                                               ema_sampled_only=ema_sampled_only),
+                                               ema_sampled_only=ema_sampled_only,
+                                               occ_hysteresis=occ_hysteresis),
                  march_cfg=MarchConfig(bound=1.0, samples_per_ray=32,
                                        min_near=0.05))
     tr.train(train_ds, valid_ds=val_ds,
@@ -82,7 +84,7 @@ def main():
     ap.add_argument("--variant", default="control",
                     choices=["control", "occ_freeze", "lr_fast", "ray_hash",
                              "thresh_freeze", "fp32_mlp", "bf16_tables",
-                             "ema_sampled"])
+                             "ema_sampled", "hysteresis"])
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--epoch_steps", type=int, default=3000)
     ap.add_argument("--scene", default="cluttered")
@@ -127,6 +129,12 @@ def main():
         # 21.5 final vs 28.4 -> 23.5) — reference parity loses under the
         # static sample budget; OccupancyConfig default stays decay-all.
         kw["ema_sampled_only"] = True
+    elif args.variant == "hysteresis":
+        # sticky occupancy carve bar (cells turn off only below 0.5*thresh):
+        # tests the round-4 churn hypothesis — occ_freeze@6k holds >=28 and
+        # ray_hash failed, leaving boundary-cell bitfield flicker as the
+        # remaining sample-lattice noise source the late lr chases
+        kw["occ_hysteresis"] = 0.5
     elif args.variant == "bf16_tables":
         # quality gate for the +6.6% train throughput win (train_bench
         # --table_dtype bfloat16, RESULTS.md round-4 queue 1): full 30k

@@ -50,6 +50,18 @@ class OccupancyConfig:
     # reference's adaptive-length marcher doesn't have. Default keeps the
     # measured-better decay-all behavior.
     ema_sampled_only: bool = False
+    # Occupancy hysteresis (round-4 drift candidate): a cell TURNS ON at
+    # density > thresh but only turns OFF below occ_hysteresis * thresh.
+    # Rationale: cells at the carve boundary flicker in/out every
+    # maintenance sweep (jittered density queries straddle the bar), and
+    # under the STATIC per-ray sample budget each flip reshuffles the
+    # thinned sample lattice — a noise source the late lr chases
+    # (occ_freeze@6k holds >= 28 dB where control collapses; per-ray
+    # stride-phase hashing did NOT fix it, so the churn is the remaining
+    # lattice-noise suspect). Conservative-correct: keeping a marginal cell
+    # marched only spends samples. 0 = off (reference semantics:
+    # renderer.py:508 single threshold both directions).
+    occ_hysteresis: float = 0.0
 
     @cached_property
     def cascades(self) -> int:
@@ -200,6 +212,15 @@ def _finish_update(state, cfg, grid, tmp, all_cells_mask, thresh_cap=None):
         # collapse driver. Diagnostic knob only.
         thresh = jnp.minimum(thresh, thresh_cap)
     occ = new_grid > thresh
+    if cfg.occ_hysteresis > 0.0:
+        # sticky carve bar (OccupancyConfig.occ_hysteresis): a cell already
+        # in the bitfield stays occupied down to hysteresis * thresh —
+        # boundary-cell flicker is what reshuffles the static-budget sample
+        # lattice between sweeps
+        from nerfnav_tpu.ops.morton import unpackbits
+
+        prev_occ = unpackbits(state["bitfield"]).reshape(occ.shape) > 0
+        occ = occ | (prev_occ & (new_grid > cfg.occ_hysteresis * thresh))
     bitfield = packbits(occ.astype(jnp.float32))
     # coarse maxpool mirror (row-major (x*H + y)*H + z layout)
     h, f = cfg.grid_size, cfg.coarse_factor

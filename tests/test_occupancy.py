@@ -145,3 +145,44 @@ def test_thresh_cap_pins_carve_bar():
     assert occ2[: n // 2].all() and occ2[n // 2 : n // 2 + 32].all()
     # zero-density cells stay carved regardless
     assert not occ2[n // 2 + 32 :].any()
+
+
+def test_occ_hysteresis_sticky_carve():
+    """occ_hysteresis: a cell already occupied stays on down to
+    hysteresis * thresh; a cell never occupied needs the full threshold —
+    boundary flicker between sweeps is suppressed (round-4 drift arm)."""
+    from nerfnav_tpu.models.occupancy import _finish_update
+
+    cfg = OccupancyConfig(bound=1.0, grid_size=8, update_chunk=64,
+                          occ_hysteresis=0.5)
+    st = init_occupancy_state(cfg)
+    grid = st["density_grid"]
+    n = grid.shape[1]
+    tmp = jnp.zeros_like(grid)
+    tmp = tmp.at[0, : n // 2].set(100.0)
+    # marginal band between 0.5*thresh and thresh (thresh = 10 here)
+    tmp = tmp.at[0, n // 2 : n // 2 + 32].set(7.0)
+    out = _finish_update(st, cfg, grid, tmp, None)
+    occ = np.unpackbits(np.asarray(out["bitfield"][0]))
+    # never-occupied marginal cells stay off (full threshold to turn on)
+    assert occ[: n // 2].all() and not occ[n // 2 : n // 2 + 32].any()
+    # second sweep from a state where the band IS on: it sticks
+    st2 = dict(out)
+    out2 = _finish_update(st2, cfg, out["density_grid"], tmp, None)
+    occ2 = np.unpackbits(np.asarray(out2["bitfield"][0]))
+    assert occ2[: n // 2].all() and not occ2[n // 2 : n // 2 + 32].any()
+    # force the band on, then drop its density into the hysteresis window
+    from nerfnav_tpu.ops.morton import packbits as pb
+
+    forced = occ.copy()
+    forced[n // 2 : n // 2 + 32] = 1
+    st3 = dict(out)
+    st3["bitfield"] = jnp.asarray(np.packbits(forced, bitorder="little"))[None]
+    out3 = _finish_update(st3, cfg, out["density_grid"], tmp, None)
+    occ3 = np.unpackbits(np.asarray(out3["bitfield"][0]), bitorder="little")
+    assert occ3[n // 2 : n // 2 + 32].all()  # sticky: 7.0 > 0.5 * 10
+    # but a density below the hysteresis bar DOES carve
+    tmp4 = tmp.at[0, n // 2 : n // 2 + 32].set(3.0)
+    out4 = _finish_update(st3, cfg, grid, tmp4, None)
+    occ4 = np.unpackbits(np.asarray(out4["bitfield"][0]), bitorder="little")
+    assert not occ4[n // 2 : n // 2 + 32].any()
