@@ -15,8 +15,9 @@ its window — a narrow ladder (t_a0 ~24, one whole-frame scan) for thin
 surface tiles, a wide ladder (t_a0 ~48, fixed-size chunk groups) for
 silhouette-span tiles — and the ordinary full-ladder program re-renders the
 rest. Window extraction costs one tiny jitted reduction — unlike the
-depth-prepass planner (models/prepass.py) there is no paid probe march,
-which is exactly the regime where that idea wins.
+depth-prepass planner (models/prepass.py, DELETED end of round 3: it never
+beat the occ-ladder baseline once whole-frame scan landed) there is no
+paid probe march.
 
 Trust rule (conservative by construction): a tile is windowed only when
 every ray in its 3x3 tile neighborhood terminated essentially opaque
