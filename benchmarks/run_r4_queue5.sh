@@ -13,4 +13,9 @@ run() {
   echo "--- rc=$? $(date +%H:%M:%S)" >> "$LOG"
 }
 run python benchmarks/drift_probe.py --variant hysteresis
+# training attribution: train_bench now times the occupancy partial sweep
+# (Trainer.train pays it every 16 steps; the steps/s number never included
+# it) — steps_per_sec_with_occ is the honest Trainer.train-equivalent rate
+run python benchmarks/train_bench.py --shell --levels 4 --level_dim 8 --log2 17
+run python benchmarks/train_bench.py --shell --levels 4 --level_dim 8 --log2 17 --table_dtype bfloat16
 echo "QUEUE5-DONE" >> "$LOG"

@@ -123,6 +123,26 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
             state, loss = step_fn(state, arrays, jnp.asarray(s % n_img), sub)
         loss.block_until_ready()
         dt = (time.perf_counter() - t0) / steps
+    # occupancy maintenance cost (Trainer.train runs update_extra_state
+    # every update_extra_interval=16 steps; the timed loop above is
+    # step-only). A partial sweep queries n_cells/4 uniform + n_cells/4
+    # occupied cells per cascade — ~1M density queries at 128^3.
+    from nerfnav_tpu.models.occupancy import update_extra_state
+
+    tr.state = state
+    st_occ = state.occupancy
+    st_occ = dict(st_occ, iter_density=jnp.asarray(99, jnp.int32))  # partial
+    upd = None
+    occ_best = 1e9
+    for rep in range(3):
+        t0 = time.perf_counter()
+        upd = update_extra_state(st_occ, occ, state.params, cfg,
+                                 jax.random.PRNGKey(rep))
+        jax.block_until_ready(upd["density_grid"])
+        occ_best = min(occ_best, time.perf_counter() - t0)
+    occ_ms = occ_best * 1e3
+    interval = 16
+    real_dt = dt + occ_best / interval
     print(json.dumps({
         "metric": "train_steps_per_sec",
         "value": round(1.0 / dt, 2),
@@ -132,6 +152,8 @@ def main(num_rays=4096, steps=50, H=800, W=800, layout="cell",
         "grid": f"{layout} {levels}x{level_dim}",
         "shell": shell,
         "sample_budget": tr._current_budget(),
+        "occ_update_ms": round(occ_ms, 2),
+        "steps_per_sec_with_occ": round(1.0 / real_dt, 2),
     }))
 
 
@@ -167,11 +189,19 @@ if __name__ == "__main__":
                     help="steps fused per dispatch via lax.scan (amortizes "
                          "the relay dispatch floor; the trainer's occupancy "
                          "cadence allows up to update_extra_interval=16)")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--hw", type=int, default=800)
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU smoke run (never for recorded numbers)")
     a = ap.parse_args()
+    if a.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     fracs = (tuple(float(x) for x in a.fracs.split(","))
              if a.fracs else None)
-    main(num_rays=a.num_rays, layout=a.layout, levels=a.levels,
-         level_dim=a.level_dim, log2=a.log2, shell=a.shell,
+    main(num_rays=a.num_rays, steps=a.steps, H=a.hw, W=a.hw, layout=a.layout,
+         levels=a.levels, level_dim=a.level_dim, log2=a.log2, shell=a.shell,
          budget=not a.no_budget, grid_backward=a.grid_backward,
          coarse_segments=a.coarse_segments, coarse_anchors=a.coarse_anchors,
          table_dtype=a.table_dtype, phase_a_group=a.g_a,
