@@ -39,7 +39,8 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                 mlp_dtype: str = "bfloat16",
                 grid_table_dtype: str = "float32",
                 ema_sampled_only: bool = False,
-                occ_hysteresis: float = 0.0):
+                occ_hysteresis: float = 0.0,
+                grid_levels: int = 4, grid_level_dim: int = 8):
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
     from nerfnav_tpu.models import NetworkConfig, RenderConfig
@@ -50,8 +51,9 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
     train_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "train")
     val_ds = NeRFDataset(DatasetOptions(path=scene_dir, scale=1.0), "val")
     cfg = NetworkConfig(bound=1.0, mlp_dtype=mlp_dtype, grid_layout="cell",
-                        grid_log2_hashmap_size=17, grid_levels=4,
-                        grid_level_dim=8, grid_table_dtype=grid_table_dtype)
+                        grid_log2_hashmap_size=17, grid_levels=grid_levels,
+                        grid_level_dim=grid_level_dim,
+                        grid_table_dtype=grid_table_dtype)
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
     # iters stays 30000 so the fractional dt-anneal thresholds are IDENTICAL
     # across variants; only the lr horizon moves (lr_iters) — otherwise the
@@ -88,6 +90,11 @@ def main():
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--epoch_steps", type=int, default=3000)
     ap.add_argument("--scene", default="cluttered")
+    ap.add_argument("--levels", type=int, default=4,
+                    help="grid levels (rows gathered per shaded sample — "
+                         "the render is gather-rate bound; 2x16 halves the "
+                         "shading rows of the 4x8 flagship)")
+    ap.add_argument("--level_dim", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -141,7 +148,11 @@ def main():
         # schedule with bf16 TRAIN-time table compute. Adopt as default
         # only if final PSNR matches control within 0.1 dB.
         kw["grid_table_dtype"] = "bfloat16"
-    run_variant(args.variant, scene, args.steps, args.epoch_steps, **kw)
+    kw["grid_levels"] = args.levels
+    kw["grid_level_dim"] = args.level_dim
+    name = args.variant if (args.levels, args.level_dim) == (4, 8) \
+        else f"{args.variant}_{args.levels}x{args.level_dim}"
+    run_variant(name, scene, args.steps, args.epoch_steps, **kw)
 
 
 if __name__ == "__main__":
