@@ -941,7 +941,28 @@ class TestGammaMarch:
         np.testing.assert_allclose(np.asarray(m_full["z"])[v],
                                    np.asarray(m_plan["z"])[v], rtol=1e-6)
 
-        # block marcher with pinned anchor-run length
+    @pytest.mark.slow  # second pair of block-marcher compiles (~10s)
+    def test_gamma_span_plan_block_marcher(self):
+        """Block-marcher half of the span-plan parity (anchor-run length
+        pinned so the shared ladder prefix has identical run geometry)."""
+        import dataclasses
+
+        from nerfnav_tpu.ops.marching import march_rays_block, plan_gamma_span
+        from nerfnav_tpu.ops.morton import pack_blocks, unpackbits
+
+        cfg = self._cfg(1 / 64)
+        bf, bfc = self._occ(cfg)
+        occ = unpackbits(bf).reshape(cfg.cascades, -1)
+        span = plan_gamma_span(np.asarray(occ), cfg)
+        cfg_p = dataclasses.replace(cfg, gamma_span=span)
+        rng = np.random.default_rng(11)
+        o = jnp.asarray(np.concatenate(
+            [rng.uniform(-0.3, 0.3, (16, 2)), np.full((16, 1), -1.9)], -1
+        ), jnp.float32)
+        d = rng.normal(size=(16, 3))
+        d[:, 2] = np.abs(d[:, 2]) + 1.0
+        d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                        jnp.float32)
         H = cfg.grid_size
         hc = H // cfg.coarse_factor
         occ_c = unpackbits(bfc).reshape(cfg.cascades, -1)
