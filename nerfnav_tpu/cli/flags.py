@@ -103,6 +103,13 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--eval_coarse_anchors", type=int, default=2,
                    help="render-only anchors per phase-A run for eval/test/"
                    "GUI; 0 = same as training")
+    p.add_argument("--eval_first_k", action="store_true",
+                   help="render-only first-K compaction (the reference's "
+                   "consecutive-from-near inference semantics); default off "
+                   "pending the 30k quality gate (eval_trims_30k)")
+    p.add_argument("--eval_proxy", action="store_true",
+                   help="render-only segment-proxy occlusion termination "
+                   "in the march; default off pending the 30k quality gate")
     p.add_argument("--ff", action="store_true", help="fused-MLP backend")
     p.add_argument("--tcnn", action="store_true",
                    help="parity flag; maps to the fused backend on TPU")

@@ -38,6 +38,8 @@ def main(argv=None):
         stride_phase=opt.stride_phase,
         eval_coarse_segments=opt.eval_coarse_segments,
         eval_coarse_anchors=opt.eval_coarse_anchors,
+        eval_first_k=opt.eval_first_k,
+        eval_proxy=opt.eval_proxy,
     )
     # Poseless/CLIP mode: with --clip_weights + --clip_text_embed the native
     # JAX vision tower scores renders (training/clip_jax.py); without them

@@ -148,6 +148,14 @@ class TrainerOptions:
     # 0 = keep the MarchConfig value.
     eval_coarse_segments: int = 12
     eval_coarse_anchors: int = 2
+    # Render-only converged-scene sample shaving (round-4 candidates,
+    # default OFF pending the 30k-checkpoint quality gate,
+    # benchmarks/eval_trims_30k.py --set firstk_proxy): first-K compaction
+    # (the reference's consecutive-from-near inference semantics,
+    # raymarching.cu:707-825) and segment-proxy occlusion termination in
+    # the march. Training marches are untouched either way.
+    eval_first_k: bool = False
+    eval_proxy: bool = False
     # Coarse-to-fine marching-step annealing for the grid fast path:
     # ((threshold, dt_multiplier), ...) — marching starts coarse (the static
     # budget then spans every ray without field-dependent stride, which
@@ -602,10 +610,14 @@ class Trainer:
 
         seg = self.opt.eval_coarse_segments or mcfg.coarse_segments
         anch = self.opt.eval_coarse_anchors or mcfg.coarse_anchors
-        if (seg, anch) == (mcfg.coarse_segments, mcfg.coarse_anchors):
+        fk = self.opt.eval_first_k or mcfg.first_k
+        px = self.opt.eval_proxy or mcfg.proxy_terminate
+        if (seg, anch, fk, px) == (mcfg.coarse_segments, mcfg.coarse_anchors,
+                                   mcfg.first_k, mcfg.proxy_terminate):
             return mcfg
         return dataclasses.replace(
-            mcfg, coarse_segments=seg, coarse_anchors=anch)
+            mcfg, coarse_segments=seg, coarse_anchors=anch,
+            first_k=fk, proxy_terminate=px)
 
     def _build_render_chunk(self, t_a0: int | None = None):
         """The cached jitted eval chunk renderer.
