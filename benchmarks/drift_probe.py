@@ -72,13 +72,28 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                                                occ_hysteresis=occ_hysteresis),
                  march_cfg=MarchConfig(bound=1.0, samples_per_ray=32,
                                        min_near=0.05))
-    tr.train(train_ds, valid_ds=val_ds,
-             max_epochs=total_steps // epoch_steps,
-             steps_per_epoch=epoch_steps)
+    import numpy as np
+
+    occ_fracs, churn, mean_dens = [], [], []
+    prev_bits = None
+    for _ in range(total_steps // epoch_steps):
+        tr.train(train_ds, valid_ds=val_ds, max_epochs=1,
+                 steps_per_epoch=epoch_steps)
+        # occupancy trajectory: fraction occupied, per-epoch bitfield churn
+        # (hamming / n_cells), mean density — the round-4 churn hypothesis'
+        # diagnostics ride along with every arm
+        bits = np.unpackbits(np.asarray(tr.state.occupancy["bitfield"]))
+        occ_fracs.append(round(float(bits.mean()), 4))
+        churn.append(0.0 if prev_bits is None
+                     else round(float((bits != prev_bits).mean()), 5))
+        prev_bits = bits
+        mean_dens.append(round(float(tr.state.occupancy["mean_density"]), 3))
     curve = [round(float(p), 3) for p in tr.stats["results"]]
     print(json.dumps({"variant": name, "curve_every": epoch_steps,
                       "curve": curve,
-                      "best": max(curve), "final": curve[-1]}), flush=True)
+                      "best": max(curve), "final": curve[-1],
+                      "occ_frac": occ_fracs, "occ_churn": churn,
+                      "mean_density": mean_dens}), flush=True)
 
 
 def main():
