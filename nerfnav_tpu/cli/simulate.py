@@ -25,23 +25,35 @@ import numpy as np
 
 def simulate(traj, agent, filt, steps: int = 20, open_loop_steps: int = 5,
              noise_std: float = 0.0, noise_mean: float = 0.0, seed: int = 0,
-             on_step=None):
+             on_step=None, fused=None):
     """The reference main loop (simulate.py:18-103). Returns the list of
-    (true_state, estimated_state) pairs."""
+    (true_state, estimated_state) pairs.
+
+    fused: optional nav.fused.FusedMPC — runs each closed-loop tick's
+    estimate + pop + replan + next-action as ONE jitted program instead of
+    the four host-orchestrated stages (step-equivalent; see
+    tests/test_nav_fused.py)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
     history = []
+    action_next = None
     try:
         for it in range(steps):
-            action = np.asarray(traj.get_next_action())
+            action = (np.asarray(traj.get_next_action())
+                      if action_next is None else np.asarray(action_next))
+            action_next = None
             img, true_state, pose = agent.step(
                 action, noise_std=noise_std, noise_mean=noise_mean, rng=rng
             )
             if it < steps - open_loop_steps:
-                x_est = filt.estimate_state(img, pose, action)
-                traj.update_state(x_est)
-                traj.learn_update(it)
+                if fused is not None:
+                    x_est, action_next = fused.step(img, action)
+                    x_est = np.asarray(x_est)
+                else:
+                    x_est = filt.estimate_state(img, pose, action)
+                    traj.update_state(x_est)
+                    traj.learn_update(it)
             else:
                 # open-loop tail (reference simulate.py:71-98)
                 x_est = np.asarray(filt.xt) if filt.xt is not None else true_state[:12]
@@ -81,6 +93,12 @@ def main(argv=None):
     parser.add_argument("--obs_focal", type=float, default=800.0)
     parser.add_argument("--analytic", action="store_true",
                         help="run against the built-in analytic scene (no ckpt)")
+    parser.add_argument("--fused_cycle", action="store_true",
+                        help="run each closed-loop MPC tick (filter update + "
+                        "waypoint pop + replan + next action) as ONE jitted "
+                        "program (nav.fused.FusedMPC; GN filter path only). "
+                        "Headless: per-epoch replan/estimator artifacts are "
+                        "skipped during fused ticks")
     parser.add_argument("--filter_render", type=str, default="dense",
                         choices=["dense", "grid", "frozen"],
                         help="pose-filter render path: 'dense' = the "
@@ -225,7 +243,10 @@ def main(argv=None):
 
     ws = opt.workspace
     os.makedirs(ws, exist_ok=True)
-    traj = Planner(start18, end18, pcfg, density_fn, workspace=ws, exp_name="sim")
+    # fused mode is headless by construction (the per-epoch artifact cadence
+    # would force a host round-trip inside the one-program tick)
+    traj = Planner(start18, end18, pcfg, density_fn,
+                   workspace=None if opt.fused_cycle else ws, exp_name="sim")
     print("[simulate] A* warm start...")
     traj.a_star_init()
     print("[simulate] initial trajectory optimization...")
@@ -248,11 +269,16 @@ def main(argv=None):
         err = np.linalg.norm(true_s[0:3] - est_s[0:3])
         print(f"[simulate] step {it}: pos err {err:.4f}  true {true_s[0:3]}")
 
+    fused = None
+    if opt.fused_cycle:
+        from nerfnav_tpu.nav.fused import FusedMPC
+
+        fused = FusedMPC(filt, traj, H, W)
     history = simulate(traj, agent, filt, steps=opt.steps,
                        open_loop_steps=opt.open_loop_steps,
                        noise_std=opt.mpc_noise_std,
                        noise_mean=opt.mpc_noise_mean, seed=opt.seed,
-                       on_step=on_step)
+                       on_step=on_step, fused=fused)
     final = history[-1][0]
     goal_err = np.linalg.norm(final[0:3] - np.asarray(opt.goal))
     print(f"[simulate] done: {len(history)} steps, final goal error {goal_err:.4f}")

@@ -417,14 +417,12 @@ class Estimator:
         return np.concatenate(outs).reshape(H, W, 3)
 
     # ------------------------------------------------------------ public API
-    def estimate_state(self, obs_img, obs_pose_gt, action):
-        """One filter step (reference estimator_helpers.py:347-419).
-
-        obs_img: (H, W, 3) float [0,1] or uint8; obs_pose_gt: (4,4) true
-        camera pose (logging only); action: (4,) applied control.
-        Returns the posterior 12-dim state estimate.
-        """
-        assert self.xt is not None, "call set_initial_state first"
+    def _front_end(self, obs_img):
+        """Host measurement front-end: image dtype handling, feature
+        detection, interest-region mask, fixed-size pixel pool (reference
+        estimator_helpers.py:155-190). Returns (img_f, poi, rays_pool,
+        gt_pixels, t_walls); rays_pool/gt_pixels are None when fewer than 3
+        features are found (callers fall back to the prior)."""
         t_walls = {}
         t0 = time.perf_counter()
         H, W = obs_img.shape[:2]
@@ -436,24 +434,15 @@ class Estimator:
         else:
             img_f = np.asarray(obs_img, np.float32)
             img_u8 = (np.clip(img_f, 0, 1) * 255).astype(np.uint8)
-
-        action = jnp.asarray(action, jnp.float32)
         t_walls["img_ms"] = (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
 
-        # ---- measurement front-end (host)
         poi = find_poi(img_u8, backend=self.cfg.poi_backend,
                        downscale=self.cfg.poi_downscale)
         t_walls["poi_ms"] = (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
         if len(poi) < 3:
-            # no features: fall back to the prior (estimator_helpers.py:185-190)
-            x_pred, A = self._predict(self.xt, action)
-            sig_pred = np.asarray(A) @ self.sig @ np.asarray(A).T + self.Q
-            self.xt = x_pred
-            self.sig = self._condition(sig_pred)
-            self.iteration += 1
-            return np.asarray(self.xt)
+            return img_f, poi, None, None, t_walls
         mask = interest_region_mask((H, W), poi, self.cfg.kernel_size,
                                     self.cfg.dilate_iter)
         flat = np.flatnonzero(mask.reshape(-1))
@@ -464,9 +453,29 @@ class Estimator:
             pool[pool_count:] = flat[np.arange(self.cfg.pool_size - pool_count) % len(flat)]
 
         gt_pixels = jnp.asarray(img_f.reshape(-1, 3)[pool])
-        pool_inds = jnp.arange(self.cfg.pool_size)  # index into gt_pixels/pool
         rays_pool = jnp.asarray(pool)
         t_walls["mask_pool_ms"] = (time.perf_counter() - t0) * 1e3
+        return img_f, poi, rays_pool, gt_pixels, t_walls
+
+    def estimate_state(self, obs_img, obs_pose_gt, action):
+        """One filter step (reference estimator_helpers.py:347-419).
+
+        obs_img: (H, W, 3) float [0,1] or uint8; obs_pose_gt: (4,4) true
+        camera pose (logging only); action: (4,) applied control.
+        Returns the posterior 12-dim state estimate.
+        """
+        assert self.xt is not None, "call set_initial_state first"
+        H, W = obs_img.shape[:2]
+        action = jnp.asarray(action, jnp.float32)
+        img_f, poi, rays_pool, gt_pixels, t_walls = self._front_end(obs_img)
+        if rays_pool is None:
+            # no features: fall back to the prior (estimator_helpers.py:185-190)
+            x_pred, A = self._predict(self.xt, action)
+            sig_pred = np.asarray(A) @ self.sig @ np.asarray(A).T + self.Q
+            self.xt = x_pred
+            self.sig = self._condition(sig_pred)
+            self.iteration += 1
+            return np.asarray(self.xt)
         t0 = time.perf_counter()
 
         key = (H, W)
