@@ -67,6 +67,11 @@ def main():
     p.add_argument("--skip_planner", action="store_true",
                    help="filter-only run (saves the planner warm-up when "
                         "sweeping filter knobs)")
+    p.add_argument("--fused_cycle", action="store_true",
+                   help="measure the ONE-PROGRAM MPC tick (nav.fused."
+                        "FusedMPC: GN filter update + pop + replan + next "
+                        "action) — a directly-timed loop Hz, replacing the "
+                        "replan_s + filt_s sum")
     p.add_argument("--horizon", default="static",
                    choices=["static", "legacy", "both"],
                    help="MPC re-root mode for the mpc_step measurement: "
@@ -243,6 +248,40 @@ def main():
         timings["gn_iters"] = cfg_i.gn_iters
         timings["jac_batch"] = cfg_i.gn_jac_batch
         print(json.dumps({"metric": "filter_breakdown", **timings}))
+
+    if args.fused_cycle:
+        import dataclasses
+
+        from nerfnav_tpu.nav.fused import FusedMPC
+
+        cfg_i = dataclasses.replace(ecfg, optimizer="gn")
+        est = Estimator(cfg_i, dyn, dense_render, get_rays_fn,
+                        body_state_to_camera_pose,
+                        get_rays_at_fn=get_rays_at_fn)
+        est.set_initial_state(x0)
+        traj = Planner(s18, e18, pcfg, density_fn)
+        fused = FusedMPC(est, traj, H, W, n_replan=args.replan_iters)
+        hover = np.array([10.0, 0, 0, 0], np.float32)
+        x, act = fused.step(obs, hover)      # warm the one-program tick
+        np.asarray(act)
+        est.set_initial_state(x0)
+        est.sig = np.eye(12, dtype=np.float32) * cfg_i.sig0
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x, act = fused.step(obs, hover)
+            np.asarray(act)                  # sync: the action the loop uses
+        tick_s = (time.perf_counter() - t0) / reps
+        pos_err = float(np.linalg.norm(np.asarray(x)[0:3] - x0[0:3]))
+        print(json.dumps({
+            "metric": "fused_tick_ms",
+            "value": round(tick_s * 1e3, 1),
+            "unit": f"ms (front-end + ONE program: {cfg_i.gn_iters} LM iters"
+                    f" + pop + {args.replan_iters}-iter replan + action)",
+            "fused_loop_hz": round(1.0 / tick_s, 2),
+            "pos_drift_m": round(pos_err, 4),
+            "front_end": fused.last_timings,
+        }))
 
     paths = {"both": ["dense", "grid"],
              "all": ["dense", "grid", "frozen"]}.get(
