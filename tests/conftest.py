@@ -15,6 +15,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# The fast tier is compile-dominated (tiny data, many jitted programs): a
+# persistent compile cache collapses warm re-runs. REPO-local (gitignored),
+# not /tmp or ~/.cache — both were wiped by a mid-round machine reboot;
+# the repo checkout is the only storage that provably survives.
+from nerfnav_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(
+    os.path.join(os.path.dirname(__file__), "..", ".jax_test_cache")
+)
+
 
 # ---------------------------------------------------------------- tiering
 # Inner-loop budget: `pytest -m "not slow"` must stay under ~5 minutes on
@@ -101,6 +111,22 @@ SLOW_NODEIDS = [
     "test_marching.py::TestProxyTerminate::test_render_matches_full_budget",
     "test_nav_math.py::TestDynamics::test_jacobian_finite",
     "test_renderer.py::TestRenderRays::test_perturb_reproducible",
+    # fourth band (round 4, >=10 s per fresh --durations on the 1-core
+    # box): eval_sequence is no longer the default test() path, so its
+    # route test leaves the inner loop; TestEncode keeps test_2d_grid /
+    # test_jit_and_vmap_compatible / interpolates_within_cell as fast
+    # representatives; TestMarch keeps sphere_samples_inside_only
+    "test_eval_render_path.py::TestSequencePath::test_test_uses_sequence_renderer",
+    "test_eval_render_path.py::TestFrozenRender::test_frozen_matches_args_path",
+    "test_eval_render_path.py::TestOccLadderPlan::test_gamma_plan_is_span_float",
+    "test_marching.py::TestGammaMarch::test_gamma_span_plan_preserves_samples",
+    "test_marching.py::TestTwoPhase::test_dispatch",
+    "test_marching.py::TestMarch::test_empty_grid_no_samples",
+    "test_marching.py::TestRayHashPhase::test_random_phase_differs_across_keys",
+    "test_nav_math.py::TestSO3::test_log_near_pi_stable",
+    "test_trainer_e2e.py::test_scan_steps_matches_per_step",
+    "test_hashgrid.py::TestEncode::test_cell_layout_trains_like_corner",
+    "test_hashgrid.py::TestEncode::test_cell_layout_shapes_and_grads",
 ]
 
 
