@@ -15,15 +15,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# The fast tier is compile-dominated (tiny data, many jitted programs): a
-# persistent compile cache collapses warm re-runs. REPO-local (gitignored),
-# not /tmp or ~/.cache — both were wiped by a mid-round machine reboot;
-# the repo checkout is the only storage that provably survives.
-from nerfnav_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache(
-    os.path.join(os.path.dirname(__file__), "..", ".jax_test_cache")
-)
+# NOTE on a rejected speedup: a persistent compile cache for the CPU test
+# tier (repo-local .jax_test_cache) was measured and reverted — XLA:CPU AOT
+# entries barely persist (1.6 MB captured from a full 8-min run), reloads
+# warn about machine-feature mismatches ("could lead to SIGILL"), and warm
+# time was unchanged. The cache stays TPU-only (utils/jax_setup via
+# bench/queue scripts).
 
 
 # ---------------------------------------------------------------- tiering
