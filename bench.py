@@ -108,6 +108,11 @@ def main():
     p.add_argument("--a0", type=int, default=0,
                    help="phase-A0 super-coarse prefilter: keep this many "
                         "block spans (0 = off)")
+    p.add_argument("--beam", type=int, default=1,
+                   help="phase-A beam sharing: consecutive rays per shared "
+                        "coarse march (MarchConfig.beam; row-major 64x64 "
+                        "tiles keep members pixel-adjacent). Chip profile "
+                        "round 4: phase A is 108 of the 262 ms frame")
     p.add_argument("--scan", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="whole-frame single dispatch: lax.map over stacked "
@@ -229,6 +234,7 @@ def main():
                       coarse_first_k=args.coarse_first_k,
                       phase_a_group=args.g_a,
                       t_a0_steps=args.t_a0,
+                      beam=args.beam,
                       dt_gamma=args.dt_gamma)
     params = init_network(jax.random.PRNGKey(0), cfg)
     Hg = mcfg.grid_size

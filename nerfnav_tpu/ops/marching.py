@@ -128,6 +128,24 @@ class MarchConfig:
     #   (MarchConfig.ladder / coarse_gamma_ladder) stop once tau exceeds it —
     #   candidates dropped are beyond every occupied cell by construction,
     #   so the sample set is unchanged. A span change recompiles the march.
+    beam: int = 1                 # phase-A beam sharing (block marcher,
+    #   inference): consecutive `beam` rays share ONE phase-A march — the
+    #   beam ray (first member's origin, mean direction, min/max near/far)
+    #   walks the coarse ladder against a 1-CELL-DILATED coarse table, and
+    #   the kept segments broadcast to every member; phase B stays per-ray
+    #   exact against the UNdilated fine grid. Chip profile (round 4): phase
+    #   A alone is 108 of the 262 ms rounds frame, and adjacent pixels
+    #   traverse near-identical coarse cells — beam=b cuts that cost ~b x.
+    #   CONSERVATIVE by construction when every member ray stays within one
+    #   coarse cell of the beam ray over the whole march span (800^2 at
+    #   focal ~800: spread = (b-1)*z/focal <= 15*z/800 < cell edge
+    #   2^mip*2*c0/hc for b <= 16) — the dilation then guarantees the beam
+    #   test is a superset of each member's own: false positives only
+    #   (phase B rejects), never a dropped segment. Members are CONSECUTIVE
+    #   rays: pixel-coherent chunk layouts (row-major tiles) satisfy the
+    #   spread bound; callers with scrambled ray order must keep beam=1.
+    #   N must divide by beam (else silently off). Inference-only by
+    #   design: the training sampler's per-ray batches are not coherent.
     a0_segments: int = 0          # super-coarse phase-A0 prefilter (block
     #   marcher, normalized ladders only): walk a ~15-candidate ladder at one
     #   COARSE-BLOCK-edge step against the "any cell in block occupied" bit
@@ -1016,6 +1034,41 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     # ---- phase A: coarse segments
     k_a = cfg.coarse_segments
     tbl_coarse = blocks_coarse.reshape(-1, blocks_coarse.shape[-1])
+
+    # ---- beam sharing (MarchConfig.beam): phase A runs once per beam of
+    # mB consecutive rays against the 1-cell-dilated coarse table; the kept
+    # segments broadcast to members and phase B tests the exact fine grid
+    # per ray. oA/dA/nearA/farA/nA shadow the ray arrays for everything up
+    # to the phase-A -> phase-B hand-off (za_buf / dta_buf / valid_a).
+    mB = cfg.beam if (cfg.beam > 1 and n % cfg.beam == 0) else 1
+    nA, oA, dA, nearA, farA = n, rays_o, rays_d, near, far
+    if mB > 1:
+        from nerfnav_tpu.ops.morton import pack_blocks as _pack_blocks
+        from nerfnav_tpu.ops.morton import unpack_blocks as _unpack_blocks
+
+        nA = n // mB
+        oA = rays_o.reshape(nA, mB, 3)[:, 0]
+        dm = jnp.sum(rays_d.reshape(nA, mB, 3), axis=1)
+        dA = dm / jnp.maximum(
+            jnp.linalg.norm(dm, axis=-1, keepdims=True), 1e-12)
+        nearA = near.reshape(nA, mB).min(axis=1)
+        farA = far.reshape(nA, mB).max(axis=1)
+        # 1-cell 3D dilation of the coarse occupancy (separable or-pool):
+        # guarantees the beam-ray test covers every member's own cells as
+        # long as in-beam spread stays under one coarse cell (see
+        # MarchConfig.beam). Tiny (cascades x hc^3 bools); hoisted out of
+        # per-chunk scans by XLA LICM since it depends only on the table.
+        casc = blocks_coarse.shape[0]
+        g = _unpack_blocks(blocks_coarse, hc).reshape(casc, hc, hc, hc)
+        gp = jnp.pad(g, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        g = gp[:, :-2] | gp[:, 1:-1] | gp[:, 2:]
+        gp = jnp.pad(g, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        g = gp[:, :, :-2] | gp[:, :, 1:-1] | gp[:, :, 2:]
+        gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (1, 1)))
+        g = gp[..., :-2] | gp[..., 1:-1] | gp[..., 2:]
+        tbl_coarse = _pack_blocks(
+            g.reshape(casc, -1), hc, block=bc
+        ).reshape(-1, blocks_coarse.shape[-1])
     if gamma:
         # static gamma ladder, padded to whole anchor runs with far-masked
         # tail steps (taus keep growing at the final dtc)
@@ -1028,8 +1081,8 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
                                                        dtype=np.float32)])
             dtcs_np = np.concatenate(
                 [dtcs_np, np.full(pad, dtcs_np[-1], np.float32)])
-        z_a = near[:, None] + jnp.asarray(taus_np)[None, :]   # (N, T_A)
-        pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
+        z_a = nearA[:, None] + jnp.asarray(taus_np)[None, :]  # (N_A, T_A)
+        pos_a = oA[:, None, :] + dA[:, None, :] * z_a[..., None]
         # per-candidate static dt row: mip_from_dt folds at trace time
         flat_a, local_a = _block_coords(pos_a, dtcs_np, hc, cfg, block=bc)
         anchors_a = [0, g_a - 1] if (cfg.coarse_anchors == 2 and g_a > 1) \
@@ -1038,12 +1091,12 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
                                     anchors=anchors_a)
         occ_next = jnp.concatenate(
             [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1)
-        occ_a = (occ_a | occ_next) & (z_a < far[:, None])
+        occ_a = (occ_a | occ_next) & (z_a < farA[:, None])
         idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
         # z/dt reconstruction from the SMALL static ladder rows (z is no
         # longer affine in the index under gamma)
         taus_j, dtcs_j = jnp.asarray(taus_np), jnp.asarray(dtcs_np)
-        za_buf = jnp.where(valid_a, near[:, None] + jnp.take(taus_j, idx_a),
+        za_buf = jnp.where(valid_a, nearA[:, None] + jnp.take(taus_j, idx_a),
                            0.0)
         dta_buf = jnp.where(
             valid_a,
@@ -1061,18 +1114,18 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         span = 2.0 * _SQRT3 * max(cfg.bound, 1.0)
         t_a0 = int(np.ceil(span / dt_a0))
         cap0 = dt_a0
-        z_a0 = near[:, None] + jnp.arange(t_a0, dtype=jnp.float32) * dt_a0
-        pos_a0 = rays_o[:, None, :] + rays_d[:, None, :] * z_a0[..., None]
+        z_a0 = nearA[:, None] + jnp.arange(t_a0, dtype=jnp.float32) * dt_a0
+        pos_a0 = oA[:, None, :] + dA[:, None, :] * z_a0[..., None]
         flat_a0, _ = _block_coords(pos_a0, dt_a0, hc, cfg, block=bc)
         occ_a0 = jnp.take(any_tbl, flat_a0.reshape(-1)).reshape(flat_a0.shape)
         occ_a0 = (
             occ_a0
             | jnp.concatenate(
                 [occ_a0[:, 1:], jnp.zeros_like(occ_a0[:, :1])], axis=1)
-        ) & (z_a0 < far[:, None])
+        ) & (z_a0 < farA[:, None])
         k_a0 = cfg.a0_segments
         idx_a0, valid_a0, stride_a0 = _compact_idx(occ_a0, k_a0)
-        z0_buf = jnp.where(valid_a0, near[:, None] + idx_a0 * dt_a0, 0.0)
+        z0_buf = jnp.where(valid_a0, nearA[:, None] + idx_a0 * dt_a0, 0.0)
         dt0_buf = jnp.where(
             valid_a0, dt_a0 * stride_a0.astype(jnp.float32), 0.0)
 
@@ -1084,14 +1137,14 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         sub0 = dt0_buf[:, :, None] / mult0                       # (N, K0, 1)
         jj = jnp.arange(mult0 + 1, dtype=jnp.float32)
         z_t = (z0_buf[:, :, None] + jj[None, None, :] * sub0)    # (N,K0,m0+1)
-        pos_t = rays_o[:, None, None, :] + rays_d[:, None, None, :] \
+        pos_t = oA[:, None, None, :] + dA[:, None, None, :] \
             * z_t[..., None]
-        dt_t = jnp.broadcast_to(sub0, z_t.shape).reshape(n, -1)
+        dt_t = jnp.broadcast_to(sub0, z_t.shape).reshape(nA, -1)
         flat_t, local_t = _block_coords(
-            pos_t.reshape(n, -1, 3), dt_t, hc, cfg, block=bc)
+            pos_t.reshape(nA, -1, 3), dt_t, hc, cfg, block=bc)
         occ_t = _grouped_block_test(
             tbl_coarse, flat_t, local_t, mult0 + 1, anchors=[0, mult0]
-        ).reshape(n, k_a0, mult0 + 1)
+        ).reshape(nA, k_a0, mult0 + 1)
         occ_a = occ_t[:, :, :-1] | occ_t[:, :, 1:]               # (N,K0,m0)
         # A stride-widened A0 span subdivides to a test spacing of
         # stride*dt_a0/mult0 > one coarse cell edge: the endpoint-pair test
@@ -1101,9 +1154,10 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         # stride-1 spans and overflow only ADDS candidates.
         occ_a = occ_a | (stride_a0[:, :, None] > 1)
         z_a_start = z_t[:, :, :-1]
-        occ_a = occ_a & valid_a0[:, :, None] & (z_a_start < far[:, None, None])
+        occ_a = occ_a & valid_a0[:, :, None] \
+            & (z_a_start < farA[:, None, None])
         idx_a, valid_a, stride_a = _compact_idx(
-            occ_a.reshape(n, k_a0 * mult0), k_a)
+            occ_a.reshape(nA, k_a0 * mult0), k_a)
         seg0 = idx_a // mult0
         off0 = (idx_a % mult0).astype(jnp.float32)
         z0_sel = _select_minor(z0_buf, seg0, k_a0)
@@ -1112,13 +1166,13 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         dta_buf = jnp.where(
             valid_a, sub0_sel * stride_a.astype(jnp.float32), 0.0)
     else:
-        z_a, dt_a, t_a = _phase_a_ladder(near, far, cfg, round_to=g_a)
+        z_a, dt_a, t_a = _phase_a_ladder(nearA, farA, cfg, round_to=g_a)
         anchors_a = None
         if cfg.coarse_anchors == 2 and g_a > 1:
             anchors_a = [0, g_a - 1]
-        pos_a = rays_o[:, None, :] + rays_d[:, None, :] * z_a[..., None]
+        pos_a = oA[:, None, :] + dA[:, None, :] * z_a[..., None]
         flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg, block=bc)
-        zin_a = z_a < far[:, None]
+        zin_a = z_a < farA[:, None]
         occ_a = _grouped_block_test(tbl_coarse, flat_a, local_a,
                                     g_a, anchors=anchors_a)
         occ_next = jnp.concatenate(
@@ -1134,7 +1188,7 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
                 occ_a, k_a, cfg.first_k_frac)
         else:
             idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
-        za_buf = jnp.where(valid_a, near[:, None] + idx_a * dt_a, 0.0)
+        za_buf = jnp.where(valid_a, nearA[:, None] + idx_a * dt_a, 0.0)
         dta_buf = jnp.where(valid_a, dt_a * stride_a.astype(jnp.float32), 0.0)
 
     if cfg.proxy_terminate and density_coarse_min is not None:
@@ -1147,7 +1201,7 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         # any path through a coarse tile, so termination is conservative —
         # it only fires behind tiles that are dense THROUGHOUT.
         z_mid = za_buf + 0.5 * dta_buf
-        pos_seg = rays_o[:, None, :] + rays_d[:, None, :] * z_mid[..., None]
+        pos_seg = oA[:, None, :] + dA[:, None, :] * z_mid[..., None]
         cfg_c = _with_grid_size(cfg, hc)
         sig = density_lookup(density_coarse_min, pos_seg, dt_a_max, cfg_c)
         sig = jnp.where(valid_a, jnp.maximum(sig, 0.0), 0.0)
@@ -1156,6 +1210,15 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         t_prev = jnp.concatenate([jnp.ones_like(t[:, :1]), t[:, :-1]],
                                  axis=-1)
         valid_a = valid_a & (t_prev > cfg.proxy_thresh)
+
+    if mB > 1:
+        # beam -> members: each member ray inherits the beam's kept segment
+        # z-intervals (distances along its OWN direction — the <=1-cell
+        # divergence is absorbed by the dilated phase-A test); pure
+        # broadcast, no gathers
+        za_buf = jnp.repeat(za_buf, mB, axis=0)
+        dta_buf = jnp.repeat(dta_buf, mB, axis=0)
+        valid_a = jnp.repeat(valid_a, mB, axis=0)
 
     # ---- phase B: fine subdivision over each kept segment's (possibly
     # stride-scaled) length — see march_rays_two_phase on overflow gaps.
@@ -1180,6 +1243,11 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         valid_a[:, :, None], (n, k_a, mult)
     ).reshape(n, -1)
     occ_b = occ_b & valid_ab & (z_b < far[:, None])
+    if mB > 1:
+        # a beam segment can start before THIS member's AABB entry (beam
+        # near = min over members); positions before it sit outside the
+        # AABB and must not shade
+        occ_b = occ_b & (z_b >= near[:, None])
     # reconstruct kept z/dt from indices: seg = idx // mult selects among
     # K_A per-ray segment scalars (masked-sum select, no gathers)
     phase_u = (_ray_hash_u(rays_d)

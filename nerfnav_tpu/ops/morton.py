@@ -134,6 +134,26 @@ def block_bit_lookup(rows, local):
     return ((level[0] >> (local & 31)) & 1).astype(bool)
 
 
+def unpack_blocks(rows, grid_size: int):
+    """Inverse of pack_blocks: (..., (H/b)^3, W) uint32 -> (..., H^3) bool
+    row-major occupancy. Pure VPU (shifts + transpose); used by the beam
+    marcher to dilate the coarse table before re-packing."""
+    b = block_size_of(rows)
+    h = grid_size
+    nb = h // b
+    assert nb * b == h and nb**3 == rows.shape[-2], (h, b, rows.shape)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (rows[..., None] >> shifts) & jnp.uint32(1)  # (..., nb^3, W, 32)
+    bits = bits.reshape(*rows.shape[:-2], nb, nb, nb, b, b, b)
+    nd = bits.ndim
+    lead = tuple(range(nd - 6))
+    # (bx, by, bz, lx, ly, lz) -> (bx, lx, by, ly, bz, lz)
+    bits = jnp.transpose(
+        bits, lead + tuple(nd - 6 + i for i in (0, 3, 1, 4, 2, 5))
+    )
+    return bits.reshape(*rows.shape[:-2], h**3).astype(bool)
+
+
 def unpackbits(bitfield, n_bits=None):
     """Inverse of packbits: (..., m) uint8 -> (..., 8*m) bool."""
     b = bitfield.astype(jnp.uint32)[..., None]
