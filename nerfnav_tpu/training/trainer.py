@@ -156,6 +156,13 @@ class TrainerOptions:
     # the march. Training marches are untouched either way.
     eval_first_k: bool = False
     eval_proxy: bool = False
+    # Eval-only beam-shared phase A (MarchConfig.beam): groups of
+    # consecutive tile-ordered rays share one coarse march against a
+    # 1-cell-dilated coarse table. Sound here because eval renders in
+    # row-major 64-tiles (_tile_layout), so members are pixel-adjacent;
+    # training keeps beam=1 (random ray batches are not coherent).
+    # Default pending the round-4 chip A/B (benchmarks/run_r4_queue7.sh).
+    eval_beam: int = 1
     # Coarse-to-fine marching-step annealing for the grid fast path:
     # ((threshold, dt_multiplier), ...) — marching starts coarse (the static
     # budget then spans every ray without field-dependent stride, which
@@ -612,12 +619,14 @@ class Trainer:
         anch = self.opt.eval_coarse_anchors or mcfg.coarse_anchors
         fk = self.opt.eval_first_k or mcfg.first_k
         px = self.opt.eval_proxy or mcfg.proxy_terminate
-        if (seg, anch, fk, px) == (mcfg.coarse_segments, mcfg.coarse_anchors,
-                                   mcfg.first_k, mcfg.proxy_terminate):
+        bm = max(self.opt.eval_beam, mcfg.beam)
+        if (seg, anch, fk, px, bm) == (
+                mcfg.coarse_segments, mcfg.coarse_anchors,
+                mcfg.first_k, mcfg.proxy_terminate, mcfg.beam):
             return mcfg
         return dataclasses.replace(
             mcfg, coarse_segments=seg, coarse_anchors=anch,
-            first_k=fk, proxy_terminate=px)
+            first_k=fk, proxy_terminate=px, beam=bm)
 
     def _build_render_chunk(self, t_a0: int | None = None):
         """The cached jitted eval chunk renderer.
@@ -845,8 +854,12 @@ class Trainer:
             j = jj.reshape(-1)[perm]
             pad = (-H * W) % chunk
             if pad:
-                i = np.concatenate([i, np.zeros(pad, np.float32)])
-                j = np.concatenate([j, np.zeros(pad, np.float32)])
+                # pad with the LAST real pixel (not (0,0)): pad outputs are
+                # discarded by the inv-permute gather either way, but under
+                # eval_beam a chunk-boundary beam can mix real and pad rays
+                # — duplicating the last pixel keeps such a beam coherent
+                i = np.concatenate([i, np.full(pad, i[-1], np.float32)])
+                j = np.concatenate([j, np.full(pad, j[-1], np.float32)])
             tc = {"i": jnp.asarray(i), "j": jnp.asarray(j),
                   "inv": jnp.asarray(inv, jnp.int32), "perm": perm}
             self._tile_layouts[key] = tc
