@@ -22,10 +22,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=30000)
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--lr_iters", type=int, default=0,
-                   help="lr-decay horizon in steps; 0 = 2/3 of --iters "
-                   "(the 30k drift probe shows full-horizon decay collapses "
-                   "late, RESULTS.md queue 7). Pass --lr_iters equal to "
-                   "--iters for reference-parity 0.1^(t/iters) decay")
+                   help="lr-decay horizon in steps; 0 = --iters (reference-"
+                   "parity 0.1^(t/iters) decay — safe by default since "
+                   "round 4 made occ_freeze_after the default drift "
+                   "mitigation; RESULTS.md round-4 ledger). Pass 2/3 of "
+                   "--iters for the round-2/3 workaround horizon")
     p.add_argument("--ckpt", type=str, default="latest")
     p.add_argument("--num_rays", type=int, default=4096)
     p.add_argument("--cuda_ray", action="store_true",

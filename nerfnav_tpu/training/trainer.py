@@ -47,13 +47,13 @@ class TrainerOptions:
     workspace: str = "workspace"
     lr: float = 1e-2
     iters: int = 30000            # lr decays 0.1^(step/lr_horizon)
-    # lr-horizon override: 0 = 2/3 * iters (default). The reference decays
-    # over the full run (0.1^(t/iters), main_nerf.py:23-26), but the 30k-step
-    # drift probe (benchmarks/drift_probe.py, RESULTS.md queue 7) shows that
-    # schedule COLLAPSES on the grid fast path (28.48 -> 23.55 dB after 9k:
-    # late-run lr ~1e-3 x stratified stride-phase noise at the dt-anneal
-    # floor); the 2/3 horizon holds 28.5 dB at 30k with a better peak. Pass
-    # lr_iters=iters explicitly for reference-parity decay.
+    # lr-horizon override: 0 = `iters` — REFERENCE PARITY (0.1^(t/iters),
+    # main_nerf.py:23-26). Round 2-3 shipped a 2/3 horizon as a drift
+    # workaround; round 4 closes the loop: with the occ_freeze_after
+    # default ON (the measured full mitigation), the reference schedule
+    # holds >= 28 dB at 30k (drift occ_freeze arm: freeze@6k, lr_iters =
+    # 30000), so the silent schedule swap is retired. Pass
+    # lr_iters = 2*iters//3 for the old behavior.
     # `iters` also anchors the fractional dt-anneal thresholds below, so an
     # lr-schedule A/B must vary THIS knob to leave the marching schedule fixed
     lr_iters: int = 0
@@ -78,12 +78,19 @@ class TrainerOptions:
     # Kept as an option for single-dispatch training contexts (dryruns,
     # remote relays without async dispatch). Not used in rand_pose mode.
     scan_steps: int = 1
-    # Stop occupancy-grid maintenance after this step (0 = never). Diagnostic
-    # knob for late-schedule drift: the update threshold min(mean_density,
-    # density_thresh) RISES as training sharpens the field (reference
-    # renderer.py:508), so late sweeps can carve thin surface cells that
-    # early training kept. Freezing pins the carved set once converged.
-    occ_freeze_after: int = 0
+    # Stop occupancy-grid maintenance after this step (fractions <= 1.0 are
+    # of `iters`; 0 = never). DEFAULT ON at 0.2*iters (the dt-anneal floor):
+    # the round 2-4 drift campaign measured the 30k reference-lr schedule
+    # collapsing 28.4 -> 23.5 dB without it, and every softer candidate
+    # root-cause fix FAILED its arm (thresh_freeze bitwise no-op, reference
+    # EMA scope worse, ray_hash/fp32/bf16/hysteresis all dead — RESULTS.md
+    # round-4 ledger); freeze-after-converged is the only mitigation that
+    # holds >= 28 dB. Design reading: the reference's adaptive-length
+    # marcher (up to 1024 steps/ray, raymarching.cu:707-825) pays late
+    # occupancy churn in TIME; our static K-budget renderer pays it in
+    # sample-lattice noise the late-lr optimizer chases, so a converged
+    # frozen grid is the design-correct default here. Set 0 to disable.
+    occ_freeze_after: float = 0.2
     # Softer guard: past this step (fractions <= 1.0 are of `iters`), PIN the
     # carve threshold at its current value instead of freezing maintenance
     # outright — density updates and EMA-decay carving continue; only the
@@ -279,7 +286,7 @@ class Trainer:
             params = init_network(init_key, cfg)
         self.params = params
 
-        lr_horizon = opt.lr_iters or max(1, (2 * opt.iters) // 3)
+        lr_horizon = opt.lr_iters or max(1, opt.iters)
         schedule = lambda step: opt.lr * (0.1 ** (step / lr_horizon))  # noqa: E731
         self.optimizer = optax.adam(schedule, b1=0.9, b2=0.99, eps=1e-15)
 
@@ -791,8 +798,10 @@ class Trainer:
             # ahead of the freeze return — occ_freeze_after halts occupancy
             # CARVING only, not point-budget adaptation
             self._mean_count_host = float(self.state.mean_count)
-        if (self.opt.occ_freeze_after > 0
-                and self.global_step > self.opt.occ_freeze_after):
+        freeze_at = self.opt.occ_freeze_after
+        if 0 < freeze_at <= 1.0:
+            freeze_at = freeze_at * self.opt.iters
+        if freeze_at > 0 and self.global_step > freeze_at:
             return
         from nerfnav_tpu.models.occupancy import update_extra_state
 
