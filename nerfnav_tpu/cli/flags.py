@@ -111,6 +111,13 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--eval_proxy", action="store_true",
                    help="render-only segment-proxy occlusion termination "
                    "in the march; default off pending the 30k quality gate")
+    p.add_argument("--eval_beam", type=int, default=0,
+                   help="render-only beam-shared phase A: this many "
+                   "consecutive tile-ordered rays share one coarse march "
+                   "against a 1-cell-dilated coarse table "
+                   "(TrainerOptions.eval_beam; 0 = the TrainerOptions "
+                   "default). Conservative by construction; chip round-4: "
+                   "beam 8 = +13%% render throughput")
     p.add_argument("--ff", action="store_true", help="fused-MLP backend")
     p.add_argument("--tcnn", action="store_true",
                    help="parity flag; maps to the fused backend on TPU")

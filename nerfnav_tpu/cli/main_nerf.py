@@ -40,6 +40,7 @@ def main(argv=None):
         eval_coarse_anchors=opt.eval_coarse_anchors,
         eval_first_k=opt.eval_first_k,
         eval_proxy=opt.eval_proxy,
+        **({"eval_beam": opt.eval_beam} if opt.eval_beam else {}),
     )
     # Poseless/CLIP mode: with --clip_weights + --clip_text_embed the native
     # JAX vision tower scores renders (training/clip_jax.py); without them
