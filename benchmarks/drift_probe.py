@@ -64,7 +64,12 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                          use_checkpoint="scratch", bg_train="white",
                          eval_interval=1, occ_freeze_after=occ_freeze_after,
                          occ_thresh_freeze_after=occ_thresh_freeze_after,
-                         stride_phase=stride_phase)
+                         stride_phase=stride_phase,
+                         # beam evals stay OFF here: the drift ledger
+                         # compares 0.1-dB curve deltas across rounds, and
+                         # the AUTO eval beam (round 4) would add its own
+                         # small lattice-phase term to every eval
+                         eval_beam=1)
     tr = Trainer(cfg, rcfg, opt,
                  occupancy_cfg=OccupancyConfig(bound=1.0, min_near=0.05,
                                                density_thresh=5.0,

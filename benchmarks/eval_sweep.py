@@ -60,7 +60,8 @@ def main():
                         grid_levels=args.levels, grid_level_dim=args.level_dim)
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
     base_mcfg = MarchConfig(bound=1.0, samples_per_ray=32, min_near=0.05)
-    opt = TrainerOptions(name="sweep", workspace=tempfile.mkdtemp(), lr=1e-2,
+    opt = TrainerOptions(eval_beam=1,  # pin: quality curves compare across rounds
+        name="sweep", workspace=tempfile.mkdtemp(), lr=1e-2,
                         iters=30000, num_rays=4096, use_checkpoint="scratch",
                         bg_train="white")
     tr = Trainer(cfg, rcfg, opt,

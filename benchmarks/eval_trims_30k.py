@@ -55,7 +55,8 @@ def main():
                         grid_level_dim=8)
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
     base_march = MarchConfig(bound=1.0, samples_per_ray=32, min_near=0.05)
-    opt = TrainerOptions(name=args.name, workspace=args.workspace, lr=1e-2,
+    opt = TrainerOptions(eval_beam=1,  # pin: quality curves compare across rounds
+        name=args.name, workspace=args.workspace, lr=1e-2,
                          iters=30000, num_rays=4096, use_checkpoint="latest",
                          bg_train="white")
     tr = Trainer(cfg, rcfg, opt,

@@ -35,7 +35,8 @@ def run(layout: str, scene_dir: str, steps: int, levels: int = 16,
         grid_levels=levels, grid_level_dim=level_dim,
     )
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
-    opt = TrainerOptions(
+    opt = TrainerOptions(eval_beam=1,  # pin: quality curves compare across rounds
+        
         name=f"q_{layout}", workspace=tempfile.mkdtemp(), lr=1e-2, iters=30000,
         num_rays=4096, use_checkpoint="scratch", bg_train="white",
     )

@@ -168,8 +168,12 @@ class TrainerOptions:
     # 1-cell-dilated coarse table. Sound here because eval renders in
     # row-major 64-tiles (_tile_layout), so members are pixel-adjacent;
     # training keeps beam=1 (random ray batches are not coherent).
-    # Default pending the round-4 chip A/B (benchmarks/run_r4_queue7.sh).
-    eval_beam: int = 1
+    # 0 = AUTO (default): per-frame, the largest power-of-two width whose
+    # member spread stays under one coarse cell (Trainer._auto_beam from
+    # the frame's focal) — 8 at the flagship 800^2/f800 (chip +13.1%,
+    # RESULTS.md round-4 queue 7), 2 at a 128^2 wide-FOV probe frame,
+    # 1 whenever the contract cannot be met. Explicit 1 = off, >1 = fixed.
+    eval_beam: int = 0
     # Coarse-to-fine marching-step annealing for the grid fast path:
     # ((threshold, dt_multiplier), ...) — marching starts coarse (the static
     # budget then spans every ray without field-dependent stride, which
@@ -635,12 +639,19 @@ class Trainer:
             mcfg, coarse_segments=seg, coarse_anchors=anch,
             first_k=fk, proxy_terminate=px, beam=bm)
 
-    def _build_render_chunk(self, t_a0: int | None = None):
+    def _build_render_chunk(self, t_a0: int | None = None,
+                            beam: int | None = None):
         """The cached jitted eval chunk renderer.
 
-        t_a0 overrides the static phase-A ladder length (occ-ladder plan)."""
+        t_a0 overrides the static phase-A ladder length (occ-ladder plan);
+        beam overrides the beam-shared phase-A width (render_full's AUTO
+        rule — only passed for tile-ordered frames)."""
         cfg, rcfg = self.cfg, self.rcfg
         mcfg = self._eval_march_cfg()
+        if beam and beam > 1 and mcfg is not None:
+            import dataclasses as _dc
+
+            mcfg = _dc.replace(mcfg, beam=beam)
         mesh = self.mesh
         if t_a0 is not None and not (mcfg is not None and self.opt.eval_rounds):
             raise ValueError("ladder overrides need the rounds eval path")
@@ -892,22 +903,45 @@ class Trainer:
         self._table_cast_cache = None
         self._frozen_scan_cache = None
 
-    def _chunk_renderer(self, t_a0: int = 0):
-        """Cached eval chunk renderer, keyed by the planned phase-A ladder
-        length (0 = the config's auto ladder)."""
-        if t_a0 not in self._render_chunk_fns:
-            self._render_chunk_fns[t_a0] = self._build_render_chunk(
-                t_a0 or None)
-        return self._render_chunk_fns[t_a0]
+    def _auto_beam(self, intrinsics) -> int:
+        """Per-frame AUTO beam width (TrainerOptions.eval_beam == 0): the
+        largest power-of-two (<= 16, the tile-row divisor set) such that
+        the in-beam pixel spread over the whole march span stays under one
+        cascade-0 coarse cell — the MarchConfig.beam conservatism contract:
+        spread ~ (b-1) * z_max / focal < cell edge 2*min(1,bound)/hc with
+        z_max = 2*sqrt(3)*max(bound, 1) (higher cascades scale cell and
+        span together). 800^2 f800 flagship -> 8; 128^2 wide-FOV -> 2."""
+        mcfg = self.march_cfg
+        if mcfg is None:
+            return 1
+        focal = float(np.minimum(intrinsics[0], intrinsics[1]))
+        hc = mcfg.grid_size // mcfg.coarse_factor
+        cell = 2.0 * min(1.0, mcfg.bound) / hc
+        z_max = 2.0 * np.sqrt(3.0) * max(mcfg.bound, 1.0)
+        b = int(focal * cell / z_max) + 1
+        for cand in (16, 8, 4, 2):
+            if b >= cand:
+                return cand
+        return 1
 
-    def _render_scan_fn(self, t_a0: int = 0):
+    def _chunk_renderer(self, t_a0: int = 0, beam: int = 0):
+        """Cached eval chunk renderer, keyed by the planned phase-A ladder
+        length (0 = the config's auto ladder) and the beam width (0 = the
+        march config's own)."""
+        key = (t_a0, beam)
+        if key not in self._render_chunk_fns:
+            self._render_chunk_fns[key] = self._build_render_chunk(
+                t_a0 or None, beam or None)
+        return self._render_chunk_fns[key]
+
+    def _render_scan_fn(self, t_a0: int = 0, beam: int = 0):
         """Whole-frame scan renderer (TrainerOptions.eval_scan): lax.map of
         the cached chunk core over stacked (C, chunk, 3) ray arrays — one
         dispatch per frame. jit re-specializes per chunk count, which is
         fixed for a given (H, W, max_ray_batch)."""
-        fn = self._render_scan_fns.get(t_a0)
+        fn = self._render_scan_fns.get((t_a0, beam))
         if fn is None:
-            chunk_core = self._chunk_renderer(t_a0)
+            chunk_core = self._chunk_renderer(t_a0, beam)
 
             @partial(jax.jit, static_argnums=(4,))
             def render_scan(params, occupancy, ro_s, rd_s, bg_color: float,
@@ -919,15 +953,16 @@ class Trainer:
 
                 return jax.lax.map(body, (ro_s, rd_s))
 
-            fn = self._render_scan_fns[t_a0] = render_scan
+            fn = self._render_scan_fns[(t_a0, beam)] = render_scan
         return fn
 
-    def _render_scan_frozen(self, params, occupancy, t_a0: int = 0):
+    def _render_scan_frozen(self, params, occupancy, t_a0: int = 0,
+                            beam: int = 0):
         """Whole-frame scan renderer with params+occupancy BAKED as closure
         constants (see render_full(frozen=True)). Cached by (occupancy
-        version, params identity, t_a0); holds the latest entry only —
+        version, params identity, t_a0, beam); holds the latest entry only —
         frozen rendering uses one (ckpt, grid) pair at a time."""
-        key = (getattr(self, "_occ_version", 0), id(params), t_a0)
+        key = (getattr(self, "_occ_version", 0), id(params), t_a0, beam)
         cached = getattr(self, "_frozen_scan_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -935,6 +970,10 @@ class Trainer:
 
         cfg = self.cfg
         mcfg = self._apply_ladder_plan(self._eval_march_cfg(), t_a0)
+        if beam and beam > 1:
+            import dataclasses
+
+            mcfg = dataclasses.replace(mcfg, beam=beam)
         shade_order = self.opt.shade_order
         field = make_field(params, cfg)
         # keep the baked arrays alive for the program's lifetime
@@ -1061,6 +1100,14 @@ class Trainer:
         # occupancy-derived ladder shrink (bench-adopted +33%): one plan per
         # occupancy version selects the compiled render program
         occ_t_a0 = self._planned_ladder(occupancy)
+        # beam-shared phase A rides ONLY on tile-ordered frames (the
+        # pixel-adjacency contract); eval_beam 0 = AUTO from this frame's
+        # focal, 1 = off, >1 = explicit
+        bm = 0
+        if use_tiles:
+            bm = (self.opt.eval_beam if self.opt.eval_beam > 0
+                  else self._auto_beam(intrinsics))
+            bm = 0 if bm <= 1 else bm
         if self.opt.eval_scan:
             # the baked-constants program is built for the grid rounds path;
             # dense-path trainers keep the traced-args program
@@ -1068,12 +1115,13 @@ class Trainer:
                                and self.opt.eval_rounds):
                 frozen = False
             if frozen:
-                fn = self._render_scan_frozen(params, occupancy, occ_t_a0)
+                fn = self._render_scan_frozen(params, occupancy, occ_t_a0,
+                                              bm)
                 out_i, out_d = fn(ro.reshape(-1, chunk, 3),
                                   rd.reshape(-1, chunk, 3),
                                   float(bg_color), crop_aabb)
             else:
-                out_i, out_d = self._render_scan_fn(occ_t_a0)(
+                out_i, out_d = self._render_scan_fn(occ_t_a0, bm)(
                     params, occupancy, ro.reshape(-1, chunk, 3),
                     rd.reshape(-1, chunk, 3), float(bg_color), crop_aabb
                 )
@@ -1084,7 +1132,7 @@ class Trainer:
             return image.reshape(H, W, 3), depth.reshape(H, W)
         imgs, depths = [], []
         for i in range(0, n + pad, chunk):
-            out = self._chunk_renderer(occ_t_a0)(
+            out = self._chunk_renderer(occ_t_a0, bm)(
                 params, occupancy, ro[i : i + chunk], rd[i : i + chunk],
                 float(bg_color), crop_aabb
             )

@@ -105,6 +105,10 @@ class TestSequencePath:
 
         tr = grid_trainer
         tr.opt.eval_sequence = True  # opt in (default OFF since round 4)
+        # route-parity test: pin the eval beam OFF — the sequence renderer
+        # marches its own per-window ladders (beam-less), so the AUTO-beamed
+        # render_full reference would differ by toy-scale lattice phase
+        tr.opt.eval_beam = 1
         for i, p in enumerate(PathDS.poses):
             p[0, 3] = 0.02 * i  # slow lateral drift (smooth sequence)
         assert tr._sequence_renderer(tr.state.params, 16, 16) is not None
@@ -252,6 +256,23 @@ class TestOccLadderPlan:
 
 
 class TestEvalBeam:
+    def test_auto_beam_rule(self, grid_trainer):
+        """eval_beam=0 derives the width from the frame's focal: flagship
+        800^2/f800 -> 8; the toy 16^2/f20 frame -> 2; a pinhole too wide
+        for the 1-coarse-cell contract -> 1 (off)."""
+        import dataclasses
+
+        from nerfnav_tpu.ops.marching import MarchConfig
+
+        tr = grid_trainer
+        # flagship geometry: grid 128 / cf 4 -> hc 32, bound 2
+        tr.march_cfg, saved = MarchConfig(bound=2.0, grid_size=128,
+                                          min_near=0.05), tr.march_cfg
+        assert tr._auto_beam(np.asarray([800.0, 800.0, 400, 400])) == 8
+        assert tr._auto_beam(np.asarray([64.0, 64.0, 32, 32])) == 1
+        tr.march_cfg = saved
+        assert tr._auto_beam(np.asarray(INTR)) == 2
+
     def test_eval_beam_matches_default(self, grid_trainer):
         """TrainerOptions.eval_beam routes MarchConfig.beam into the eval
         march only: render_full output must match the beam=1 path closely
@@ -261,6 +282,7 @@ class TestEvalBeam:
 
         tr = grid_trainer
         p = tr.state.params
+        tr.opt = dataclasses.replace(tr.opt, eval_beam=1)   # explicit OFF
         img1, _ = tr.render_full(p, POSE, INTR, 16, 16, bg_color=1.0)
         tr.opt = dataclasses.replace(tr.opt, eval_beam=8)
         tr.invalidate_render_cache()
