@@ -108,11 +108,15 @@ def main():
     p.add_argument("--a0", type=int, default=0,
                    help="phase-A0 super-coarse prefilter: keep this many "
                         "block spans (0 = off)")
-    p.add_argument("--beam", type=int, default=1,
+    p.add_argument("--beam", type=int, default=8,
                    help="phase-A beam sharing: consecutive rays per shared "
                         "coarse march (MarchConfig.beam; row-major 64x64 "
-                        "tiles keep members pixel-adjacent). Chip profile "
-                        "round 4: phase A is 108 of the 262 ms frame")
+                        "tiles keep members pixel-adjacent). Default 8 — "
+                        "chip A/B round 4: +13.1%% over beam 1 (3.716M vs "
+                        "3.286M rays/s), the largest width whose spread "
+                        "fits the 1-cell dilation contract at 800^2/f800 "
+                        "(Trainer._auto_beam agrees); --beam 1 for the "
+                        "unbeamed control")
     p.add_argument("--scan", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="whole-frame single dispatch: lax.map over stacked "

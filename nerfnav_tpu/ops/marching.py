@@ -137,11 +137,13 @@ class MarchConfig:
     #   A alone is 108 of the 262 ms rounds frame, and adjacent pixels
     #   traverse near-identical coarse cells — beam=b cuts that cost ~b x.
     #   CONSERVATIVE by construction when every member ray stays within one
-    #   coarse cell of the beam ray over the whole march span (800^2 at
-    #   focal ~800: spread = (b-1)*z/focal <= 15*z/800 < cell edge
-    #   2^mip*2*c0/hc for b <= 16) — the dilation then guarantees the beam
-    #   test is a superset of each member's own: false positives only
-    #   (phase B rejects), never a dropped segment. Members are CONSECUTIVE
+    #   coarse cell of the beam ray over the whole march span: spread ~
+    #   (b-1)*z_max/focal must stay under the cascade-0 cell edge
+    #   2*min(1,bound)/hc (Trainer._auto_beam computes the largest safe
+    #   power of two — 8 at 800^2/f800; 16 would need a 2-cell dilation).
+    #   The dilation then guarantees the beam test is a superset of each
+    #   member's own: false positives only (phase B rejects), never a
+    #   dropped segment. Members are CONSECUTIVE
     #   rays: pixel-coherent chunk layouts (row-major tiles) satisfy the
     #   spread bound; callers with scrambled ray order must keep beam=1.
     #   N must divide by beam (else silently off). Inference-only by
