@@ -606,7 +606,14 @@ def main():
 
             frame = lambda: render_frame_scan(ro_s, rd_s)  # noqa: E731
 
-        jax.block_until_ready(frame())
+        warm = frame()
+        jax.block_until_ready(warm)
+        # empty-render guard: a march trim that (incorrectly) kills every
+        # ray renders pure background at absurd speed — beam 16 measured
+        # 12.9e9 rays/s exactly this way (contract violation; RESULTS.md
+        # round 4). mean_image == bg (1.0) flags it in the recorded line.
+        img_w = warm[0] if isinstance(warm, tuple) else warm
+        mean_image = round(float(jnp.mean(img_w)), 4)
         iters = 5
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -618,6 +625,7 @@ def main():
             "value": round(rays_per_sec),
             "unit": "rays/s",
             "vs_baseline": round(rays_per_sec / 1e7, 3),
+            "mean_image": mean_image,
         }))
         return
 
