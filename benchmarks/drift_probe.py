@@ -40,6 +40,8 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                 grid_table_dtype: str = "float32",
                 ema_sampled_only: bool = False,
                 occ_hysteresis: float = 0.0,
+                density_write_clamp: float = 0.0,
+                ema_toward_query: bool = False,
                 grid_levels: int = 4, grid_level_dim: int = 8):
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
@@ -74,7 +76,9 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                  occupancy_cfg=OccupancyConfig(bound=1.0, min_near=0.05,
                                                density_thresh=5.0,
                                                ema_sampled_only=ema_sampled_only,
-                                               occ_hysteresis=occ_hysteresis),
+                                               occ_hysteresis=occ_hysteresis,
+                                               density_write_clamp=density_write_clamp,
+                                               ema_toward_query=ema_toward_query),
                  march_cfg=MarchConfig(bound=1.0, samples_per_ray=32,
                                        min_near=0.05))
     import numpy as np
@@ -106,7 +110,9 @@ def main():
     ap.add_argument("--variant", default="control",
                     choices=["control", "occ_freeze", "lr_fast", "ray_hash",
                              "thresh_freeze", "fp32_mlp", "bf16_tables",
-                             "ema_sampled", "hysteresis"])
+                             "ema_sampled", "hysteresis",
+                             "growth_clamp", "toward_query",
+                             "clamp_and_toward"])
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--epoch_steps", type=int, default=3000)
     ap.add_argument("--scene", default="cluttered")
@@ -162,6 +168,21 @@ def main():
         # ray_hash failed, leaving boundary-cell bitfield flicker as the
         # remaining sample-lattice noise source the late lr chases
         kw["occ_hysteresis"] = 0.5
+    elif args.variant == "growth_clamp":
+        # round-5 candidate A (the anti-ACCRETION arm, RESULTS round-4
+        # diagnosis): fresh density writes clamped at 2*density_thresh
+        # before the max-EMA — junk spikes stop inflating mean_density
+        # (7.8 -> 142 in control) and lose their ~50-sweep decay immunity.
+        # Reference lr horizon, occ maintenance runs to 30k, NO freeze.
+        kw["density_write_clamp"] = 2.0
+    elif args.variant == "toward_query":
+        # round-5 candidate B: symmetric mean-EMA toward the fresh query
+        # (debounces single-outlier activation; thin-feature under-marking
+        # is the known risk). NO freeze, reference lr horizon.
+        kw["ema_toward_query"] = True
+    elif args.variant == "clamp_and_toward":
+        kw["density_write_clamp"] = 2.0
+        kw["ema_toward_query"] = True
     elif args.variant == "bf16_tables":
         # quality gate for the +6.6% train throughput win (train_bench
         # --table_dtype bfloat16, RESULTS.md round-4 queue 1): full 30k

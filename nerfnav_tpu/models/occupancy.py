@@ -62,6 +62,27 @@ class OccupancyConfig:
     # marched only spends samples. 0 = off (reference semantics:
     # renderer.py:508 single threshold both directions).
     occ_hysteresis: float = 0.0
+    # Round-5 growth-clamp candidates. Round-4 drift diagnosis: across the
+    # 30k collapse the grid ACCRETES junk — occ_frac rises 0.204 -> 0.214
+    # and mean_density grows 18x while churn stays ~2% — because the
+    # max-EMA keeps the MAX of late jittered queries (one high outlier
+    # pins a cell for ~log(thresh/val)/log(decay) ~ 50 sweeps).
+    # density_write_clamp: fresh sweep densities are clamped at
+    #   density_write_clamp * density_thresh before entering the EMA
+    #   (0 = off). The compositor saturates (alpha -> 1 for sigma*dt >> 1)
+    #   long before such values, so the clamp is render-neutral for
+    #   occupancy decisions (clamp_value > thresh keeps occ bits
+    #   identical); it bounds mean_density and shortens the EMA carve time
+    #   of cells whose queries drop.
+    density_write_clamp: float = 0.0
+    # ema_toward_query: replace max-EMA with a symmetric mean-EMA toward
+    #   the fresh query for sampled cells (new = decay*grid +
+    #   (1-decay)*tmp). Debounces activation: a single high jittered
+    #   outlier no longer pins a cell; persistent real density (queried
+    #   high every sweep) still activates within 1-2 full sweeps.
+    #   Trade-off: thin features whose jittered queries mostly miss may
+    #   under-mark — the A/B decides.
+    ema_toward_query: bool = False
 
     @cached_property
     def cascades(self) -> int:
@@ -200,7 +221,21 @@ def _finish_update(state, cfg, grid, tmp, all_cells_mask, thresh_cap=None):
         valid = (grid >= 0) & (tmp >= 0)
     else:
         valid = grid >= 0
-    new_grid = jnp.where(valid, jnp.maximum(grid * cfg.decay, tmp), grid)
+    if cfg.density_write_clamp > 0.0:
+        # bound fresh writes at clamp*thresh (see OccupancyConfig): junk
+        # spikes can no longer inflate mean_density or buy ~50 sweeps of
+        # EMA-decay immunity; occupancy decisions are unchanged because
+        # the clamp value stays above every reachable carve bar
+        tmp = jnp.minimum(tmp, cfg.density_write_clamp * cfg.density_thresh)
+    if cfg.ema_toward_query:
+        sampled = tmp >= 0
+        cand = cfg.decay * grid + (1.0 - cfg.decay) * tmp
+        new_grid = jnp.where(
+            valid & sampled, cand,
+            jnp.where(valid, grid * cfg.decay, grid),
+        )
+    else:
+        new_grid = jnp.where(valid, jnp.maximum(grid * cfg.decay, tmp), grid)
     mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
     thresh = jnp.minimum(mean_density, cfg.density_thresh)
     if thresh_cap is not None:

@@ -186,3 +186,83 @@ def test_occ_hysteresis_sticky_carve():
     out4 = _finish_update(st3, cfg, grid, tmp4, None)
     occ4 = np.unpackbits(np.asarray(out4["bitfield"][0]), bitorder="little")
     assert not occ4[n // 2 : n // 2 + 32].any()
+
+
+def test_density_write_clamp_bounds_accretion():
+    """density_write_clamp (round-5 growth-clamp arm): fresh sweep values
+    are clamped at clamp*density_thresh before the EMA, so junk spikes
+    cannot inflate mean_density or buy ~50 sweeps of decay immunity —
+    while occupancy decisions stay identical (clamp value > thresh)."""
+    from nerfnav_tpu.models.occupancy import _finish_update
+
+    cfg = OccupancyConfig(bound=1.0, grid_size=8, update_chunk=64,
+                          density_write_clamp=2.0)
+    ref = OccupancyConfig(bound=1.0, grid_size=8, update_chunk=64)
+    st = init_occupancy_state(cfg)
+    grid = st["density_grid"]
+    n = grid.shape[1]
+    tmp = jnp.zeros_like(grid)
+    tmp = tmp.at[0, : n // 4].set(500.0)     # junk spike
+    tmp = tmp.at[0, n // 4 : n // 2].set(12.0)
+    out = _finish_update(st, cfg, grid, tmp, None)
+    out_ref = _finish_update(st, ref, grid, tmp, None)
+    # stored value bounded at 2 * density_thresh = 20
+    assert float(out["density_grid"].max()) <= 2.0 * cfg.density_thresh + 1e-6
+    assert float(out_ref["density_grid"].max()) == 500.0
+    # occupancy decisions identical (both bands stay above every bar)
+    assert np.array_equal(np.asarray(out["bitfield"]),
+                          np.asarray(out_ref["bitfield"]))
+    # mean_density bounded -> the carve bar is not pushed to the cap
+    assert float(out["mean_density"]) < float(out_ref["mean_density"])
+    # decay immunity shortened: with no fresh writes, the spike cell falls
+    # below thresh within log(thresh/clamp)/log(decay) ~ 14 sweeps instead
+    # of ~76 for the unclamped 500
+    g = out["density_grid"]
+    for _ in range(15):
+        o = _finish_update(st, cfg, g, jnp.full_like(g, -1.0), None)
+        g = o["density_grid"]
+    assert float(g[0, 0]) < cfg.density_thresh
+
+
+def test_ema_toward_query_debounces_outliers():
+    """ema_toward_query (round-5 growth-clamp arm B): a single high
+    jittered outlier no longer pins a cell (mean-EMA tracks the query
+    stream); persistently dense cells still activate within 2 sweeps."""
+    from nerfnav_tpu.models.occupancy import _finish_update
+
+    cfg = OccupancyConfig(bound=1.0, grid_size=8, update_chunk=64,
+                          ema_toward_query=True)
+    ref = OccupancyConfig(bound=1.0, grid_size=8, update_chunk=64)
+    st = init_occupancy_state(cfg)
+    grid = st["density_grid"]
+    n = grid.shape[1]
+    # dense background keeps the carve bar at the density_thresh cap (10):
+    # half the cells queried at 100 every sweep
+    base = jnp.zeros_like(grid).at[0, n // 2 :].set(100.0)
+    # sweep 1: cell 0 sees a single 300 outlier query
+    spike = base.at[0, 0].set(300.0)
+    out = _finish_update(st, cfg, grid, spike, None)
+    out_ref = _finish_update(st, ref, grid, spike, None)
+    # toward-query writes only (1-decay)*300 = 15; max-EMA pins 300
+    assert abs(float(out["density_grid"][0, 0]) - 15.0) < 1e-4
+    assert float(out_ref["density_grid"][0, 0]) == 300.0
+    # subsequent sweeps query the cell at 0: toward-query carves it within
+    # ~log(10/15)/log(0.95) ~ 8 sweeps; max-EMA needs ~66 from 300
+    zero = base.at[0, 0].set(0.0)
+    g, g_ref = out["density_grid"], out_ref["density_grid"]
+    for _ in range(10):
+        out = _finish_update(st, cfg, g, zero, None)
+        g = out["density_grid"]
+        out_ref = _finish_update(st, ref, g_ref, zero, None)
+        g_ref = out_ref["density_grid"]
+    occ = np.unpackbits(np.asarray(out["bitfield"][0]), bitorder="little")
+    occ_ref = np.unpackbits(np.asarray(out_ref["bitfield"][0]),
+                            bitorder="little")
+    assert not occ[0]      # debounced: the outlier no longer pins the cell
+    assert occ_ref[0]      # max-EMA still pinned after 10 sweeps
+    # persistently dense cells activate and stay on under toward-query
+    assert occ[n // 2 :].all()
+    # unsampled cells still see decay-all semantics
+    g2 = jnp.zeros_like(grid).at[0, 1].set(8.0)
+    out2 = _finish_update(st, cfg, g2, jnp.full_like(grid, -1.0), None)
+    assert abs(float(out2["density_grid"][0, 1]) - 8.0 * cfg.decay) < 1e-5
