@@ -494,7 +494,12 @@ class Estimator:
                 self.cfg.pool_size, gt_pixels, sub,
             )
             loss = losses[-1]
-            if not np.all(np.isfinite(np.asarray(x))):
+            # predicate MUST match FusedMPC.cycle's in-program select
+            # (isfinite(x) AND isfinite(last loss)) — the documented
+            # fused/unfused bit-equivalence otherwise breaks on exactly the
+            # degenerate ticks where trajectories then permanently diverge
+            if not (np.all(np.isfinite(np.asarray(x)))
+                    and np.isfinite(float(loss))):
                 # diverged: fall back to the prior (mirrors the reference's
                 # graceful degradation on bad measurements)
                 self.xt = x_pred

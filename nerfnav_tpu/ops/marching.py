@@ -1205,7 +1205,32 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         z_mid = za_buf + 0.5 * dta_buf
         pos_seg = oA[:, None, :] + dA[:, None, :] * z_mid[..., None]
         cfg_c = _with_grid_size(cfg, hc)
-        sig = density_lookup(density_coarse_min, pos_seg, dt_a_max, cfg_c)
+        proxy_tbl = density_coarse_min
+        if mB > 1:
+            # Beam mode runs the proxy transmittance along the BEAM ray, so
+            # its conservative contract needs the MIN over the same 1-cell
+            # neighborhood the occupancy dilation uses: a member whose path
+            # crosses adjacent, less-dense cells must not see its far
+            # segments terminated by the beam ray's denser column. Separable
+            # 3^3 min-pool (+inf pad: out-of-grid neighbors cannot lower a
+            # cell); like the or-pool above, it depends only on the table
+            # and is hoisted by XLA.
+            casc = density_coarse_min.shape[0]
+            dmn = density_coarse_min.reshape(casc, hc, hc, hc)
+            inf = jnp.float32(jnp.inf)
+            dp = jnp.pad(dmn, ((0, 0), (1, 1), (0, 0), (0, 0)),
+                         constant_values=inf)
+            dmn = jnp.minimum(jnp.minimum(dp[:, :-2], dp[:, 1:-1]), dp[:, 2:])
+            dp = jnp.pad(dmn, ((0, 0), (0, 0), (1, 1), (0, 0)),
+                         constant_values=inf)
+            dmn = jnp.minimum(jnp.minimum(dp[:, :, :-2], dp[:, :, 1:-1]),
+                              dp[:, :, 2:])
+            dp = jnp.pad(dmn, ((0, 0), (0, 0), (0, 0), (1, 1)),
+                         constant_values=inf)
+            dmn = jnp.minimum(jnp.minimum(dp[..., :-2], dp[..., 1:-1]),
+                              dp[..., 2:])
+            proxy_tbl = dmn.reshape(density_coarse_min.shape)
+        sig = density_lookup(proxy_tbl, pos_seg, dt_a_max, cfg_c)
         sig = jnp.where(valid_a, jnp.maximum(sig, 0.0), 0.0)
         a_seg = 1.0 - jnp.exp(-dta_buf * sig)
         t = jnp.cumprod(1.0 - a_seg + 1e-15, axis=-1)

@@ -630,14 +630,18 @@ class Trainer:
         anch = self.opt.eval_coarse_anchors or mcfg.coarse_anchors
         fk = self.opt.eval_first_k or mcfg.first_k
         px = self.opt.eval_proxy or mcfg.proxy_terminate
-        bm = max(self.opt.eval_beam, mcfg.beam)
-        if (seg, anch, fk, px, bm) == (
+        # opt.eval_beam is deliberately NOT baked here: the beam contract
+        # (consecutive rays = adjacent pixels) only holds on render_full's
+        # tile-ordered frames, and this base config also feeds the sequence
+        # renderer and the untiled chunk path — beam is injected per call
+        # site via _build_render_chunk's override (advisor round 4).
+        if (seg, anch, fk, px) == (
                 mcfg.coarse_segments, mcfg.coarse_anchors,
-                mcfg.first_k, mcfg.proxy_terminate, mcfg.beam):
+                mcfg.first_k, mcfg.proxy_terminate):
             return mcfg
         return dataclasses.replace(
             mcfg, coarse_segments=seg, coarse_anchors=anch,
-            first_k=fk, proxy_terminate=px, beam=bm)
+            first_k=fk, proxy_terminate=px)
 
     def _build_render_chunk(self, t_a0: int | None = None,
                             beam: int | None = None):
@@ -810,6 +814,14 @@ class Trainer:
             # CARVING only, not point-budget adaptation
             self._mean_count_host = float(self.state.mean_count)
         freeze_at = self.opt.occ_freeze_after
+        if freeze_at == 1 and isinstance(freeze_at, int):
+            # `1` is ambiguous under the fraction-if-<=1.0 rule: an int 1
+            # reads as "freeze after step 1" but would silently become
+            # 1.0*iters (never freeze during the run). Require 1.0 (the
+            # whole-run fraction) or an explicit step count >= 2.
+            raise ValueError(
+                "occ_freeze_after=1 is ambiguous: pass 1.0 for the "
+                "fraction form or an absolute step count >= 2")
         if 0 < freeze_at <= 1.0:
             freeze_at = freeze_at * self.opt.iters
         if freeze_at > 0 and self.global_step > freeze_at:
@@ -923,6 +935,19 @@ class Trainer:
             if b >= cand:
                 return cand
         return 1
+
+    @staticmethod
+    def _clamp_beam_to_rows(bm: int, W: int) -> int:
+        """A beam must stay within ONE tile row: full rows are 64 px,
+        right-edge tiles are W % 64 px — a beam straddling a row boundary
+        spans ~W/64 px of in-beam spread (the beam-16 cliff failure mode,
+        silently, and on by default via AUTO for e.g. W=820 -> 52-px edge
+        rows). Step down to the next power of two dividing both (advisor
+        round 4)."""
+        edge = W % 64
+        while bm > 1 and (64 % bm or (edge % bm if edge else 0)):
+            bm //= 2
+        return max(bm, 1)
 
     def _chunk_renderer(self, t_a0: int = 0, beam: int = 0):
         """Cached eval chunk renderer, keyed by the planned phase-A ladder
@@ -1107,6 +1132,7 @@ class Trainer:
         if use_tiles:
             bm = (self.opt.eval_beam if self.opt.eval_beam > 0
                   else self._auto_beam(intrinsics))
+            bm = self._clamp_beam_to_rows(bm, W)
             bm = 0 if bm <= 1 else bm
         if self.opt.eval_scan:
             # the baked-constants program is built for the grid rounds path;

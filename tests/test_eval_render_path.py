@@ -286,7 +286,11 @@ class TestEvalBeam:
         img1, _ = tr.render_full(p, POSE, INTR, 16, 16, bg_color=1.0)
         tr.opt = dataclasses.replace(tr.opt, eval_beam=8)
         tr.invalidate_render_cache()
-        assert tr._eval_march_cfg().beam == 8
+        # eval_beam is NOT baked into the base eval march config (it also
+        # feeds the sequence renderer and the untiled path, where the
+        # pixel-adjacency contract fails — advisor round 4); render_full
+        # injects it per tile-ordered call instead
+        assert tr._eval_march_cfg().beam == 1
         assert tr.march_cfg.beam == 1      # the TRAIN march stays unbeamed
         img8, _ = tr.render_full(p, POSE, INTR, 16, 16, bg_color=1.0)
         mse = float(jnp.mean((img1 - img8) ** 2))
@@ -298,3 +302,19 @@ class TestEvalBeam:
         # shift, not beam width). Finer-scale parity (grid 32: 40+ dB) is
         # pinned in tests/test_beam_march.py::test_render_parity.
         assert psnr > 30.0, psnr
+
+
+class TestBeamRowClamp:
+    def test_clamp_beam_to_rows(self):
+        """Beams may not straddle tile-row boundaries: full rows are 64 px,
+        right-edge tiles W % 64 px (advisor round 4 — W=820 edge rows are
+        52 px, where beam 8 silently spans ~32+ px)."""
+        from nerfnav_tpu.training.trainer import Trainer
+
+        c = Trainer._clamp_beam_to_rows
+        assert c(8, 800) == 8          # 800 % 64 = 32: 32 % 8 == 0
+        assert c(8, 820) == 4          # edge 52: 52 % 8 != 0, 52 % 4 == 0
+        assert c(8, 640) == 8          # no edge tiles
+        assert c(16, 840) == 8         # edge 8
+        assert c(8, 65) == 1           # 1-px edge rows: beam off
+        assert c(1, 820) == 1
