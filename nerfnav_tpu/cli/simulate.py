@@ -67,8 +67,11 @@ def simulate(traj, agent, filt, steps: int = 20, open_loop_steps: int = 5,
     return history
 
 
-def main(argv=None):
-    from nerfnav_tpu.cli.flags import build_parser, make_configs
+def build_sim_parser():
+    """The simulate entry's argparse (reference simulate.py:109-158 plus the
+    nav-loop product flags); factored out so tests can assert the defaults
+    without running the loop."""
+    from nerfnav_tpu.cli.flags import build_parser
 
     parser = build_parser("nerfnav_tpu navigation simulation")
     parser.add_argument("--sim_backend", type=str, default="nerf",
@@ -93,12 +96,33 @@ def main(argv=None):
     parser.add_argument("--obs_focal", type=float, default=800.0)
     parser.add_argument("--analytic", action="store_true",
                         help="run against the built-in analytic scene (no ckpt)")
-    parser.add_argument("--fused_cycle", action="store_true",
+    parser.add_argument("--fused_cycle", action="store_true", default=True,
                         help="run each closed-loop MPC tick (filter update + "
                         "waypoint pop + replan + next action) as ONE jitted "
                         "program (nav.fused.FusedMPC; GN filter path only). "
-                        "Headless: per-epoch replan/estimator artifacts are "
-                        "skipped during fused ticks")
+                        "DEFAULT since round 5: chip-measured 91.9 ms = "
+                        "10.9 Hz at 0.7 mm hover drift with the orb/ds2 "
+                        "front-end — at the planner's 10 Hz mission rate "
+                        "(dt = 0.1 s). Headless: per-epoch replan/estimator "
+                        "artifacts are skipped during fused ticks")
+    parser.add_argument("--no_fused", dest="fused_cycle",
+                        action="store_false",
+                        help="run the unfused four-stage loop instead "
+                        "(separate filter/pop/replan programs; keeps the "
+                        "reference's per-step JSON artifact cadence)")
+    parser.add_argument("--poi_backend", type=str, default="orb",
+                        choices=["sift", "orb", "corners"],
+                        help="measurement front-end detector (the filter "
+                        "consumes only the dilated interest MASK). Default "
+                        "orb: 13.3 ms detect vs sift's 27.7 on the 800^2 "
+                        "obs — the difference between 8.9 and 10.9 Hz ticks "
+                        "— at 0.7 mm vs 0.4 mm chip hover drift (both "
+                        "within the <= 1 mm bar). --poi_backend sift "
+                        "restores reference parity (estimator_helpers."
+                        "py:37-68)")
+    parser.add_argument("--poi_downscale", type=int, default=2,
+                        help="detector downscale (mask upsampled back; 2 = "
+                        "measured default, 1 = reference full-res)")
     parser.add_argument("--filter_render", type=str, default="dense",
                         choices=["dense", "grid", "frozen"],
                         help="pose-filter render path: 'dense' = the "
@@ -113,6 +137,13 @@ def main(argv=None):
                         "the K occupancy-pruned samples (GN optimizer only). "
                         "grid/frozen need a full checkpoint with occupancy "
                         "state (fall back to dense with a warning).")
+    return parser
+
+
+def main(argv=None):
+    from nerfnav_tpu.cli.flags import make_configs
+
+    parser = build_sim_parser()
     opt = parser.parse_args(argv)
     opt.cuda_ray = False
     cfg, rcfg, _, _ = make_configs(opt, for_nav=True)
@@ -257,7 +288,9 @@ def main(argv=None):
                        backend=opt.sim_backend, blend_file=opt.blend_file)
     agent = Agent(start12.astype(np.float32), acfg, field=field)
     ecfg = EstimatorConfig(lr=opt.estimator_lr, n_iters=opt.estimator_iters,
-                           batch_size=opt.estimator_batch)
+                           batch_size=opt.estimator_batch,
+                           poi_backend=opt.poi_backend,
+                           poi_downscale=opt.poi_downscale)
     filt = Estimator(ecfg, dyn, render_fn, get_rays_fn,
                      body_state_to_camera_pose, workspace=ws,
                      get_rays_at_fn=get_rays_at_fn,

@@ -115,3 +115,21 @@ def test_checkpoint_grid_meta_mismatch_raises(scene_dir, tmp_path):
     main(base + ["--ckpt", "scratch", "--grid_levels", "2"])
     with pytest.raises(ValueError, match="grid architecture"):
         main(base + ["--ckpt", "latest", "--grid_levels", "4", "--test"])
+
+
+def test_simulate_defaults_are_the_measured_fused_config():
+    """The simulate product default IS the chip-measured 10.9 Hz / 0.7 mm
+    configuration (round-5): fused one-program MPC tick, dense filter
+    render, orb/ds2 front-end — with --no_fused and --poi_backend sift as
+    the reference-parity escapes."""
+    from nerfnav_tpu.cli.simulate import build_sim_parser
+
+    p = build_sim_parser()
+    opt = p.parse_args(["scene"])
+    assert opt.fused_cycle
+    assert opt.filter_render == "dense"
+    assert opt.poi_backend == "orb" and opt.poi_downscale == 2
+    opt = p.parse_args(["scene", "--no_fused", "--poi_backend", "sift",
+                        "--poi_downscale", "1"])
+    assert not opt.fused_cycle
+    assert opt.poi_backend == "sift" and opt.poi_downscale == 1
