@@ -221,22 +221,34 @@ def _finish_update(state, cfg, grid, tmp, all_cells_mask, thresh_cap=None):
         valid = (grid >= 0) & (tmp >= 0)
     else:
         valid = grid >= 0
+    tmp_stored = tmp
     if cfg.density_write_clamp > 0.0:
-        # bound fresh writes at clamp*thresh (see OccupancyConfig): junk
-        # spikes can no longer inflate mean_density or buy ~50 sweeps of
-        # EMA-decay immunity; occupancy decisions are unchanged because
-        # the clamp value stays above every reachable carve bar
-        tmp = jnp.minimum(tmp, cfg.density_write_clamp * cfg.density_thresh)
+        # bound STORED writes at clamp*thresh (see OccupancyConfig): junk
+        # spikes lose their ~50-sweep EMA-decay immunity. The mean_density
+        # statistic stays on the RAW (unclamped) EMA below — the carve bar
+        # min(mean, density_thresh) must track the reference's dynamics, or
+        # the clamp silently LOWERS the bar and floods occupancy with junk
+        # cells (chip-measured -4 to -6 dB from epoch 1 when the mean was
+        # computed post-clamp).
+        tmp_stored = jnp.minimum(
+            tmp, cfg.density_write_clamp * cfg.density_thresh)
     if cfg.ema_toward_query:
         sampled = tmp >= 0
-        cand = cfg.decay * grid + (1.0 - cfg.decay) * tmp
+        cand = cfg.decay * grid + (1.0 - cfg.decay) * tmp_stored
         new_grid = jnp.where(
             valid & sampled, cand,
             jnp.where(valid, grid * cfg.decay, grid),
         )
     else:
-        new_grid = jnp.where(valid, jnp.maximum(grid * cfg.decay, tmp), grid)
-    mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
+        new_grid = jnp.where(
+            valid, jnp.maximum(grid * cfg.decay, tmp_stored), grid)
+    if cfg.density_write_clamp > 0.0:
+        # bar statistic from the raw sweep values (one extra elementwise max
+        # over the grid, fused by XLA; nothing raw is stored)
+        new_raw = jnp.where(valid, jnp.maximum(grid * cfg.decay, tmp), grid)
+        mean_density = jnp.mean(jnp.clip(new_raw, 0.0, None))
+    else:
+        mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
     thresh = jnp.minimum(mean_density, cfg.density_thresh)
     if thresh_cap is not None:
         # pinned carve bar (TrainerOptions.occ_thresh_freeze_after): stops

@@ -212,8 +212,11 @@ def test_density_write_clamp_bounds_accretion():
     # occupancy decisions identical (both bands stay above every bar)
     assert np.array_equal(np.asarray(out["bitfield"]),
                           np.asarray(out_ref["bitfield"]))
-    # mean_density bounded -> the carve bar is not pushed to the cap
-    assert float(out["mean_density"]) < float(out_ref["mean_density"])
+    # the carve-bar statistic tracks the RAW sweep (reference dynamics):
+    # clamping the store must not lower min(mean, thresh) — a post-clamp
+    # mean floods occupancy with junk cells (chip: -4 dB from epoch 1)
+    assert abs(float(out["mean_density"])
+               - float(out_ref["mean_density"])) < 1e-5
     # decay immunity shortened: with no fresh writes, the spike cell falls
     # below thresh within log(thresh/clamp)/log(decay) ~ 14 sweeps instead
     # of ~76 for the unclamped 500
