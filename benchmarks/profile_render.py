@@ -53,6 +53,15 @@ def main():
     ap.add_argument("--occ_crop", action="store_true")
     ap.add_argument("--g_a", type=int, default=0,
                     help="phase-A anchor-run length override (phase_a_group)")
+    ap.add_argument("--beam", type=int, default=1,
+                    help="beam-shared phase A width (bench default 8 since "
+                         "round 4; the round-4 profile ran beam 1 and "
+                         "overstated phase A's share of the beamed config)")
+    ap.add_argument("--dt_gamma", type=float, default=0.0,
+                    help="gamma attribution (VERDICT r4 item 6: gamma "
+                         "1/128 runs 2.23x SLOWER than 0 with the ladder "
+                         "length exonerated — the stage split under gamma "
+                         "is the missing evidence)")
     ap.add_argument("--stages", default=None,
                     help="comma list of stage names to run (default all)")
     args = ap.parse_args()
@@ -67,7 +76,9 @@ def main():
                          coarse_segments=args.coarse_segments,
                          coarse_anchors=args.coarse_anchors,
                          first_k=args.first_k,
-                         phase_a_group=args.g_a)
+                         phase_a_group=args.g_a,
+                         beam=args.beam,
+                         dt_gamma=args.dt_gamma)
     params = init_network(jax.random.PRNGKey(0), cfg)
     if args.table_dtype == "bfloat16":
         params["encoder"] = [t.astype(jnp.bfloat16) for t in params["encoder"]]
@@ -166,6 +177,25 @@ def main():
         return idx_a.sum() + valid_a.sum() + stride_a.sum()
 
     @jax.jit
+    def march_a_stop(a, b):
+        # EXACT phase A of the shipped marcher (incl. beam sharing, gamma
+        # ladder, compaction + broadcast) via the stop_after hook — the
+        # hand-mirrored march_phase_a above predates beam/gamma and runs
+        # the unbeamed ladder only
+        m = M.march(a, b, occupancy, mcfg, crop_aabb=crop_aabb,
+                    stop_after="phase_a")
+        return m["z"].sum() + m["dt"].sum() + m["valid"].sum()
+
+    @jax.jit
+    def march_b_occ_stop(a, b):
+        # phase A + the phase-B fine occupancy test, WITHOUT the final
+        # sample compaction/reconstruction: full-march minus this is the
+        # compaction cost
+        m = M.march(a, b, occupancy, mcfg, crop_aabb=crop_aabb,
+                    stop_after="phase_b_occ")
+        return m["z"].sum() + m["valid"].sum()
+
+    @jax.jit
     def field_on_marched(a, b):
         m = M.march(a, b, occupancy, mcfg, crop_aabb=crop_aabb)
         z, valid = m["z"], m["valid"]
@@ -234,6 +264,8 @@ def main():
         (full, "full render"),
         (march_only, "march only"),
         (march_phase_a, "march phase A only"),
+        (march_a_stop, "march A stop (exact)"),
+        (march_b_occ_stop, "march A+B occ (exact)"),
         (field_on_marched, "march+encode+mlp"),
         (density_on_marched, "march+density"),
         (density_on_fixed, "density (no march)"),

@@ -947,7 +947,7 @@ def _grouped_block_test(table, flat, local, group: int, anchors=None):
 
 def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
                      key=None, density_coarse_min=None, crop_aabb=None,
-                     z_window=None):
+                     z_window=None, stop_after: str = ""):
     """Two-phase march against 64-bit block-packed occupancy rows.
 
     Same candidate geometry as march_rays_two_phase (phase A: dt_a ladder vs
@@ -1247,6 +1247,13 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         dta_buf = jnp.repeat(dta_buf, mB, axis=0)
         valid_a = jnp.repeat(valid_a, mB, axis=0)
 
+    if stop_after == "phase_a":
+        # profiling hook (benchmarks/profile_render.py): everything through
+        # the phase-A compaction + beam broadcast, nothing of phase B —
+        # trace-time branch, zero cost when unused
+        return {"z": za_buf, "dt": dta_buf, "valid": valid_a,
+                "near": near, "far": far}
+
     # ---- phase B: fine subdivision over each kept segment's (possibly
     # stride-scaled) length — see march_rays_two_phase on overflow gaps.
     # Stride-widened runs may exceed the anchor reach; those positions fall
@@ -1275,6 +1282,11 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         # near = min over members); positions before it sit outside the
         # AABB and must not shade
         occ_b = occ_b & (z_b >= near[:, None])
+    if stop_after == "phase_b_occ":
+        # profiling hook: phase A + the phase-B fine occupancy test, without
+        # the final sample compaction/reconstruction
+        return {"z": z_b, "dt": jnp.zeros_like(z_b), "valid": occ_b,
+                "near": near, "far": far}
     # reconstruct kept z/dt from indices: seg = idx // mult selects among
     # K_A per-ray segment scalars (masked-sum select, no gathers)
     phase_u = (_ray_hash_u(rays_d)
@@ -1378,7 +1390,7 @@ def march_segments(rays_o, rays_d, occupancy, cfg: MarchConfig,
 
 
 def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
-          crop_aabb=None, z_window=None):
+          crop_aabb=None, z_window=None, stop_after: str = ""):
     """Dispatch: block-packed two-phase march when 64-bit block tables are
     available (fastest; handles dt_gamma == 0 and the adaptive dt_gamma > 0
     static gamma ladder), byte-bitfield two-phase when a coarse mirror is
@@ -1406,7 +1418,8 @@ def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
         # (per-candidate dt row; anchor runs sized by the ladder tail)
         return march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg,
                                 key, density_coarse_min=density_coarse_min,
-                                crop_aabb=crop_aabb, z_window=z_window)
+                                crop_aabb=crop_aabb, z_window=z_window,
+                                stop_after=stop_after)
     if coarse is not None:
         m = march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key,
                                  crop_aabb=crop_aabb, z_window=z_window)
