@@ -1,3 +1,5 @@
+from nerfnav_tpu.utils.jax_setup import enable_compilation_cache
+enable_compilation_cache()
 import numpy as np, jax, dataclasses
 # chip probe (use JAX_PLATFORMS=cpu to force CPU)
 import jax.numpy as jnp

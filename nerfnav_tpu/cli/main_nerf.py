@@ -10,7 +10,12 @@ import sys
 
 def main(argv=None):
     from nerfnav_tpu.cli.flags import build_parser, make_configs
+    from nerfnav_tpu.utils.jax_setup import enable_compilation_cache
 
+    # product warm-start (round-5): the persistent executable cache was
+    # previously wired into benches/tests only, so every CLI run after a
+    # reboot re-paid full compiles (14+ min cold bench, ~29 min fused tick)
+    enable_compilation_cache()
     opt = build_parser("nerfnav_tpu NeRF training").parse_args(argv)
     cfg, rcfg, occ_cfg, march_cfg = make_configs(opt, for_nav=False)
 

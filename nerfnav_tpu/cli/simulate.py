@@ -142,7 +142,12 @@ def build_sim_parser():
 
 def main(argv=None):
     from nerfnav_tpu.cli.flags import make_configs
+    from nerfnav_tpu.utils.jax_setup import enable_compilation_cache
 
+    # persistent executable cache: the fused MPC tick costs ~29 min to
+    # compile cold — cached warm starts make the nav loop usable after a
+    # reboot (round-5 product compile-cache story)
+    enable_compilation_cache()
     parser = build_sim_parser()
     opt = parser.parse_args(argv)
     opt.cuda_ray = False
