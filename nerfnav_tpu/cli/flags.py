@@ -120,7 +120,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    "beam 8 = +13%% render throughput")
     p.add_argument("--ff", action="store_true", help="fused-MLP backend")
     p.add_argument("--tcnn", action="store_true",
-                   help="parity flag; maps to the fused backend on TPU")
+                   help="reference-script compatibility flag: tinycudann is "
+                   "a CUDA-only external library, so there is no tcnn "
+                   "backend on TPU — this selects the Pallas fused-MLP "
+                   "backend (same architecture and checkpoints as --ff) "
+                   "and says so loudly at startup. The two-backend "
+                   "decision is documented in docs/MIGRATION.md")
     # dataset
     p.add_argument("--color_space", type=str, default="srgb")
     p.add_argument("--preload", action="store_true")
@@ -173,6 +178,26 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
+def _select_mlp_backend(opt, for_nav: bool) -> str:
+    """--ff / --tcnn backbone selection (reference main_nerf.py:71-80).
+
+    TPU has exactly TWO MLP backends — "xla" (jnp dot chain) and "fused"
+    (Pallas VMEM-resident kernel, ops/fused_mlp.py). The reference's third
+    backend, tinycudann (network_tcnn.py), is an external CUDA library with
+    no TPU equivalent; --tcnn is accepted so reference launch scripts keep
+    working, but the remap is LOUD, not silent (round-4 verdict item 10).
+    Nav forces the xla chain: the Pallas kernel's custom_vjp is
+    reverse-mode-only and the LM pose filter linearizes forward-mode (same
+    math either way — checkpoints are backend-agnostic)."""
+    if getattr(opt, "tcnn", False):
+        import sys
+
+        print("[flags] --tcnn: tinycudann is CUDA-only; running the Pallas "
+              "fused-MLP backend instead (same architecture/checkpoints as "
+              "--ff; see docs/MIGRATION.md)", file=sys.stderr)
+    return "fused" if (opt.ff or opt.tcnn) and not for_nav else "xla"
+
+
 def make_configs(opt, for_nav: bool = False):
     """Expand flags (incl. -O) into the framework config objects."""
     from nerfnav_tpu.models import NetworkConfig, RenderConfig
@@ -206,12 +231,7 @@ def make_configs(opt, for_nav: bool = False):
         bound=opt.bound,
         bg_radius=opt.bg_radius,
         mlp_dtype="bfloat16" if opt.fp16 else "float32",
-        # --ff / --tcnn both map to the Pallas fused-MLP backend on TPU
-        # (reference network_ff.py / network_tcnn.py backbone selection).
-        # Nav forces the xla chain: the Pallas kernel's custom_vjp is
-        # reverse-mode-only and the LM pose filter linearizes forward-mode
-        # (same math either way — checkpoints are backend-agnostic).
-        mlp_backend="fused" if (opt.ff or opt.tcnn) and not for_nav else "xla",
+        mlp_backend=_select_mlp_backend(opt, for_nav),
         grid_levels=opt.grid_levels,
         grid_level_dim=opt.grid_level_dim,
         grid_log2_hashmap_size=opt.grid_hashmap_log2,
