@@ -25,4 +25,5 @@ run python benchmarks/probe_beam16.py
 run python bench.py --beam 16
 run python benchmarks/profile_render.py --dt_gamma 0.0078125 --stages "march,rounds"
 run python benchmarks/profile_render.py --dt_gamma 0.0078125 --beam 8 --stages "march,rounds"
+run python benchmarks/probe_gather.py
 echo "QUEUE2-DONE" >> "$LOG"
