@@ -372,6 +372,39 @@ def apply_z_window(near, far, z_window):
     return near, far
 
 
+def beam_contract_violation(rays_d, cfg: "MarchConfig",
+                            n_check: int = 4096) -> float:
+    """In-beam spread over the full march span, in coarse-cell units.
+
+    The beam-shared phase A (MarchConfig.beam) is conservative ONLY while
+    every member stays within one coarse cell of the beam ray — the 1-cell
+    dilation's reach. A value > 1.0 means the contract is violated (e.g.
+    scrambled ray order, a beam straddling a tile-row boundary, or a
+    too-wide beam for the focal) and real segments can be silently dropped
+    — the round-4 "beam-16 cliff" failure mode. Host-level guard: callers
+    with concrete ray batches (render_full validates one chunk per frame
+    shape) should refuse or step the beam down when this exceeds 1.
+
+    Conservatively uses the worst member-vs-beam angle across the first
+    n_check rays and the worst-case span 2*sqrt(3)*max(bound, 1)."""
+    b = cfg.beam
+    if b <= 1:
+        return 0.0
+    d = np.asarray(rays_d[: (min(n_check, rays_d.shape[0]) // b) * b],
+                   np.float64)
+    if d.shape[0] < b:
+        return 0.0
+    m = d.reshape(-1, b, 3)
+    m = m / np.linalg.norm(m, axis=-1, keepdims=True)
+    mean = m.sum(axis=1)
+    mean /= np.maximum(np.linalg.norm(mean, axis=-1, keepdims=True), 1e-12)
+    cos = np.clip((m * mean[:, None, :]).sum(-1), -1.0, 1.0)
+    sin_max = float(np.sqrt(np.maximum(1.0 - cos * cos, 0.0)).max())
+    z_max = 2.0 * math.sqrt(3.0) * max(cfg.bound, 1.0)
+    cell = 2.0 * min(1.0, cfg.bound) / (cfg.grid_size // cfg.coarse_factor)
+    return sin_max * z_max / cell
+
+
 def near_far_aabb(rays_o, rays_d, bound: float, min_near: float,
                   crop_aabb=None):
     """Slab-test near/far against the bound cube, optionally intersected with

@@ -1134,6 +1134,32 @@ class Trainer:
                   else self._auto_beam(intrinsics))
             bm = self._clamp_beam_to_rows(bm, W)
             bm = 0 if bm <= 1 else bm
+        if bm > 1:
+            # runtime contract guard (round-4 beam-16 cliff, advisor): one
+            # spread measurement per (frame shape, beam, intrinsics class);
+            # a violation means real segments would be SILENTLY dropped, so
+            # refuse the beam loudly and render unbeamed
+            import dataclasses as _dc
+
+            gk = (H, W, bm, float(intrinsics[0]), float(intrinsics[1]))
+            cache = getattr(self, "_beam_guard_cache", None)
+            if cache is None:
+                cache = self._beam_guard_cache = {}
+            if gk not in cache:
+                from nerfnav_tpu.ops.marching import beam_contract_violation
+
+                mcfg_g = _dc.replace(self._eval_march_cfg(), beam=bm)
+                cache[gk] = beam_contract_violation(np.asarray(rd[:4096]),
+                                                    mcfg_g)
+            if cache[gk] > 1.0:
+                import logging
+
+                logging.getLogger("nerfnav").warning(
+                    "eval beam %d violates the 1-coarse-cell spread "
+                    "contract (%.2f cells over the march span) on this "
+                    "frame — rendering unbeamed; see MarchConfig.beam",
+                    bm, cache[gk])
+                bm = 0
         if self.opt.eval_scan:
             # the baked-constants program is built for the grid rounds path;
             # dense-path trainers keep the traced-args program

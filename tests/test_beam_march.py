@@ -221,3 +221,63 @@ class TestBeamProxyConservative:
         # and the survivors never extend past the wall core exit (z ~ 0.5)
         z = np.asarray(m_on["z"])[np.asarray(m_on["valid"])]
         assert (-1.5 + z.max()) < 0.55
+
+
+class TestBeamContractGuard:
+    def test_violation_metric(self, cfg):
+        """beam_contract_violation: tile-ordered pixel rows at a long focal
+        pass; scrambled ray order fails loudly (> 1 coarse cell)."""
+        import dataclasses
+
+        from nerfnav_tpu.ops.marching import beam_contract_violation
+
+        cfgb = dataclasses.replace(cfg, beam=8, grid_size=128)
+        o, d = _pixel_rows(256, rows=2, fov_scale=0.02)  # ~f>1000 pixels
+        v_ok = beam_contract_violation(np.asarray(d), cfgb)
+        assert v_ok < 1.0, v_ok
+        rng = np.random.default_rng(0)
+        # a frame-scale FOV (0.5 rad ~ an 800^2 f800 frame), scrambled:
+        # beams now mix rays from across the frame
+        _, d_wide = _pixel_rows(256, rows=2, fov_scale=0.5)
+        d_scr = np.asarray(d_wide)[rng.permutation(256)]
+        v_bad = beam_contract_violation(d_scr, cfgb)
+        assert v_bad > 1.0, v_bad
+        # beam 1: always fine
+        assert beam_contract_violation(d_scr,
+                                       dataclasses.replace(cfgb, beam=1)) == 0
+
+    def test_render_full_refuses_violating_beam(self, tmp_path):
+        """render_full with an explicit wide-FOV eval_beam drops to
+        unbeamed (warning) instead of silently losing geometry."""
+        import dataclasses
+
+        from nerfnav_tpu.models import NetworkConfig, RenderConfig
+        from nerfnav_tpu.models.occupancy import OccupancyConfig
+        from nerfnav_tpu.training import Trainer, TrainerOptions
+
+        ncfg = NetworkConfig(bound=1.0, grid_levels=2,
+                             grid_log2_hashmap_size=10,
+                             grid_max_resolution=32, grid_layout="cell",
+                             grid_level_dim=4)
+        rcfg = RenderConfig(num_steps=8, upsample_steps=0, min_near=0.05,
+                            max_ray_batch=256)
+        opt = TrainerOptions(name="beamguard", workspace=str(tmp_path),
+                             use_checkpoint="scratch", eval_beam=8)
+        mcfg = MarchConfig(bound=1.0, grid_size=16, max_steps=32,
+                           samples_per_ray=8, min_near=0.05)
+        tr = Trainer(ncfg, rcfg, opt,
+                     occupancy_cfg=OccupancyConfig(bound=1.0, grid_size=16,
+                                                   update_chunk=512),
+                     march_cfg=mcfg)
+        tr.state = tr._init_state(1)
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -1.5
+        # 16x16 at focal 4: huge per-pixel angle -> spread >> 1 coarse cell
+        intr = np.asarray([4.0, 4.0, 8.0, 8.0], np.float32)
+        img, _ = tr.render_full(tr.state.params, pose, intr, 16, 16)
+        assert np.isfinite(np.asarray(img)).all()
+        (key,) = [k for k in tr._beam_guard_cache]
+        assert tr._beam_guard_cache[key] > 1.0
+        # and the beamed chunk program was never built
+        assert all(b in (0, None) or b <= 1
+                   for (_t, b) in tr._render_scan_fns.keys())
