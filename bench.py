@@ -126,36 +126,6 @@ def main():
                         "per-chunk dispatch at chunk 4096 (RESULTS.md "
                         "round-2 queue-10 table); --no-scan for the A/B "
                         "control")
-    p.add_argument("--seq", type=int, default=0,
-                   help="frame-coherent SEQUENCE workload: render an orbit "
-                        "of this many poses (1.5 deg apart) through "
-                        "models/sequence.SequenceRenderer — previous-frame "
-                        "depth windows drive a short phase-A ladder; tiles "
-                        "failing the trust rule re-render on the exact full "
-                        "ladder. 0 = single-pose workload. The reference's "
-                        "camera-path test/GUI loop re-marches every frame "
-                        "from scratch (renderer.py:325-374)")
-    p.add_argument("--seq_t_a0", type=int, default=24,
-                   help="short-ladder length for windowed tiles")
-    p.add_argument("--seq_t_a0_wide", type=int, default=0,
-                   help="wide-bucket ladder length (0 = off, the default: "
-                        "the wide group chain serializes on the donated "
-                        "buffers; the narrow t_a0-40 ladder covers border "
-                        "far-clips)")
-    p.add_argument("--seq_k", type=int, default=0,
-                   help="narrow-bucket per-ray sample budget (0 = same as "
-                        "full)")
-    p.add_argument("--seq_motion", type=float, default=2.0,
-                   help="per-frame motion margin in coarse cells per side "
-                        "(scales by plan_lag; thickness margin is fixed)")
-    p.add_argument("--seq_segments", type=int, default=0,
-                   help="windowed-tile coarse_segments (0 = same as full)")
-    p.add_argument("--seq_check", action="store_true",
-                   help="render every 4th orbit pose through the exact full "
-                        "path too and report min PSNR parity (not timed)")
-    p.add_argument("--seq_profile", action="store_true",
-                   help="time one steady-state frame's stages separately "
-                        "(ray gen / narrow scan / wide+full groups / plan)")
     p.add_argument("--hw", type=int, default=800,
                    help="image side (CPU smoke runs use a small value)")
     p.add_argument("--yaw", type=float, default=0.0,
@@ -369,133 +339,6 @@ def main():
 
     intr = jnp.asarray([1000.0, 1000.0, W / 2, H / 2], jnp.float32)
 
-    if args.seq:
-        from nerfnav_tpu.models.sequence import (
-            SequenceConfig, SequenceRenderer,
-        )
-
-        def orbit_pose(deg):
-            t = np.radians(deg)
-            ry = np.array([[np.cos(t), 0, np.sin(t)],
-                           [0, 1, 0],
-                           [-np.sin(t), 0, np.cos(t)]], np.float32)
-            pm = np.eye(4, dtype=np.float32)
-            pm[:3, :3] = ry
-            pm[:3, 3] = [-1.8 * np.sin(t), 0.0, -1.8 * np.cos(t)]
-            return jnp.asarray(pm)
-
-        scfg = SequenceConfig(t_a0_win=args.seq_t_a0,
-                              t_a0_wide=args.seq_t_a0_wide,
-                              win_k=args.seq_k,
-                              motion_cells=args.seq_motion,
-                              win_segments=args.seq_segments,
-                              round_samples=args.round_samples,
-                              round_compact=args.round_compact,
-                              shade_order=args.shade_order)
-        sr = SequenceRenderer(field, occupancy, mcfg, H, W, scfg,
-                              tile=args.tile)
-        degs = [i * 1.5 for i in range(args.seq)]
-        poses = [orbit_pose(d) for d in degs]
-        # warmup: full orbit once (compiles ray gen + narrow scan +
-        # wide/full groups + plan)
-        stats = []
-        for pm in poses:
-            img, _d, st = sr.render_pose(pm, intr)
-            stats.append(st)
-        img.block_until_ready()
-        print(json.dumps({"seq_warmup_stats": stats[:4] + ["..."],
-                          "last": stats[-1]}), flush=True)
-
-        if args.seq_profile:
-            import jax as _jax
-
-            pm = poses[-1]
-            ro_p, rd_p = sr._ray_fn(jnp.asarray(pm, jnp.float32), intr)
-            _jax.block_until_ready((ro_p, rd_p))
-            prof = {}
-
-            def t_of(name, fn, reps=3):
-                fn()  # warm
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    out = fn()
-                _jax.block_until_ready(out)
-                prof[name] = round((time.perf_counter() - t0) / reps * 1e3, 1)
-                return out
-
-            t_of("raygen_ms", lambda: sr._ray_fn(
-                jnp.asarray(pm, jnp.float32), intr))
-            zlo_p, zhi_p, bucket_p = sr._plans[-1]
-            t_of("win_scan_ms", lambda: sr._win_fn(ro_p, rd_p, zlo_p, zhi_p))
-            ids_f = jnp.arange(sr.cfg.group)
-
-            def full_once():
-                z0 = jnp.zeros((sr.m, sr.chunk, 3))
-                d0 = jnp.zeros((sr.m, sr.chunk))
-                w0 = jnp.zeros((sr.m, sr.chunk))
-                return sr._full_step(z0, d0, w0, ro_p, rd_p, ids_f,
-                                     jnp.take(zlo_p, ids_f),
-                                     jnp.take(zhi_p, ids_f))
-
-            t_of("full_group16_ms", full_once)
-            dws = sr._win_fn(ro_p, rd_p, zlo_p, zhi_p)
-            t_of("plan_ms", lambda: sr._plan_fn(dws[1], dws[2]))
-            print(json.dumps({"seq_profile": prof}), flush=True)
-
-        sr.reset()
-        t0 = time.perf_counter()
-        for pm in poses:
-            img, _d, st = sr.render_pose(pm, intr)
-        img.block_until_ready()
-        dt = time.perf_counter() - t0
-        rays_per_sec = args.seq * H * W / dt
-
-        if args.seq_check:
-            from nerfnav_tpu.models import render_rays_grid_rounds as _rr
-            import jax as _jax
-
-            @_jax.jit
-            def _full_chunk(ro_c, rd_c):
-                return _rr(field, occupancy, mcfg, ro_c, rd_c, bg_color=1.0,
-                           round_samples=args.round_samples,
-                           round_compact=args.round_compact,
-                           shade_order=args.shade_order)["image"]
-
-            from nerfnav_tpu.data.rays import tile_order as _tile_order
-
-            perm_c, inv_c = _tile_order(H, W, args.tile)
-            sr.reset()
-            worst = 99.0
-            ck = sr.chunk
-            npad = (-(H * W)) % ck
-            for fi, pm in enumerate(poses):
-                img, _d, _ = sr.render_pose(pm, intr)
-                if fi % 4:
-                    continue
-                r = get_all_rays(pm, intr, H, W)
-                ro_p = jnp.concatenate([
-                    jnp.take(r["rays_o"], jnp.asarray(perm_c), axis=0),
-                    jnp.zeros((npad, 3), jnp.float32)])
-                rd_p = jnp.concatenate([
-                    jnp.take(r["rays_d"], jnp.asarray(perm_c), axis=0),
-                    jnp.ones((npad, 3), jnp.float32)])
-                ref = jnp.concatenate([
-                    _full_chunk(ro_p[i:i + ck], rd_p[i:i + ck])
-                    for i in range(0, H * W + npad, ck)
-                ])[:H * W][jnp.asarray(inv_c)].reshape(H, W, 3)
-                mse = float(jnp.mean((img - ref) ** 2))
-                psnr = 99.0 if mse < 1e-12 else -10.0 * np.log10(mse)
-                worst = min(worst, psnr)
-            print(json.dumps({"seq_parity_min_psnr_db": round(worst, 2)}),
-                  flush=True)
-
-        print(json.dumps({
-            "metric": "render_rays_per_sec_chip_seq",
-            "value": round(rays_per_sec),
-            "unit": "rays/s",
-            "vs_baseline": round(rays_per_sec / 1e7, 3),
-        }))
-        return
     # default: on-axis framing (the headline metric). --yaw rotates the
     # camera around the scene's Y axis at the same distance — an off-axis
     # A/B framing, never the headline number

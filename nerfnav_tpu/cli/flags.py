@@ -88,14 +88,6 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="occupancy-derived phase-A ladder shrink for "
                    "eval/test/GUI rendering (plan_occupied_ladder; default "
                    "ON, +33%% chip A/B), planned once per occupancy version")
-    p.add_argument("--eval_sequence", default=False,
-                   action=argparse.BooleanOptionalAction,
-                   help="frame-coherent camera-path rendering for --test "
-                   "videos: previous-frame depth windows shrink the march "
-                   "for trusted tiles, exact full-ladder fallback elsewhere "
-                   "(models/sequence.py; default OFF — measured slower "
-                   "than the single-pose frozen scan on chip, see "
-                   "benchmarks/RESULTS.md round 4)")
     p.add_argument("--eval_coarse_segments", type=int, default=12,
                    help="render-only phase-A segment budget for eval/test/"
                    "GUI (training keeps --coarse_segments); 12 is quality-"

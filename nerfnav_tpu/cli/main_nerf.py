@@ -39,7 +39,6 @@ def main(argv=None):
         eval_table_dtype=opt.eval_table_dtype,
         eval_scan=opt.eval_scan,
         eval_occ_ladder=opt.eval_occ_ladder,
-        eval_sequence=opt.eval_sequence,
         stride_phase=opt.stride_phase,
         eval_coarse_segments=opt.eval_coarse_segments,
         eval_coarse_anchors=opt.eval_coarse_anchors,

@@ -91,10 +91,9 @@ class MarchConfig:
     #   candidate for fully-converged thin-shell occupancies; keep False.
     t_a0_steps: int = 0           # STATIC phase-A ladder length override
     #   (normalized ladders only; 0 = auto ceil(2*sqrt(3)*bound / cap)).
-    #   Window planners (models/sequence.py) compile a few bucket
-    #   programs with short ladders and dispatches each image tile to the
-    #   smallest bucket whose ladder still covers the tile's measured
-    #   occupied-depth window. CALLER CONTRACT: every ray's [near, far]
+    #   Short-ladder callers (the occ-ladder plan; historically the
+    #   round-4 sequence renderer's window buckets, deleted round 5)
+    #   dispatch rays whose spans fit the shrunk ladder. CALLER CONTRACT: every ray's [near, far]
     #   span (after the z_window narrowing) must satisfy
     #   ceil(span / phase_a_cap) <= t_a0_steps, or the ladder's cap-clamped
     #   tail silently cuts far geometry.
@@ -363,7 +362,8 @@ def apply_z_window(near, far, z_window):
     """Narrow per-ray [near, far] to a depth window (z_lo, z_hi) — scalars
     or (N,) arrays. A window that excludes a ray entirely degenerates to an
     empty span (far == near), which every marcher masks to zero samples.
-    Produced by the window planners (models/sequence.py)."""
+    (Kept general infrastructure: the deleted round-4 sequence renderer
+    produced these; crop/GUI callers may too.)"""
     if z_window is None:
         return near, far
     z_lo, z_hi = z_window
@@ -611,7 +611,7 @@ def _phase_a_cap(cfg: MarchConfig) -> float:
 def full_ladder_steps(cfg: MarchConfig) -> int:
     """The auto normalized phase-A ladder length (_phase_a_ladder's t_a0):
     ceil(worst-case AABB crossing / cap). The scale against which window
-    plans (models/sequence.py) and t_a0_steps overrides are judged."""
+    plans and t_a0_steps overrides are judged."""
     span = 2.0 * _SQRT3 * max(cfg.bound, 1.0)
     return int(np.ceil(span / _phase_a_cap(cfg)))
 

@@ -136,17 +136,6 @@ class TrainerOptions:
     # plan compiles a new render program; t_a0 is quantized to whole anchor
     # runs to bound program churn.
     eval_occ_ladder: bool = True
-    # Frame-coherent camera-path rendering for test() videos (and any other
-    # smooth multi-pose sequence): each frame's depth bounds the next frame's
-    # march via per-tile windows with an exact full-ladder fallback for
-    # untrusted tiles (models/sequence.py). Default OFF after the round-4
-    # make-or-kill: three chip versions (2.07-2.38M rays/s) all lost to the
-    # 3.30M single-pose frozen scan — the v3 stage profile shows the window
-    # scan costs MORE per tile (1.76 ms) than the full occ-ladder scan
-    # (1.40 ms) because the single static window shape loses the per-scene
-    # occ-ladder fit (benchmarks/RESULTS.md round 4). Parity is exact
-    # (98.9 dB min over 24-pose orbits) — opt in for re-evaluation.
-    eval_sequence: bool = False
     # Eval/test/GUI march trims (render-only; the training march keeps the
     # MarchConfig values): phase-A segment budget + anchors per run. On a
     # CONVERGED grid seg12/anch2 is quality-neutral (26.69 vs 26.73 dB on the
@@ -1233,55 +1222,20 @@ class Trainer:
         self.log(f"eval epoch {self.epoch}: {meter.report()}")
         return result
 
-    def _sequence_renderer(self, params, H, W, bg_color=1.0):
-        """Frame-coherent camera-path renderer (models/sequence.py): each
-        frame's rendered depth bounds the next frame's march via per-tile
-        windows — eval video and GUI orbits are smooth pose sequences, the
-        regime where the full static phase-A ladder (~48% of frame time)
-        re-pays worst-case work every frame. Returns None when the
-        prerequisites (grid fast path, rounds shading, normalized ladder,
-        dt_gamma == 0) don't hold; callers fall back to render_full."""
-        import dataclasses
-
-        mcfg = self._eval_march_cfg()
-        if (mcfg is None or not self.opt.eval_rounds
-                or not self.opt.eval_sequence
-                or not mcfg.coarse_normalized or mcfg.dt_gamma != 0.0
-                or self.state is None
-                or not isinstance(self.state.occupancy, dict)):
-            return None
-        from nerfnav_tpu.models.sequence import (
-            SequenceConfig, SequenceRenderer,
-        )
-
-        if self.opt.eval_table_dtype != "float32":
-            params = self._cast_eval_tables(params)
-        occupancy = self.state.occupancy
-        mcfg = self._apply_ladder_plan(mcfg, self._planned_ladder(occupancy))
-        field = make_field(params, self.cfg)
-        scfg = SequenceConfig(shade_order=self.opt.shade_order,
-                              bg_color=float(bg_color))
-        return SequenceRenderer(field, occupancy, mcfg, H, W, scfg)
-
     def test(self, ds, write_video: bool = True, name: str | None = None):
         """Reference test (utils.py:588-636): render a camera path, save pngs
-        and an mp4. Grid-path runs render the path frame-coherently
-        (models/sequence.py; TrainerOptions.eval_sequence)."""
+        and an mp4 (frozen-baked programs; the frame-coherent sequence
+        renderer was deleted round 5 after losing its make-or-kill — see
+        benchmarks/RESULTS.md)."""
         params = self.state.ema_params if self.state else self.params
         out_dir = os.path.join(self.workspace, "results")
         os.makedirs(out_dir, exist_ok=True)
-        seq = self._sequence_renderer(params, ds.H, ds.W, bg_color=1.0) \
-            if len(ds) > 1 else None
         frames = []
         for i in range(len(ds)):
-            if seq is not None:
-                image, depth, _ = seq.render_pose(
-                    np.asarray(ds.poses[i]), np.asarray(ds.intrinsics))
-            else:
-                image, depth = self.render_full(
-                    params, ds.poses[i], ds.intrinsics, ds.H, ds.W,
-                    bg_color=1.0, frozen=True
-                )
+            image, depth = self.render_full(
+                params, ds.poses[i], ds.intrinsics, ds.H, ds.W,
+                bg_color=1.0, frozen=True
+            )
             img8 = (np.clip(np.asarray(image), 0, 1) * 255).astype(np.uint8)
             frames.append(img8)
             self._save_image(

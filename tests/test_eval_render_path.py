@@ -88,51 +88,6 @@ class TestDefaults:
         assert opt.eval_table_dtype == "bfloat16"
 
 
-class TestSequencePath:
-    def test_test_uses_sequence_renderer(self, grid_trainer):
-        """Trainer.test on a multi-pose path routes through the
-        frame-coherent sequence renderer (eval_sequence opt-in since the
-        round-4 make-or-kill) and matches render_full frame-by-frame;
-        single-frame and eval_sequence=False fall back to render_full."""
-
-        class PathDS:
-            H = W = 16
-            intrinsics = INTR
-            poses = [POSE.copy() for _ in range(3)]
-
-            def __len__(self):
-                return 3
-
-        tr = grid_trainer
-        tr.opt.eval_sequence = True  # opt in (default OFF since round 4)
-        # route-parity test: pin the eval beam OFF — the sequence renderer
-        # marches its own per-window ladders (beam-less), so the AUTO-beamed
-        # render_full reference would differ by toy-scale lattice phase
-        tr.opt.eval_beam = 1
-        for i, p in enumerate(PathDS.poses):
-            p[0, 3] = 0.02 * i  # slow lateral drift (smooth sequence)
-        assert tr._sequence_renderer(tr.state.params, 16, 16) is not None
-        frames = tr.test(PathDS(), write_video=False, name="seqpath")
-        assert len(frames) == 3
-        params = tr.state.ema_params if tr.state else tr.params
-        for i, p in enumerate(PathDS.poses):
-            ref, _ = tr.render_full(params, p, INTR, 16, 16, bg_color=1.0)
-            ref8 = (np.clip(np.asarray(ref), 0, 1) * 255).astype(np.uint8)
-            diff = np.abs(frames[i].astype(int) - ref8.astype(int))
-            assert diff.max() <= 2, (i, diff.max())
-
-    def test_sequence_gate_conditions(self, grid_trainer):
-        tr = grid_trainer
-        tr.opt.eval_sequence = False
-        assert tr._sequence_renderer(tr.state.params, 16, 16) is None
-        tr.opt.eval_sequence = True
-        import dataclasses
-
-        tr.march_cfg = dataclasses.replace(tr.march_cfg, dt_gamma=0.01)
-        tr.invalidate_render_cache()
-        assert tr._sequence_renderer(tr.state.params, 16, 16) is None
-
-
 class TestFrozenRender:
     def test_frozen_matches_args_path(self, grid_trainer):
         """render_full(frozen=True) bakes params/occupancy as program
