@@ -42,6 +42,7 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                 occ_hysteresis: float = 0.0,
                 density_write_clamp: float = 0.0,
                 ema_toward_query: bool = False,
+                occ_debounce: bool = False,
                 grid_levels: int = 4, grid_level_dim: int = 8):
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
@@ -78,7 +79,8 @@ def run_variant(name: str, scene_dir: str, total_steps: int, epoch_steps: int,
                                                ema_sampled_only=ema_sampled_only,
                                                occ_hysteresis=occ_hysteresis,
                                                density_write_clamp=density_write_clamp,
-                                               ema_toward_query=ema_toward_query),
+                                               ema_toward_query=ema_toward_query,
+                                               occ_debounce=occ_debounce),
                  march_cfg=MarchConfig(bound=1.0, samples_per_ray=32,
                                        min_near=0.05))
     import numpy as np
@@ -112,7 +114,7 @@ def main():
                              "thresh_freeze", "fp32_mlp", "bf16_tables",
                              "ema_sampled", "hysteresis",
                              "growth_clamp", "toward_query",
-                             "clamp_and_toward"])
+                             "clamp_and_toward", "debounce"])
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--epoch_steps", type=int, default=3000)
     ap.add_argument("--scene", default="cluttered")
@@ -183,6 +185,14 @@ def main():
     elif args.variant == "clamp_and_toward":
         kw["density_write_clamp"] = 2.0
         kw["ema_toward_query"] = True
+    elif args.variant == "debounce":
+        # round-5 candidate C (the synthesis arm): two-consecutive-
+        # observation ACTIVATION filter; max-EMA memory and carving
+        # untouched (growth_clamp: -5 dB by epoch 3 — faster carving adds
+        # flicker; toward_query: -2.8 dB at epoch 1 — thin features need
+        # the max memory; both killed early on chip, round-5 ledger).
+        # Reference lr horizon, NO freeze.
+        kw["occ_debounce"] = True
     elif args.variant == "bf16_tables":
         # quality gate for the +6.6% train throughput win (train_bench
         # --table_dtype bfloat16, RESULTS.md round-4 queue 1): full 30k

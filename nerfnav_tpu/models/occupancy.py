@@ -83,6 +83,18 @@ class OccupancyConfig:
     #   Trade-off: thin features whose jittered queries mostly miss may
     #   under-mark — the A/B decides.
     ema_toward_query: bool = False
+    # Debounced ACTIVATION (round-5, the synthesis of six failed arms): a
+    # cell may only turn ON after its sweep query exceeds the carve bar in
+    # TWO CONSECUTIVE observed sweeps; carving and the max-EMA memory are
+    # untouched. Rationale from the drift ledger: occ_frac GROWS through
+    # the 30k collapse while sticky-off hysteresis does nothing -> junk
+    # ACTIVATION (one high jittered query pins a cell via max-EMA) is the
+    # live culprit; the clamp arm (faster carving) and mean-EMA arm (lost
+    # thin-feature memory) both made epoch-1 quality WORSE, so the filter
+    # must act at activation only. A jitter outlier with hit probability p
+    # activates at p^2; genuinely dense cells pass in 2 sweeps (~32 train
+    # steps of lag). Adds a "pending" state plane when enabled.
+    occ_debounce: bool = False
 
     @cached_property
     def cascades(self) -> int:
@@ -112,6 +124,10 @@ def init_occupancy_state(cfg: OccupancyConfig):
         # checkpoint-resume templates must match (no retrace, no silent drop)
         "density_coarse_min": jnp.zeros((cfg.cascades, hc**3), jnp.float32),
     }
+    if cfg.occ_debounce:
+        # activation-debounce plane: cells observed above the bar LAST
+        # sweep but not yet active (see OccupancyConfig.occ_debounce)
+        state["pending"] = jnp.zeros((cfg.cascades, cfg.n_cells), bool)
     if _blocks_supported(cfg):
         # block rows for the gather-lean marcher (ops/marching.py); the
         # coarse mirror uses the widest block the grid admits (512-bit rows
@@ -259,6 +275,21 @@ def _finish_update(state, cfg, grid, tmp, all_cells_mask, thresh_cap=None):
         # collapse driver. Diagnostic knob only.
         thresh = jnp.minimum(thresh, thresh_cap)
     occ = new_grid > thresh
+    new_pending = None
+    if cfg.occ_debounce:
+        # two-consecutive-observations activation filter (see
+        # OccupancyConfig.occ_debounce): an INACTIVE cell needs tmp > bar
+        # in this sweep AND the previous observed sweep; active cells and
+        # carving follow the reference rule unchanged
+        from nerfnav_tpu.ops.morton import unpackbits
+
+        prev_occ = unpackbits(state["bitfield"]).reshape(occ.shape) > 0
+        sampled = tmp >= 0
+        tmp_high = sampled & (tmp > thresh)
+        pending = state["pending"]
+        occ = occ & (prev_occ | (tmp_high & pending))
+        # pending persists for unsampled cells until the next observation
+        new_pending = jnp.where(sampled, tmp_high & ~occ, pending & ~occ)
     if cfg.occ_hysteresis > 0.0:
         # sticky carve bar (OccupancyConfig.occ_hysteresis): a cell already
         # in the bitfield stays occupied down to hysteresis * thresh —
@@ -281,6 +312,8 @@ def _finish_update(state, cfg, grid, tmp, all_cells_mask, thresh_cap=None):
         "mean_density": mean_density,
         "iter_density": state["iter_density"] + 1,
     }
+    if new_pending is not None:
+        out["pending"] = new_pending
     if _blocks_supported(cfg):
         out["blocks"] = pack_blocks(occ, cfg.grid_size)
         out["blocks_coarse"] = pack_blocks(

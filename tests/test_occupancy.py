@@ -269,3 +269,60 @@ def test_ema_toward_query_debounces_outliers():
     g2 = jnp.zeros_like(grid).at[0, 1].set(8.0)
     out2 = _finish_update(st, cfg, g2, jnp.full_like(grid, -1.0), None)
     assert abs(float(out2["density_grid"][0, 1]) - 8.0 * cfg.decay) < 1e-5
+
+
+def test_occ_debounce_two_observation_activation():
+    """occ_debounce (round-5 arm C): an inactive cell activates only after
+    two CONSECUTIVE observed-high sweeps; one jittered outlier pins the
+    EMA (max memory untouched) but never the bitfield; active cells and
+    carving follow the reference rule unchanged."""
+    from nerfnav_tpu.models.occupancy import _finish_update
+
+    cfg = OccupancyConfig(bound=1.0, grid_size=8, update_chunk=64,
+                          occ_debounce=True)
+    st = init_occupancy_state(cfg)
+    assert st["pending"].shape == st["density_grid"].shape
+    grid = st["density_grid"]
+    n = grid.shape[1]
+    # dense background pins the bar at the density_thresh cap
+    base = jnp.zeros_like(grid).at[0, n // 2 :].set(100.0)
+    # sweep 1: background + cell 0 high -> NOTHING active yet (pending)
+    spike = base.at[0, 0].set(300.0)
+    out = _finish_update(st, cfg, grid, spike, None)
+    occ = np.unpackbits(np.asarray(out["bitfield"][0]), bitorder="little")
+    assert not occ.any()
+    assert bool(out["pending"][0, 0]) and np.asarray(out["pending"][0, n//2:]).all()
+    # sweep 2, background high again, cell 0 queried LOW (outlier was one-
+    # off): background activates (2 consecutive), cell 0 does not — even
+    # though its max-EMA value (300*decay) is far above the bar
+    st2 = {**st, **out}
+    out2 = _finish_update(st2, cfg, out["density_grid"], base, None)
+    occ2 = np.unpackbits(np.asarray(out2["bitfield"][0]), bitorder="little")
+    assert occ2[n // 2 :].all()
+    assert not occ2[0]
+    assert float(out2["density_grid"][0, 0]) > 100.0  # EMA memory intact
+    # pending cleared for cell 0 (observed low)
+    assert not bool(out2["pending"][0, 0])
+    # sweeps 3-4: cell 0 high twice consecutively -> activates
+    st3 = {**st, **out2}
+    out3 = _finish_update(st3, cfg, out2["density_grid"], spike, None)
+    st4 = {**st, **out3}
+    out4 = _finish_update(st4, cfg, out3["density_grid"], spike, None)
+    occ4 = np.unpackbits(np.asarray(out4["bitfield"][0]), bitorder="little")
+    assert occ4[0]
+    # carving unchanged: with the background bar held at the cap, cell 0's
+    # queries drop to zero and EMA decay carves it exactly like the
+    # reference rule (no stickiness was added on the off direction)
+    g = out4["density_grid"]
+    stx = {**st, **out4}
+    for _ in range(70):
+        o = _finish_update(stx, cfg, g, base, None)
+        g = o["density_grid"]
+        stx = {**st, **o}
+    occx = np.unpackbits(np.asarray(o["bitfield"][0]), bitorder="little")
+    assert not occx[0] and occx[n // 2 :].all()
+    # unsampled pending persists until the next observation
+    st5 = {**st, **out}          # cell 0 pending from sweep 1
+    unsampled = jnp.full_like(grid, -1.0)
+    o5 = _finish_update(st5, cfg, out["density_grid"], unsampled, None)
+    assert bool(o5["pending"][0, 0])
