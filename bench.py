@@ -268,6 +268,16 @@ def main():
             "blocks": pack_blocks(occ_all, Hg),
             "blocks_coarse": pack_blocks(occ_coarse, hc, block=8),
         }
+    if args.beam > 1:
+        # beamed phase A tests a 1-cell-dilated coarse table: build it ONCE
+        # here (round-5 attribution: rebuilding it inside every marched
+        # chunk dominated the beamed phase A)
+        from nerfnav_tpu.ops.marching import dilate_blocks_coarse
+        from nerfnav_tpu.ops.morton import block_size_of
+
+        occupancy["blocks_coarse_dilated"] = dilate_blocks_coarse(
+            occupancy["blocks_coarse"], hc,
+            block_size_of(occupancy["blocks_coarse"]))
     if args.table_dtype == "bfloat16":
         params["encoder"] = [t.astype(jnp.bfloat16) for t in params["encoder"]]
     field = make_field(params, cfg)

@@ -110,6 +110,11 @@ def main():
         "blocks": pack_blocks(occ_all, Hg),
         "blocks_coarse": pack_blocks(occ_coarse, hc, block=8),
     }
+    if args.beam > 1:
+        # precomputed dilated coarse table (bench parity; the in-march
+        # rebuild was the round-5 beamed-phase-A attribution finding)
+        occupancy["blocks_coarse_dilated"] = M.dilate_blocks_coarse(
+            occupancy["blocks_coarse"], hc, 8)
 
     crop_aabb = None
     if args.occ_crop or args.t_a0:

@@ -978,9 +978,32 @@ def _grouped_block_test(table, flat, local, group: int, anchors=None):
     return occ.reshape(n, t)
 
 
+def dilate_blocks_coarse(blocks_coarse, hc: int, bc: int):
+    """1-cell 3D or-pool dilation of a block-packed coarse occupancy table
+    (cascades, (hc/bc)^3, bc^3/32) -> same shape. The beam-shared phase A
+    tests the BEAM ray against this table so that every member's own cells
+    are covered (MarchConfig.beam conservatism contract). Tiny (cascades x
+    hc^3 bools) — build it ONCE per occupancy version and pass it to march
+    via occupancy["blocks_coarse_dilated"]; rebuilding per chunk serializes
+    ~0.3-0.8 ms of small-tensor work into every marched chunk."""
+    from nerfnav_tpu.ops.morton import pack_blocks as _pack_blocks
+    from nerfnav_tpu.ops.morton import unpack_blocks as _unpack_blocks
+
+    casc = blocks_coarse.shape[0]
+    g = _unpack_blocks(blocks_coarse, hc).reshape(casc, hc, hc, hc)
+    gp = jnp.pad(g, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    g = gp[:, :-2] | gp[:, 1:-1] | gp[:, 2:]
+    gp = jnp.pad(g, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    g = gp[:, :, :-2] | gp[:, :, 1:-1] | gp[:, :, 2:]
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (1, 1)))
+    g = gp[..., :-2] | gp[..., 1:-1] | gp[..., 2:]
+    return _pack_blocks(g.reshape(casc, -1), hc, block=bc)
+
+
 def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
                      key=None, density_coarse_min=None, crop_aabb=None,
-                     z_window=None, stop_after: str = ""):
+                     z_window=None, stop_after: str = "",
+                     blocks_coarse_dilated=None):
     """Two-phase march against 64-bit block-packed occupancy rows.
 
     Same candidate geometry as march_rays_two_phase (phase A: dt_a ladder vs
@@ -1078,9 +1101,6 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
     mB = cfg.beam if (cfg.beam > 1 and n % cfg.beam == 0) else 1
     nA, oA, dA, nearA, farA = n, rays_o, rays_d, near, far
     if mB > 1:
-        from nerfnav_tpu.ops.morton import pack_blocks as _pack_blocks
-        from nerfnav_tpu.ops.morton import unpack_blocks as _unpack_blocks
-
         nA = n // mB
         oA = rays_o.reshape(nA, mB, 3)[:, 0]
         dm = jnp.sum(rays_d.reshape(nA, mB, 3), axis=1)
@@ -1088,22 +1108,21 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
             jnp.linalg.norm(dm, axis=-1, keepdims=True), 1e-12)
         nearA = near.reshape(nA, mB).min(axis=1)
         farA = far.reshape(nA, mB).max(axis=1)
-        # 1-cell 3D dilation of the coarse occupancy (separable or-pool):
-        # guarantees the beam-ray test covers every member's own cells as
-        # long as in-beam spread stays under one coarse cell (see
-        # MarchConfig.beam). Tiny (cascades x hc^3 bools); hoisted out of
-        # per-chunk scans by XLA LICM since it depends only on the table.
-        casc = blocks_coarse.shape[0]
-        g = _unpack_blocks(blocks_coarse, hc).reshape(casc, hc, hc, hc)
-        gp = jnp.pad(g, ((0, 0), (1, 1), (0, 0), (0, 0)))
-        g = gp[:, :-2] | gp[:, 1:-1] | gp[:, 2:]
-        gp = jnp.pad(g, ((0, 0), (0, 0), (1, 1), (0, 0)))
-        g = gp[:, :, :-2] | gp[:, :, 1:-1] | gp[:, :, 2:]
-        gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (1, 1)))
-        g = gp[..., :-2] | gp[..., 1:-1] | gp[..., 2:]
-        tbl_coarse = _pack_blocks(
-            g.reshape(casc, -1), hc, block=bc
-        ).reshape(-1, blocks_coarse.shape[-1])
+        # 1-cell-dilated coarse table: guarantees the beam-ray test covers
+        # every member's own cells while in-beam spread stays under one
+        # coarse cell (see MarchConfig.beam). Prefer a PRECOMPUTED table
+        # (occupancy dict key "blocks_coarse_dilated", built once per
+        # occupancy version by dilate_blocks_coarse): recomputing the
+        # or-pool + repack inside every marched chunk is a chain of small
+        # serialized ops that round-5 chip attribution caught dominating
+        # the beamed phase A (the "hoisted by XLA LICM" assumption did not
+        # hold across lax.map chunk bodies in every program).
+        if blocks_coarse_dilated is not None:
+            tbl_coarse = blocks_coarse_dilated.reshape(
+                -1, blocks_coarse.shape[-1])
+        else:
+            tbl_coarse = dilate_blocks_coarse(blocks_coarse, hc, bc).reshape(
+                -1, blocks_coarse.shape[-1])
     if gamma:
         # static gamma ladder, padded to whole anchor runs with far-masked
         # tail steps (taus keep growing at the final dtc)
@@ -1443,16 +1462,18 @@ def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
         blocks_coarse = occupancy.get("blocks_coarse")
         density_grid = occupancy.get("density_grid")
         density_coarse_min = occupancy.get("density_coarse_min")
+        blocks_coarse_dilated = occupancy.get("blocks_coarse_dilated")
     else:
         bitfield, coarse, blocks, blocks_coarse = occupancy, None, None, None
-        density_grid = density_coarse_min = None
+        density_grid = density_coarse_min = blocks_coarse_dilated = None
     if blocks is not None and blocks_coarse is not None:
         # the block marcher handles dt_gamma > 0 via the static gamma ladder
         # (per-candidate dt row; anchor runs sized by the ladder tail)
         return march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg,
                                 key, density_coarse_min=density_coarse_min,
                                 crop_aabb=crop_aabb, z_window=z_window,
-                                stop_after=stop_after)
+                                stop_after=stop_after,
+                                blocks_coarse_dilated=blocks_coarse_dilated)
     if coarse is not None:
         m = march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key,
                                  crop_aabb=crop_aabb, z_window=z_window)

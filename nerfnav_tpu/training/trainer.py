@@ -903,6 +903,8 @@ class Trainer:
         self._ladder_plan = None
         self._table_cast_cache = None
         self._frozen_scan_cache = None
+        self._beam_dilate_cache = None
+        self._beam_guard_cache = {}
 
     def _auto_beam(self, intrinsics) -> int:
         """Per-frame AUTO beam width (TrainerOptions.eval_beam == 0): the
@@ -924,6 +926,27 @@ class Trainer:
             if b >= cand:
                 return cand
         return 1
+
+    def _beamed_occupancy(self, occupancy):
+        """Occupancy dict with the 1-cell-dilated coarse table the beamed
+        phase A needs, built ONCE per occupancy version (round-5 chip
+        attribution: the in-march rebuild serialized ~0.4 ms of small-
+        tensor work into every chunk, dominating the beamed phase A)."""
+        if not (isinstance(occupancy, dict)
+                and occupancy.get("blocks_coarse") is not None):
+            return occupancy
+        ver = getattr(self, "_occ_version", 0)
+        cached = getattr(self, "_beam_dilate_cache", None)
+        if cached is None or cached[0] != ver:
+            from nerfnav_tpu.ops.marching import dilate_blocks_coarse
+            from nerfnav_tpu.ops.morton import block_size_of
+
+            bcrs = occupancy["blocks_coarse"]
+            hc = self.march_cfg.grid_size // self.march_cfg.coarse_factor
+            cached = (ver, dilate_blocks_coarse(bcrs, hc,
+                                                block_size_of(bcrs)))
+            self._beam_dilate_cache = cached
+        return {**occupancy, "blocks_coarse_dilated": cached[1]}
 
     @staticmethod
     def _clamp_beam_to_rows(bm: int, W: int) -> int:
@@ -1149,6 +1172,8 @@ class Trainer:
                     "frame — rendering unbeamed; see MarchConfig.beam",
                     bm, cache[gk])
                 bm = 0
+        if bm > 1:
+            occupancy = self._beamed_occupancy(occupancy)
         if self.opt.eval_scan:
             # the baked-constants program is built for the grid rounds path;
             # dense-path trainers keep the traced-args program

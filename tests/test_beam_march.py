@@ -281,3 +281,26 @@ class TestBeamContractGuard:
         # and the beamed chunk program was never built
         assert all(b in (0, None) or b <= 1
                    for (_t, b) in tr._render_scan_fns.keys())
+
+
+def test_precomputed_dilated_table_parity(cfg):
+    """march with occupancy["blocks_coarse_dilated"] precomputed (the
+    once-per-occupancy-version product path) is bitwise identical to the
+    in-graph dilation fallback."""
+    import dataclasses
+
+    from nerfnav_tpu.ops.marching import dilate_blocks_coarse
+    from nerfnav_tpu.ops.morton import block_size_of
+
+    cfgb = dataclasses.replace(cfg, beam=4)
+    occ = _sphere_occupancy(cfgb)
+    o, d = _pixel_rows(64, rows=2)
+    m_in = march(o, d, occ, cfgb)
+    hc = cfgb.grid_size // cfgb.coarse_factor
+    occ2 = dict(occ)
+    occ2["blocks_coarse_dilated"] = dilate_blocks_coarse(
+        occ["blocks_coarse"], hc, block_size_of(occ["blocks_coarse"]))
+    m_pre = march(o, d, occ2, cfgb)
+    for k in ("z", "dt", "valid"):
+        np.testing.assert_array_equal(np.asarray(m_in[k]),
+                                      np.asarray(m_pre[k]))
