@@ -273,3 +273,28 @@ class TestBeamRowClamp:
         assert c(16, 840) == 8         # edge 8
         assert c(8, 65) == 1           # 1-px edge rows: beam off
         assert c(1, 820) == 1
+
+
+class TestBeamDilateCache:
+    def test_dilated_table_cached_per_occ_version(self, grid_trainer):
+        """_beamed_occupancy builds the dilated coarse table once per
+        occupancy version (the per-chunk in-march rebuild dominated the
+        beamed phase A on chip, round 5)."""
+        tr = grid_trainer
+        occ = tr.state.occupancy
+        o1 = tr._beamed_occupancy(occ)
+        assert "blocks_coarse_dilated" in o1
+        o2 = tr._beamed_occupancy(occ)
+        assert o2["blocks_coarse_dilated"] is o1["blocks_coarse_dilated"]
+        # version bump -> rebuilt
+        _ball_occupancy(tr, radius=0.3)
+        o3 = tr._beamed_occupancy(tr.state.occupancy)
+        assert o3["blocks_coarse_dilated"] is not o1["blocks_coarse_dilated"]
+        # and the dilated table is a superset of the raw coarse bits
+        from nerfnav_tpu.ops.morton import unpack_blocks
+
+        hc = tr.march_cfg.grid_size // tr.march_cfg.coarse_factor
+        raw = np.asarray(unpack_blocks(tr.state.occupancy["blocks_coarse"],
+                                       hc))
+        dil = np.asarray(unpack_blocks(o3["blocks_coarse_dilated"], hc))
+        assert (dil >= raw).all() and dil.sum() > raw.sum()
