@@ -132,9 +132,14 @@ class MarchConfig:
     #   beam ray (first member's origin, mean direction, min/max near/far)
     #   walks the coarse ladder against a 1-CELL-DILATED coarse table, and
     #   the kept segments broadcast to every member; phase B stays per-ray
-    #   exact against the UNdilated fine grid. Chip profile (round 4): phase
-    #   A alone is 108 of the 262 ms rounds frame, and adjacent pixels
-    #   traverse near-identical coarse cells — beam=b cuts that cost ~b x.
+    #   exact against the UNdilated fine grid. Chip attribution (round 5,
+    #   exact stop_after split): phase A is 75.2 of the 198.5 ms rounds
+    #   frame at beam 1, and adjacent pixels traverse near-identical coarse
+    #   cells — beam=b cuts that cost ~b x PROVIDED the dilated table is
+    #   PRECOMPUTED (occupancy["blocks_coarse_dilated"], once per occupancy
+    #   version): the in-graph rebuild costs ~0.33 ms of serialized small
+    #   ops per marched chunk, which at 157 chunks/frame handed back nearly
+    #   the whole beam win in round 4.
     #   CONSERVATIVE by construction when every member ray stays within one
     #   coarse cell of the beam ray over the whole march span: spread ~
     #   (b-1)*z_max/focal must stay under the cascade-0 cell edge
