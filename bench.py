@@ -139,6 +139,13 @@ def main():
                    help="A/B: wrap the per-chunk render in its own jit "
                         "inside the scan program (the Trainer's scan maps "
                         "over an already-jitted chunk fn)")
+    p.add_argument("--frame_phase_a", default=False,
+                   action=argparse.BooleanOptionalAction,
+                   help="run phase A ONCE at frame width (one 80k-beam "
+                        "dispatch) and feed the chunk scan precomputed "
+                        "segments (round-5 attribution: per-chunk beamed "
+                        "phase A is small-shape-bound at ~4x its "
+                        "proportional cost). rounds path, dt_gamma=0 only")
     p.add_argument("--args_mode", action="store_true",
                    help="A/B: pass params+occupancy as traced program "
                         "arguments instead of closure constants (the "
@@ -374,13 +381,14 @@ def main():
     # an earlier contrary measurement was contaminated by a concurrent
     # process plus a second program shape compiling inside the timed loop)
     if args.path == "rounds":
-        def _rounds_out(fld, occ, ro, rd):
+        def _rounds_out(fld, occ, ro, rd, phase_a=None):
             out = render_rays_grid_rounds(
                 fld, occ, mcfg, ro, rd, bg_color=1.0,
                 round_samples=args.round_samples,
                 round_compact=args.round_compact,
                 shade_order=args.shade_order,
                 crop_aabb=crop_aabb,
+                phase_a=phase_a,
             )
             if args.depth_out:
                 return out["image"], out["depth"]
@@ -442,7 +450,29 @@ def main():
         ro_s = ro.reshape(-1, CHUNK, 3)
         rd_s = rd.reshape(-1, CHUNK, 3)
 
-        if args.args_mode and args.path == "rounds":
+        if args.frame_phase_a and args.path == "rounds":
+            from nerfnav_tpu.ops import marching as _M
+
+            @jax.jit
+            def render_frame_scan_pa(ro_s, rd_s):
+                C, CH, _ = ro_s.shape
+                mA = _M.march(ro_s.reshape(-1, 3), rd_s.reshape(-1, 3),
+                              occupancy, mcfg, crop_aabb=crop_aabb,
+                              stop_after="phase_a")
+                za = mA["z"].reshape(C, CH, -1)
+                dta = mA["dt"].reshape(C, CH, -1)
+                va = mA["valid"].reshape(C, CH, -1)
+
+                def body(ab):
+                    ro_c, rd_c, z_c, d_c, v_c = ab
+                    return _rounds_out(field, occupancy, ro_c, rd_c,
+                                       phase_a={"z": z_c, "dt": d_c,
+                                                "valid": v_c})
+
+                return jax.lax.map(body, (ro_s, rd_s, za, dta, va))
+
+            frame = lambda: render_frame_scan_pa(ro_s, rd_s)  # noqa: E731
+        elif args.args_mode and args.path == "rounds":
             @jax.jit
             def render_frame_scan_a(p, occ, ro_s, rd_s):
                 return jax.lax.map(

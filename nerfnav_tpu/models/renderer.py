@@ -526,6 +526,7 @@ def render_rays_grid_rounds(
     round_compact: int = 4,
     shade_order: str = "ray",
     z_window=None,
+    phase_a=None,
 ):
     """Grid-path rendering with on-device early termination.
 
@@ -562,7 +563,7 @@ def render_rays_grid_rounds(
 
     n = rays_o.shape[0]
     m = march(rays_o, rays_d, occupancy, mcfg, key=key, crop_aabb=crop_aabb,
-              z_window=z_window)
+              z_window=z_window, phase_a=phase_a)
     z, dt, valid = (
         jax.lax.stop_gradient(m["z"]),
         jax.lax.stop_gradient(m["dt"]),

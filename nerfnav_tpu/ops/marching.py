@@ -1008,7 +1008,7 @@ def dilate_blocks_coarse(blocks_coarse, hc: int, bc: int):
 def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
                      key=None, density_coarse_min=None, crop_aabb=None,
                      z_window=None, stop_after: str = "",
-                     blocks_coarse_dilated=None):
+                     blocks_coarse_dilated=None, phase_a=None):
     """Two-phase march against 64-bit block-packed occupancy rows.
 
     Same candidate geometry as march_rays_two_phase (phase A: dt_a ladder vs
@@ -1094,222 +1094,244 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
         key, k_phase = jax.random.split(key)
         near = near + jax.random.uniform(key, (n,)) * dt
 
-    # ---- phase A: coarse segments
     k_a = cfg.coarse_segments
-    tbl_coarse = blocks_coarse.reshape(-1, blocks_coarse.shape[-1])
-
-    # ---- beam sharing (MarchConfig.beam): phase A runs once per beam of
-    # mB consecutive rays against the 1-cell-dilated coarse table; the kept
-    # segments broadcast to members and phase B tests the exact fine grid
-    # per ray. oA/dA/nearA/farA/nA shadow the ray arrays for everything up
-    # to the phase-A -> phase-B hand-off (za_buf / dta_buf / valid_a).
-    mB = cfg.beam if (cfg.beam > 1 and n % cfg.beam == 0) else 1
-    nA, oA, dA, nearA, farA = n, rays_o, rays_d, near, far
-    if mB > 1:
-        nA = n // mB
-        oA = rays_o.reshape(nA, mB, 3)[:, 0]
-        dm = jnp.sum(rays_d.reshape(nA, mB, 3), axis=1)
-        dA = dm / jnp.maximum(
-            jnp.linalg.norm(dm, axis=-1, keepdims=True), 1e-12)
-        nearA = near.reshape(nA, mB).min(axis=1)
-        farA = far.reshape(nA, mB).max(axis=1)
-        # 1-cell-dilated coarse table: guarantees the beam-ray test covers
-        # every member's own cells while in-beam spread stays under one
-        # coarse cell (see MarchConfig.beam). Prefer a PRECOMPUTED table
-        # (occupancy dict key "blocks_coarse_dilated", built once per
-        # occupancy version by dilate_blocks_coarse): recomputing the
-        # or-pool + repack inside every marched chunk is a chain of small
-        # serialized ops that round-5 chip attribution caught dominating
-        # the beamed phase A (the "hoisted by XLA LICM" assumption did not
-        # hold across lax.map chunk bodies in every program).
-        if blocks_coarse_dilated is not None:
-            tbl_coarse = blocks_coarse_dilated.reshape(
-                -1, blocks_coarse.shape[-1])
-        else:
-            tbl_coarse = dilate_blocks_coarse(blocks_coarse, hc, bc).reshape(
-                -1, blocks_coarse.shape[-1])
-    if gamma:
-        # static gamma ladder, padded to whole anchor runs with far-masked
-        # tail steps (taus keep growing at the final dtc)
-        t_g = len(taus_np)
-        pad = (-t_g) % g_a
-        if pad:
-            taus_np = np.concatenate(
-                [taus_np,
-                 taus_np[-1] + dtcs_np[-1] * np.arange(1, pad + 1,
-                                                       dtype=np.float32)])
-            dtcs_np = np.concatenate(
-                [dtcs_np, np.full(pad, dtcs_np[-1], np.float32)])
-        z_a = nearA[:, None] + jnp.asarray(taus_np)[None, :]  # (N_A, T_A)
-        pos_a = oA[:, None, :] + dA[:, None, :] * z_a[..., None]
-        # per-candidate static dt row: mip_from_dt folds at trace time
-        flat_a, local_a = _block_coords(pos_a, dtcs_np, hc, cfg, block=bc)
-        anchors_a = [0, g_a - 1] if (cfg.coarse_anchors == 2 and g_a > 1) \
-            else None
-        occ_a = _grouped_block_test(tbl_coarse, flat_a, local_a, g_a,
-                                    anchors=anchors_a)
-        occ_next = jnp.concatenate(
-            [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1)
-        occ_a = (occ_a | occ_next) & (z_a < farA[:, None])
-        idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
-        # z/dt reconstruction from the SMALL static ladder rows (z is no
-        # longer affine in the index under gamma)
-        taus_j, dtcs_j = jnp.asarray(taus_np), jnp.asarray(dtcs_np)
-        za_buf = jnp.where(valid_a, nearA[:, None] + jnp.take(taus_j, idx_a),
-                           0.0)
-        dta_buf = jnp.where(
-            valid_a,
-            jnp.take(dtcs_j, idx_a) * stride_a.astype(jnp.float32), 0.0)
-    elif cfg.a0_segments > 0 and cfg.coarse_normalized:
-        # ---- phase A0: super-coarse block spans (see MarchConfig.a0_segments)
-        # One bool per coarse-block ROW: "any of the bc^3 cells occupied" —
-        # a (cascades * nb^3,) table small enough to live in VMEM and gather
-        # per candidate directly.
-        any_tbl = jnp.any(tbl_coarse != 0, axis=-1)
-        # FIXED step of one coarse-block edge (unlike phase A there is no
-        # normalization win at ~15 candidates, and a fixed dt_a0 keeps the
-        # kept spans' phase-A subdivision exactly at the dt_a_max ladder)
-        dt_a0 = 0.98 * sb_world
-        span = 2.0 * _SQRT3 * max(cfg.bound, 1.0)
-        t_a0 = int(np.ceil(span / dt_a0))
-        cap0 = dt_a0
-        z_a0 = nearA[:, None] + jnp.arange(t_a0, dtype=jnp.float32) * dt_a0
-        pos_a0 = oA[:, None, :] + dA[:, None, :] * z_a0[..., None]
-        flat_a0, _ = _block_coords(pos_a0, dt_a0, hc, cfg, block=bc)
-        occ_a0 = jnp.take(any_tbl, flat_a0.reshape(-1)).reshape(flat_a0.shape)
-        occ_a0 = (
-            occ_a0
-            | jnp.concatenate(
-                [occ_a0[:, 1:], jnp.zeros_like(occ_a0[:, :1])], axis=1)
-        ) & (z_a0 < farA[:, None])
-        k_a0 = cfg.a0_segments
-        idx_a0, valid_a0, stride_a0 = _compact_idx(occ_a0, k_a0)
-        z0_buf = jnp.where(valid_a0, nearA[:, None] + idx_a0 * dt_a0, 0.0)
-        dt0_buf = jnp.where(
-            valid_a0, dt_a0 * stride_a0.astype(jnp.float32), 0.0)
-
-        # cell-exact phase A only INSIDE kept spans: mult0+1 test points per
-        # span (the +1 closes the endpoint-or at span boundaries); a span is
-        # one coarse block by construction, so [0, mult0] end anchors cover
-        # its (at most 2) block rows.
-        mult0 = int(np.ceil(cap0 / dt_a_max - 1e-6))
-        sub0 = dt0_buf[:, :, None] / mult0                       # (N, K0, 1)
-        jj = jnp.arange(mult0 + 1, dtype=jnp.float32)
-        z_t = (z0_buf[:, :, None] + jj[None, None, :] * sub0)    # (N,K0,m0+1)
-        pos_t = oA[:, None, None, :] + dA[:, None, None, :] \
-            * z_t[..., None]
-        dt_t = jnp.broadcast_to(sub0, z_t.shape).reshape(nA, -1)
-        flat_t, local_t = _block_coords(
-            pos_t.reshape(nA, -1, 3), dt_t, hc, cfg, block=bc)
-        occ_t = _grouped_block_test(
-            tbl_coarse, flat_t, local_t, mult0 + 1, anchors=[0, mult0]
-        ).reshape(nA, k_a0, mult0 + 1)
-        occ_a = occ_t[:, :, :-1] | occ_t[:, :, 1:]               # (N,K0,m0)
-        # A stride-widened A0 span subdivides to a test spacing of
-        # stride*dt_a0/mult0 > one coarse cell edge: the endpoint-pair test
-        # could then step OVER an occupied cell between two test points (a
-        # hole — worse than conservative). Treat widened spans as occupied
-        # throughout; phase A-exactness is preserved for the common
-        # stride-1 spans and overflow only ADDS candidates.
-        occ_a = occ_a | (stride_a0[:, :, None] > 1)
-        z_a_start = z_t[:, :, :-1]
-        occ_a = occ_a & valid_a0[:, :, None] \
-            & (z_a_start < farA[:, None, None])
-        idx_a, valid_a, stride_a = _compact_idx(
-            occ_a.reshape(nA, k_a0 * mult0), k_a)
-        seg0 = idx_a // mult0
-        off0 = (idx_a % mult0).astype(jnp.float32)
-        z0_sel = _select_minor(z0_buf, seg0, k_a0)
-        sub0_sel = _select_minor(sub0[:, :, 0], seg0, k_a0)
-        za_buf = jnp.where(valid_a, z0_sel + off0 * sub0_sel, 0.0)
-        dta_buf = jnp.where(
-            valid_a, sub0_sel * stride_a.astype(jnp.float32), 0.0)
+    if phase_a is not None:
+        # Frame-level phase-A split (round 5): za/dt/valid come from ONE
+        # frame-wide march(..., stop_after="phase_a") instead of being
+        # recomputed inside every chunk of the render scan. Rationale
+        # (chip attribution): at beam 8 the per-chunk phase A runs 512-wide
+        # — a chain of ~40 small serialized ops whose fixed issue overheads
+        # cost ~4x the proportional work; at frame width (80k beams) the
+        # same chain runs once at full utilization. Deterministic eval only
+        # (key is ignored: the frame-level phase A already owns the
+        # stratified phase); dt_gamma unsupported (its phase B consumes
+        # per-candidate ladder rows that do not round-trip the buffers).
+        if gamma:
+            raise ValueError(
+                "phase_a split is unsupported with dt_gamma > 0")
+        za_buf = phase_a["z"]
+        dta_buf = phase_a["dt"]
+        valid_a = phase_a["valid"]
+        # phase B still needs the beam width (beam segments can start
+        # before THIS member's AABB entry -> the z_b >= near mask below)
+        mB = cfg.beam if (cfg.beam > 1 and n % cfg.beam == 0) else 1
     else:
-        z_a, dt_a, t_a = _phase_a_ladder(nearA, farA, cfg, round_to=g_a)
-        anchors_a = None
-        if cfg.coarse_anchors == 2 and g_a > 1:
-            anchors_a = [0, g_a - 1]
-        pos_a = oA[:, None, :] + dA[:, None, :] * z_a[..., None]
-        flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg, block=bc)
-        zin_a = z_a < farA[:, None]
-        occ_a = _grouped_block_test(tbl_coarse, flat_a, local_a,
-                                    g_a, anchors=anchors_a)
-        occ_next = jnp.concatenate(
-            [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1
-        )
-        occ_a = (occ_a | occ_next) & zin_a
-        # z along the phase-A ladder is affine in the candidate index, so the
-        # compaction returns INDICES and z/dt are reconstructed
-        # arithmetically — take_along_axis here lowers to one gather row per
-        # element and chip-profiled as half the whole render (_compact_idx).
-        if cfg.coarse_first_k:
-            idx_a, valid_a, stride_a = _compact_idx_hybrid(
-                occ_a, k_a, cfg.first_k_frac)
-        else:
-            idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
-        za_buf = jnp.where(valid_a, nearA[:, None] + idx_a * dt_a, 0.0)
-        dta_buf = jnp.where(valid_a, dt_a * stride_a.astype(jnp.float32), 0.0)
+        # ---- phase A: coarse segments
+        k_a = cfg.coarse_segments
+        tbl_coarse = blocks_coarse.reshape(-1, blocks_coarse.shape[-1])
 
-    if cfg.proxy_terminate and density_coarse_min is not None:
-        # SEGMENT-level occlusion termination (see proxy_terminate_valid for
-        # the transmittance rationale): one gather per kept segment (K_A/ray,
-        # into the small hc^3 min-pooled table) instead of one per phase-B
-        # candidate (chip-measured 3x SLOWER via the 2M-row fine grid).
-        # Masking segments BEFORE phase B concentrates the whole K budget in
-        # front of the surface. The min-pool underestimates the density along
-        # any path through a coarse tile, so termination is conservative —
-        # it only fires behind tiles that are dense THROUGHOUT.
-        z_mid = za_buf + 0.5 * dta_buf
-        pos_seg = oA[:, None, :] + dA[:, None, :] * z_mid[..., None]
-        cfg_c = _with_grid_size(cfg, hc)
-        proxy_tbl = density_coarse_min
+        # ---- beam sharing (MarchConfig.beam): phase A runs once per beam of
+        # mB consecutive rays against the 1-cell-dilated coarse table; the kept
+        # segments broadcast to members and phase B tests the exact fine grid
+        # per ray. oA/dA/nearA/farA/nA shadow the ray arrays for everything up
+        # to the phase-A -> phase-B hand-off (za_buf / dta_buf / valid_a).
+        mB = cfg.beam if (cfg.beam > 1 and n % cfg.beam == 0) else 1
+        nA, oA, dA, nearA, farA = n, rays_o, rays_d, near, far
         if mB > 1:
-            # Beam mode runs the proxy transmittance along the BEAM ray, so
-            # its conservative contract needs the MIN over the same 1-cell
-            # neighborhood the occupancy dilation uses: a member whose path
-            # crosses adjacent, less-dense cells must not see its far
-            # segments terminated by the beam ray's denser column. Separable
-            # 3^3 min-pool (+inf pad: out-of-grid neighbors cannot lower a
-            # cell); like the or-pool above, it depends only on the table
-            # and is hoisted by XLA.
-            casc = density_coarse_min.shape[0]
-            dmn = density_coarse_min.reshape(casc, hc, hc, hc)
-            inf = jnp.float32(jnp.inf)
-            dp = jnp.pad(dmn, ((0, 0), (1, 1), (0, 0), (0, 0)),
-                         constant_values=inf)
-            dmn = jnp.minimum(jnp.minimum(dp[:, :-2], dp[:, 1:-1]), dp[:, 2:])
-            dp = jnp.pad(dmn, ((0, 0), (0, 0), (1, 1), (0, 0)),
-                         constant_values=inf)
-            dmn = jnp.minimum(jnp.minimum(dp[:, :, :-2], dp[:, :, 1:-1]),
-                              dp[:, :, 2:])
-            dp = jnp.pad(dmn, ((0, 0), (0, 0), (0, 0), (1, 1)),
-                         constant_values=inf)
-            dmn = jnp.minimum(jnp.minimum(dp[..., :-2], dp[..., 1:-1]),
-                              dp[..., 2:])
-            proxy_tbl = dmn.reshape(density_coarse_min.shape)
-        sig = density_lookup(proxy_tbl, pos_seg, dt_a_max, cfg_c)
-        sig = jnp.where(valid_a, jnp.maximum(sig, 0.0), 0.0)
-        a_seg = 1.0 - jnp.exp(-dta_buf * sig)
-        t = jnp.cumprod(1.0 - a_seg + 1e-15, axis=-1)
-        t_prev = jnp.concatenate([jnp.ones_like(t[:, :1]), t[:, :-1]],
-                                 axis=-1)
-        valid_a = valid_a & (t_prev > cfg.proxy_thresh)
+            nA = n // mB
+            oA = rays_o.reshape(nA, mB, 3)[:, 0]
+            dm = jnp.sum(rays_d.reshape(nA, mB, 3), axis=1)
+            dA = dm / jnp.maximum(
+                jnp.linalg.norm(dm, axis=-1, keepdims=True), 1e-12)
+            nearA = near.reshape(nA, mB).min(axis=1)
+            farA = far.reshape(nA, mB).max(axis=1)
+            # 1-cell-dilated coarse table: guarantees the beam-ray test covers
+            # every member's own cells while in-beam spread stays under one
+            # coarse cell (see MarchConfig.beam). Prefer a PRECOMPUTED table
+            # (occupancy dict key "blocks_coarse_dilated", built once per
+            # occupancy version by dilate_blocks_coarse): recomputing the
+            # or-pool + repack inside every marched chunk is a chain of small
+            # serialized ops that round-5 chip attribution caught dominating
+            # the beamed phase A (the "hoisted by XLA LICM" assumption did not
+            # hold across lax.map chunk bodies in every program).
+            if blocks_coarse_dilated is not None:
+                tbl_coarse = blocks_coarse_dilated.reshape(
+                    -1, blocks_coarse.shape[-1])
+            else:
+                tbl_coarse = dilate_blocks_coarse(blocks_coarse, hc, bc).reshape(
+                    -1, blocks_coarse.shape[-1])
+        if gamma:
+            # static gamma ladder, padded to whole anchor runs with far-masked
+            # tail steps (taus keep growing at the final dtc)
+            t_g = len(taus_np)
+            pad = (-t_g) % g_a
+            if pad:
+                taus_np = np.concatenate(
+                    [taus_np,
+                     taus_np[-1] + dtcs_np[-1] * np.arange(1, pad + 1,
+                                                           dtype=np.float32)])
+                dtcs_np = np.concatenate(
+                    [dtcs_np, np.full(pad, dtcs_np[-1], np.float32)])
+            z_a = nearA[:, None] + jnp.asarray(taus_np)[None, :]  # (N_A, T_A)
+            pos_a = oA[:, None, :] + dA[:, None, :] * z_a[..., None]
+            # per-candidate static dt row: mip_from_dt folds at trace time
+            flat_a, local_a = _block_coords(pos_a, dtcs_np, hc, cfg, block=bc)
+            anchors_a = [0, g_a - 1] if (cfg.coarse_anchors == 2 and g_a > 1) \
+                else None
+            occ_a = _grouped_block_test(tbl_coarse, flat_a, local_a, g_a,
+                                        anchors=anchors_a)
+            occ_next = jnp.concatenate(
+                [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1)
+            occ_a = (occ_a | occ_next) & (z_a < farA[:, None])
+            idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
+            # z/dt reconstruction from the SMALL static ladder rows (z is no
+            # longer affine in the index under gamma)
+            taus_j, dtcs_j = jnp.asarray(taus_np), jnp.asarray(dtcs_np)
+            za_buf = jnp.where(valid_a, nearA[:, None] + jnp.take(taus_j, idx_a),
+                               0.0)
+            dta_buf = jnp.where(
+                valid_a,
+                jnp.take(dtcs_j, idx_a) * stride_a.astype(jnp.float32), 0.0)
+        elif cfg.a0_segments > 0 and cfg.coarse_normalized:
+            # ---- phase A0: super-coarse block spans (see MarchConfig.a0_segments)
+            # One bool per coarse-block ROW: "any of the bc^3 cells occupied" —
+            # a (cascades * nb^3,) table small enough to live in VMEM and gather
+            # per candidate directly.
+            any_tbl = jnp.any(tbl_coarse != 0, axis=-1)
+            # FIXED step of one coarse-block edge (unlike phase A there is no
+            # normalization win at ~15 candidates, and a fixed dt_a0 keeps the
+            # kept spans' phase-A subdivision exactly at the dt_a_max ladder)
+            dt_a0 = 0.98 * sb_world
+            span = 2.0 * _SQRT3 * max(cfg.bound, 1.0)
+            t_a0 = int(np.ceil(span / dt_a0))
+            cap0 = dt_a0
+            z_a0 = nearA[:, None] + jnp.arange(t_a0, dtype=jnp.float32) * dt_a0
+            pos_a0 = oA[:, None, :] + dA[:, None, :] * z_a0[..., None]
+            flat_a0, _ = _block_coords(pos_a0, dt_a0, hc, cfg, block=bc)
+            occ_a0 = jnp.take(any_tbl, flat_a0.reshape(-1)).reshape(flat_a0.shape)
+            occ_a0 = (
+                occ_a0
+                | jnp.concatenate(
+                    [occ_a0[:, 1:], jnp.zeros_like(occ_a0[:, :1])], axis=1)
+            ) & (z_a0 < farA[:, None])
+            k_a0 = cfg.a0_segments
+            idx_a0, valid_a0, stride_a0 = _compact_idx(occ_a0, k_a0)
+            z0_buf = jnp.where(valid_a0, nearA[:, None] + idx_a0 * dt_a0, 0.0)
+            dt0_buf = jnp.where(
+                valid_a0, dt_a0 * stride_a0.astype(jnp.float32), 0.0)
 
-    if mB > 1:
-        # beam -> members: each member ray inherits the beam's kept segment
-        # z-intervals (distances along its OWN direction — the <=1-cell
-        # divergence is absorbed by the dilated phase-A test); pure
-        # broadcast, no gathers
-        za_buf = jnp.repeat(za_buf, mB, axis=0)
-        dta_buf = jnp.repeat(dta_buf, mB, axis=0)
-        valid_a = jnp.repeat(valid_a, mB, axis=0)
+            # cell-exact phase A only INSIDE kept spans: mult0+1 test points per
+            # span (the +1 closes the endpoint-or at span boundaries); a span is
+            # one coarse block by construction, so [0, mult0] end anchors cover
+            # its (at most 2) block rows.
+            mult0 = int(np.ceil(cap0 / dt_a_max - 1e-6))
+            sub0 = dt0_buf[:, :, None] / mult0                       # (N, K0, 1)
+            jj = jnp.arange(mult0 + 1, dtype=jnp.float32)
+            z_t = (z0_buf[:, :, None] + jj[None, None, :] * sub0)    # (N,K0,m0+1)
+            pos_t = oA[:, None, None, :] + dA[:, None, None, :] \
+                * z_t[..., None]
+            dt_t = jnp.broadcast_to(sub0, z_t.shape).reshape(nA, -1)
+            flat_t, local_t = _block_coords(
+                pos_t.reshape(nA, -1, 3), dt_t, hc, cfg, block=bc)
+            occ_t = _grouped_block_test(
+                tbl_coarse, flat_t, local_t, mult0 + 1, anchors=[0, mult0]
+            ).reshape(nA, k_a0, mult0 + 1)
+            occ_a = occ_t[:, :, :-1] | occ_t[:, :, 1:]               # (N,K0,m0)
+            # A stride-widened A0 span subdivides to a test spacing of
+            # stride*dt_a0/mult0 > one coarse cell edge: the endpoint-pair test
+            # could then step OVER an occupied cell between two test points (a
+            # hole — worse than conservative). Treat widened spans as occupied
+            # throughout; phase A-exactness is preserved for the common
+            # stride-1 spans and overflow only ADDS candidates.
+            occ_a = occ_a | (stride_a0[:, :, None] > 1)
+            z_a_start = z_t[:, :, :-1]
+            occ_a = occ_a & valid_a0[:, :, None] \
+                & (z_a_start < farA[:, None, None])
+            idx_a, valid_a, stride_a = _compact_idx(
+                occ_a.reshape(nA, k_a0 * mult0), k_a)
+            seg0 = idx_a // mult0
+            off0 = (idx_a % mult0).astype(jnp.float32)
+            z0_sel = _select_minor(z0_buf, seg0, k_a0)
+            sub0_sel = _select_minor(sub0[:, :, 0], seg0, k_a0)
+            za_buf = jnp.where(valid_a, z0_sel + off0 * sub0_sel, 0.0)
+            dta_buf = jnp.where(
+                valid_a, sub0_sel * stride_a.astype(jnp.float32), 0.0)
+        else:
+            z_a, dt_a, t_a = _phase_a_ladder(nearA, farA, cfg, round_to=g_a)
+            anchors_a = None
+            if cfg.coarse_anchors == 2 and g_a > 1:
+                anchors_a = [0, g_a - 1]
+            pos_a = oA[:, None, :] + dA[:, None, :] * z_a[..., None]
+            flat_a, local_a = _block_coords(pos_a, dt_a, hc, cfg, block=bc)
+            zin_a = z_a < farA[:, None]
+            occ_a = _grouped_block_test(tbl_coarse, flat_a, local_a,
+                                        g_a, anchors=anchors_a)
+            occ_next = jnp.concatenate(
+                [occ_a[:, 1:], jnp.zeros_like(occ_a[:, :1])], axis=1
+            )
+            occ_a = (occ_a | occ_next) & zin_a
+            # z along the phase-A ladder is affine in the candidate index, so the
+            # compaction returns INDICES and z/dt are reconstructed
+            # arithmetically — take_along_axis here lowers to one gather row per
+            # element and chip-profiled as half the whole render (_compact_idx).
+            if cfg.coarse_first_k:
+                idx_a, valid_a, stride_a = _compact_idx_hybrid(
+                    occ_a, k_a, cfg.first_k_frac)
+            else:
+                idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
+            za_buf = jnp.where(valid_a, nearA[:, None] + idx_a * dt_a, 0.0)
+            dta_buf = jnp.where(valid_a, dt_a * stride_a.astype(jnp.float32), 0.0)
 
-    if stop_after == "phase_a":
-        # profiling hook (benchmarks/profile_render.py): everything through
-        # the phase-A compaction + beam broadcast, nothing of phase B —
-        # trace-time branch, zero cost when unused
-        return {"z": za_buf, "dt": dta_buf, "valid": valid_a,
-                "near": near, "far": far}
+        if cfg.proxy_terminate and density_coarse_min is not None:
+            # SEGMENT-level occlusion termination (see proxy_terminate_valid for
+            # the transmittance rationale): one gather per kept segment (K_A/ray,
+            # into the small hc^3 min-pooled table) instead of one per phase-B
+            # candidate (chip-measured 3x SLOWER via the 2M-row fine grid).
+            # Masking segments BEFORE phase B concentrates the whole K budget in
+            # front of the surface. The min-pool underestimates the density along
+            # any path through a coarse tile, so termination is conservative —
+            # it only fires behind tiles that are dense THROUGHOUT.
+            z_mid = za_buf + 0.5 * dta_buf
+            pos_seg = oA[:, None, :] + dA[:, None, :] * z_mid[..., None]
+            cfg_c = _with_grid_size(cfg, hc)
+            proxy_tbl = density_coarse_min
+            if mB > 1:
+                # Beam mode runs the proxy transmittance along the BEAM ray, so
+                # its conservative contract needs the MIN over the same 1-cell
+                # neighborhood the occupancy dilation uses: a member whose path
+                # crosses adjacent, less-dense cells must not see its far
+                # segments terminated by the beam ray's denser column. Separable
+                # 3^3 min-pool (+inf pad: out-of-grid neighbors cannot lower a
+                # cell); like the or-pool above, it depends only on the table
+                # and is hoisted by XLA.
+                casc = density_coarse_min.shape[0]
+                dmn = density_coarse_min.reshape(casc, hc, hc, hc)
+                inf = jnp.float32(jnp.inf)
+                dp = jnp.pad(dmn, ((0, 0), (1, 1), (0, 0), (0, 0)),
+                             constant_values=inf)
+                dmn = jnp.minimum(jnp.minimum(dp[:, :-2], dp[:, 1:-1]), dp[:, 2:])
+                dp = jnp.pad(dmn, ((0, 0), (0, 0), (1, 1), (0, 0)),
+                             constant_values=inf)
+                dmn = jnp.minimum(jnp.minimum(dp[:, :, :-2], dp[:, :, 1:-1]),
+                                  dp[:, :, 2:])
+                dp = jnp.pad(dmn, ((0, 0), (0, 0), (0, 0), (1, 1)),
+                             constant_values=inf)
+                dmn = jnp.minimum(jnp.minimum(dp[..., :-2], dp[..., 1:-1]),
+                                  dp[..., 2:])
+                proxy_tbl = dmn.reshape(density_coarse_min.shape)
+            sig = density_lookup(proxy_tbl, pos_seg, dt_a_max, cfg_c)
+            sig = jnp.where(valid_a, jnp.maximum(sig, 0.0), 0.0)
+            a_seg = 1.0 - jnp.exp(-dta_buf * sig)
+            t = jnp.cumprod(1.0 - a_seg + 1e-15, axis=-1)
+            t_prev = jnp.concatenate([jnp.ones_like(t[:, :1]), t[:, :-1]],
+                                     axis=-1)
+            valid_a = valid_a & (t_prev > cfg.proxy_thresh)
+
+        if mB > 1:
+            # beam -> members: each member ray inherits the beam's kept segment
+            # z-intervals (distances along its OWN direction — the <=1-cell
+            # divergence is absorbed by the dilated phase-A test); pure
+            # broadcast, no gathers
+            za_buf = jnp.repeat(za_buf, mB, axis=0)
+            dta_buf = jnp.repeat(dta_buf, mB, axis=0)
+            valid_a = jnp.repeat(valid_a, mB, axis=0)
+
+        if stop_after == "phase_a":
+            # profiling hook (benchmarks/profile_render.py): everything through
+            # the phase-A compaction + beam broadcast, nothing of phase B —
+            # trace-time branch, zero cost when unused
+            return {"z": za_buf, "dt": dta_buf, "valid": valid_a,
+                    "near": near, "far": far}
 
     # ---- phase B: fine subdivision over each kept segment's (possibly
     # stride-scaled) length — see march_rays_two_phase on overflow gaps.
@@ -1447,7 +1469,8 @@ def march_segments(rays_o, rays_d, occupancy, cfg: MarchConfig,
 
 
 def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
-          crop_aabb=None, z_window=None, stop_after: str = ""):
+          crop_aabb=None, z_window=None, stop_after: str = "",
+          phase_a=None):
     """Dispatch: block-packed two-phase march when 64-bit block tables are
     available (fastest; handles dt_gamma == 0 and the adaptive dt_gamma > 0
     static gamma ladder), byte-bitfield two-phase when a coarse mirror is
@@ -1478,7 +1501,8 @@ def march(rays_o, rays_d, occupancy, cfg: MarchConfig, key=None,
                                 key, density_coarse_min=density_coarse_min,
                                 crop_aabb=crop_aabb, z_window=z_window,
                                 stop_after=stop_after,
-                                blocks_coarse_dilated=blocks_coarse_dilated)
+                                blocks_coarse_dilated=blocks_coarse_dilated,
+                                phase_a=phase_a)
     if coarse is not None:
         m = march_rays_two_phase(rays_o, rays_d, bitfield, coarse, cfg, key,
                                  crop_aabb=crop_aabb, z_window=z_window)

@@ -304,3 +304,36 @@ def test_precomputed_dilated_table_parity(cfg):
     for k in ("z", "dt", "valid"):
         np.testing.assert_array_equal(np.asarray(m_in[k]),
                                       np.asarray(m_pre[k]))
+
+
+class TestFramePhaseASplit:
+    """march(phase_a=...) — the round-5 frame-level phase-A split: one
+    frame-wide phase A (stop_after hook) + per-chunk phase B must be
+    bitwise identical to the fused per-chunk march."""
+
+    @pytest.mark.parametrize("beam", [1, 4])
+    def test_split_parity(self, cfg, beam):
+        cfgb = dataclasses.replace(cfg, beam=beam)
+        occ = _sphere_occupancy(cfgb)
+        o, d = _pixel_rows(128, rows=2)
+        m_ref = march(o, d, occ, cfgb)
+        ma = march(o, d, occ, cfgb, stop_after="phase_a")
+        # chunked consumption: two 64-ray chunks with sliced buffers
+        outs = []
+        for i in range(0, 128, 64):
+            pa = {k: ma[k][i:i + 64] for k in ("z", "dt", "valid")}
+            outs.append(march(o[i:i + 64], d[i:i + 64], occ, cfgb,
+                              phase_a=pa))
+        for k in ("z", "dt", "valid"):
+            got = np.concatenate([np.asarray(m[k]) for m in outs])
+            np.testing.assert_array_equal(got, np.asarray(m_ref[k]), err_msg=k)
+
+    def test_gamma_rejected(self, cfg):
+        cfgg = dataclasses.replace(cfg, dt_gamma=0.01)
+        occ = _sphere_occupancy(cfgg)
+        o, d = _pixel_rows(64, rows=2)
+        ma = {"z": jnp.zeros((64, cfg.coarse_segments)),
+              "dt": jnp.zeros((64, cfg.coarse_segments)),
+              "valid": jnp.zeros((64, cfg.coarse_segments), bool)}
+        with pytest.raises(ValueError):
+            march(o, d, occ, cfgg, phase_a=ma)
