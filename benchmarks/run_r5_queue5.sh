@@ -1,8 +1,6 @@
 #!/bin/bash
-# Round-5 queue 5: push past the dilation fix. Beam-16 utilization arms
-# (chunk width: beamed phase A shapes are n/16-wide — the 4096 knee was
-# measured at beam 1), the round_samples floor, and the trained-ckpt
-# headline refresh on the fixed beam path.
+# Round-5 queue 5: frame-level phase-A split A/B (the round's second
+# structural attack), beam/chunk utilization arms, trained-ckpt refresh.
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -14,12 +12,15 @@ run() {
   echo "--- rc=$? $(date +%H:%M:%S)" >> "$LOG"
 }
 while ps -p "${WAIT_PID:-0}" > /dev/null 2>&1; do sleep 20; done
+run python bench.py --frame_phase_a
+run python bench.py --frame_phase_a --beam 16
+run python bench.py --frame_phase_a --chunk 16384
 run python bench.py --beam 16 --chunk 16384
-run python bench.py --beam 16 --chunk 8192
+run python bench.py --frame_phase_a --beam 16 --chunk 16384
 run python bench.py --beam 16 --round_samples 4
 CKPT=$(ls /tmp/r4_drift/*/checkpoints/drift_control_ep0010.npz 2>/dev/null | head -1)
 if [ -n "$CKPT" ]; then
   run python bench.py --ckpt "$CKPT" --beam 16
-  run python bench.py --ckpt "$CKPT" --beam 8
+  run python bench.py --ckpt "$CKPT" --frame_phase_a
 fi
 echo "QUEUE5-DONE" >> "$LOG"
