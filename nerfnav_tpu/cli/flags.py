@@ -88,6 +88,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="occupancy-derived phase-A ladder shrink for "
                    "eval/test/GUI rendering (plan_occupied_ladder; default "
                    "ON, +33%% chip A/B), planned once per occupancy version")
+    p.add_argument("--eval_frame_phase_a", default=False,
+                   action=argparse.BooleanOptionalAction,
+                   help="frame-level phase-A split for eval/test/GUI scan "
+                   "rendering: one frame-wide coarse march feeds every "
+                   "chunk precomputed segments (rounds path, dt_gamma 0 "
+                   "only; round-5 attribution — default pending chip A/B)")
     p.add_argument("--eval_coarse_segments", type=int, default=12,
                    help="render-only phase-A segment budget for eval/test/"
                    "GUI (training keeps --coarse_segments); 12 is quality-"

@@ -39,6 +39,7 @@ def main(argv=None):
         eval_table_dtype=opt.eval_table_dtype,
         eval_scan=opt.eval_scan,
         eval_occ_ladder=opt.eval_occ_ladder,
+        eval_frame_phase_a=opt.eval_frame_phase_a,
         stride_phase=opt.stride_phase,
         eval_coarse_segments=opt.eval_coarse_segments,
         eval_coarse_anchors=opt.eval_coarse_anchors,

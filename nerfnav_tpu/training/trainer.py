@@ -126,6 +126,13 @@ class TrainerOptions:
     # RESULTS.md queue-10 table): the product render path runs the same
     # program shape the bench measures.
     eval_scan: bool = True
+    # Frame-level phase-A split for the scan renderer (round 5): run the
+    # coarse march ONCE at frame width and feed every chunk precomputed
+    # segments. The per-chunk phase A is a chain of small serialized ops
+    # that at beamed widths costs ~4x its proportional work (chip
+    # attribution, RESULTS.md round 5). rounds path, dt_gamma == 0 only;
+    # no-op elsewhere. Default pending the chip A/B.
+    eval_frame_phase_a: bool = False
     # Occupancy-derived phase-A ladder shrink for eval/test/GUI rendering
     # (ops/marching.plan_occupied_ladder): bound the static phase-A ladder by
     # the worst-case cube-entry -> occupied-AABB-exit span, planned ONCE per
@@ -667,12 +674,13 @@ class Trainer:
             mcfg_r = self._apply_ladder_plan(mcfg, t_a0)
 
             def core(params, occupancy, rays_o, rays_d, bg_color, crop_aabb,
-                     z_window):
+                     z_window, phase_a=None):
                 rays_o, rays_d = shard_in(rays_o, rays_d)
                 return render_rays_grid_rounds(
                     make_field(params, cfg), occupancy, mcfg_r, rays_o,
                     rays_d, bg_color=bg_color, crop_aabb=crop_aabb,
                     shade_order=shade_order, z_window=z_window,
+                    phase_a=phase_a,
                 )
 
             @partial(jax.jit, static_argnums=(4,))
@@ -680,6 +688,12 @@ class Trainer:
                              bg_color: float, crop_aabb=None):
                 return core(params, occupancy, rays_o, rays_d, bg_color,
                             crop_aabb, None)
+
+            # the scan renderer reuses this exact core + march config for
+            # the frame-level phase-A split (TrainerOptions
+            # eval_frame_phase_a)
+            render_chunk._core = core
+            render_chunk._mcfg_rounds = mcfg_r
         elif mcfg is not None:
             from nerfnav_tpu.models import render_rays_grid
 
@@ -980,9 +994,38 @@ class Trainer:
         if fn is None:
             chunk_core = self._chunk_renderer(t_a0, beam)
 
+            core = getattr(chunk_core, "_core", None)
+            mcfg_pa = getattr(chunk_core, "_mcfg_rounds", None)
+            use_pa = (self.opt.eval_frame_phase_a and core is not None
+                      and mcfg_pa is not None and mcfg_pa.dt_gamma == 0.0)
+
             @partial(jax.jit, static_argnums=(4,))
             def render_scan(params, occupancy, ro_s, rd_s, bg_color: float,
                             crop_aabb=None):
+                if use_pa:
+                    # frame-level phase A (round 5): ONE frame-wide coarse
+                    # march feeds every chunk precomputed segments — the
+                    # per-chunk phase A is small-shape-bound at beamed
+                    # widths (chip attribution, RESULTS.md round 5)
+                    from nerfnav_tpu.ops.marching import march
+
+                    C, CH, _ = ro_s.shape
+                    mA = march(ro_s.reshape(-1, 3), rd_s.reshape(-1, 3),
+                               occupancy, mcfg_pa, crop_aabb=crop_aabb,
+                               stop_after="phase_a")
+                    za = mA["z"].reshape(C, CH, -1)
+                    dta = mA["dt"].reshape(C, CH, -1)
+                    va = mA["valid"].reshape(C, CH, -1)
+
+                    def body_pa(ab):
+                        out = core(params, occupancy, ab[0], ab[1],
+                                   bg_color, crop_aabb, None,
+                                   phase_a={"z": ab[2], "dt": ab[3],
+                                            "valid": ab[4]})
+                        return out["image"], out["depth"]
+
+                    return jax.lax.map(body_pa, (ro_s, rd_s, za, dta, va))
+
                 def body(ab):
                     out = chunk_core(params, occupancy, ab[0], ab[1],
                                      bg_color, crop_aabb)

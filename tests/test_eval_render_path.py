@@ -298,3 +298,22 @@ class TestBeamDilateCache:
                                        hc))
         dil = np.asarray(unpack_blocks(o3["blocks_coarse_dilated"], hc))
         assert (dil >= raw).all() and dil.sum() > raw.sum()
+
+
+class TestFramePhaseA:
+    def test_scan_split_matches_fused(self, grid_trainer):
+        """eval_frame_phase_a routes the scan renderer through ONE
+        frame-wide phase A + per-chunk phase B; output must match the
+        fused per-chunk march exactly."""
+        import dataclasses
+
+        tr = grid_trainer
+        p = tr.state.params
+        img_f, dep_f = tr.render_full(p, POSE, INTR, 16, 16)
+        tr.opt = dataclasses.replace(tr.opt, eval_frame_phase_a=True)
+        tr.invalidate_render_cache()
+        img_s, dep_s = tr.render_full(p, POSE, INTR, 16, 16)
+        np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_f),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dep_s), np.asarray(dep_f),
+                                   atol=1e-5)
