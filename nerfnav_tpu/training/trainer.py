@@ -1059,8 +1059,32 @@ class Trainer:
         # keep the baked arrays alive for the program's lifetime
         occ_ref = occupancy
 
+        use_pa = self.opt.eval_frame_phase_a and mcfg.dt_gamma == 0.0
+
         @partial(jax.jit, static_argnums=(2,))
         def render_scan(ro_s, rd_s, bg_color: float, crop_aabb=None):
+            if use_pa:
+                # frame-level phase-A split (see _render_scan_fn)
+                from nerfnav_tpu.ops.marching import march
+
+                C, CH, _ = ro_s.shape
+                mA = march(ro_s.reshape(-1, 3), rd_s.reshape(-1, 3),
+                           occ_ref, mcfg, crop_aabb=crop_aabb,
+                           stop_after="phase_a")
+                za = mA["z"].reshape(C, CH, -1)
+                dta = mA["dt"].reshape(C, CH, -1)
+                va = mA["valid"].reshape(C, CH, -1)
+
+                def body_pa(ab):
+                    out = render_rays_grid_rounds(
+                        field, occ_ref, mcfg, ab[0], ab[1],
+                        bg_color=bg_color, crop_aabb=crop_aabb,
+                        shade_order=shade_order,
+                        phase_a={"z": ab[2], "dt": ab[3], "valid": ab[4]})
+                    return out["image"], out["depth"]
+
+                return jax.lax.map(body_pa, (ro_s, rd_s, za, dta, va))
+
             def body(ab):
                 out = render_rays_grid_rounds(
                     field, occ_ref, mcfg, ab[0], ab[1], bg_color=bg_color,
