@@ -141,11 +141,13 @@ def main():
                         "over an already-jitted chunk fn)")
     p.add_argument("--frame_phase_a", default=False,
                    action=argparse.BooleanOptionalAction,
-                   help="run phase A ONCE at frame width (one 80k-beam "
-                        "dispatch) and feed the chunk scan precomputed "
-                        "segments (round-5 attribution: per-chunk beamed "
-                        "phase A is small-shape-bound at ~4x its "
-                        "proportional cost). rounds path, dt_gamma=0 only")
+                   help="run phase A ONCE at frame width and feed the "
+                        "chunk scan precomputed segments. MEASURED WORSE "
+                        "(round 5): 1.74M vs the fused 3.94M rays/s — the "
+                        "fused scan overlaps chunk i's march with chunk "
+                        "i-1's shading across the dispatch pipeline, and "
+                        "the split serializes the whole frame behind one "
+                        "phase-A barrier. Kept as the A/B control")
     p.add_argument("--args_mode", action="store_true",
                    help="A/B: pass params+occupancy as traced program "
                         "arguments instead of closure constants (the "

@@ -128,10 +128,12 @@ class TrainerOptions:
     eval_scan: bool = True
     # Frame-level phase-A split for the scan renderer (round 5): run the
     # coarse march ONCE at frame width and feed every chunk precomputed
-    # segments. The per-chunk phase A is a chain of small serialized ops
-    # that at beamed widths costs ~4x its proportional work (chip
-    # attribution, RESULTS.md round 5). rounds path, dt_gamma == 0 only;
-    # no-op elsewhere. Default pending the chip A/B.
+    # segments. MEASURED WORSE on chip (1.74M vs the fused 3.94M rays/s,
+    # RESULTS.md round 5): the fused scan overlaps chunk i's march with
+    # chunk i-1's shading across the dispatch pipeline, while the split
+    # serializes the frame behind one phase-A barrier — utilization lost
+    # to pipelining, the same verdict as the sequence renderer. Kept as a
+    # parity-tested A/B control; rounds path, dt_gamma == 0 only.
     eval_frame_phase_a: bool = False
     # Occupancy-derived phase-A ladder shrink for eval/test/GUI rendering
     # (ops/marching.plan_occupied_ladder): bound the static phase-A ladder by
