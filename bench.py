@@ -112,11 +112,13 @@ def main():
                    help="phase-A beam sharing: consecutive rays per shared "
                         "coarse march (MarchConfig.beam; row-major 64x64 "
                         "tiles keep members pixel-adjacent). Default 8 — "
-                        "chip A/B round 4: +13.1%% over beam 1 (3.716M vs "
-                        "3.286M rays/s), the largest width whose spread "
-                        "fits the 1-cell dilation contract at 800^2/f800 "
-                        "(Trainer._auto_beam agrees); --beam 1 for the "
-                        "unbeamed control")
+                        "round 5 (precomputed dilation): 3.94M vs 3.29M "
+                        "beam-1 (+20%%), the widest RELIABLE width. beam "
+                        "16 renders correctly (march sweep keeps 100.4%% "
+                        "of beam-1 samples; mean_image identical) and "
+                        "usually measures ~4.1M, but 1 run in 3 lands a "
+                        "10x-slower compile/runtime schedule (RESULTS.md "
+                        "round-5 arm table) — not a recordable default")
     p.add_argument("--scan", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="whole-frame single dispatch: lax.map over stacked "
