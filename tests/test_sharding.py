@@ -140,3 +140,38 @@ def test_mesh_point_budget_train_step(tmp_path):
     step = tr._step_fn(H, W, 3)
     state, loss = step(tr.state, arrays, jnp.asarray(0), jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_mesh_beamed_render_equivalence(tmp_path):
+    """Beamed eval (explicit eval_beam) under the 8-device mesh must match
+    the single-device beamed render: shard_rays splits the leading ray
+    axis contiguously on chunk boundaries, so beams of consecutive
+    tile-ordered rays never straddle a device boundary (512-per-device
+    chunks stay divisible by the beam width)."""
+    from nerfnav_tpu.models import NetworkConfig, RenderConfig
+    from nerfnav_tpu.models.occupancy import OccupancyConfig
+    from nerfnav_tpu.ops.marching import MarchConfig
+    from nerfnav_tpu.training import Trainer, TrainerOptions
+
+    cfg = NetworkConfig(bound=1.0, grid_levels=2, grid_log2_hashmap_size=8,
+                        grid_max_resolution=16)
+    rcfg = RenderConfig(num_steps=16, upsample_steps=0, min_near=0.05,
+                        max_ray_batch=256)
+    occ = OccupancyConfig(bound=1.0, grid_size=16, update_chunk=512)
+    march = MarchConfig(bound=1.0, grid_size=16, max_steps=32,
+                        samples_per_ray=8, min_near=0.05)
+    outs = {}
+    for name, mesh in [("single", None), ("mesh", make_mesh(8))]:
+        opt = TrainerOptions(name=name, workspace=str(tmp_path / name),
+                             num_rays=64, use_checkpoint="scratch",
+                             eval_beam=4)
+        tr = Trainer(cfg, rcfg, opt, occupancy_cfg=occ, march_cfg=march,
+                     mesh=mesh)
+        tr.state = tr._init_state(1)
+        tr._maybe_update_occupancy()
+        pose = np.eye(4, dtype=np.float32)
+        pose[2, 3] = -1.5
+        intr = np.asarray([64.0, 64.0, 8.0, 8.0], np.float32)  # narrow FOV
+        img, _ = tr.render_full(tr.state.params, pose, intr, 16, 16)
+        outs[name] = np.asarray(img)
+    np.testing.assert_allclose(outs["mesh"], outs["single"], atol=1e-5)
