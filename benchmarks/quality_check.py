@@ -15,7 +15,8 @@ import time
 
 def run(layout: str, scene_dir: str, steps: int, levels: int = 16,
         level_dim: int = 2, log2_hashmap: int | None = None,
-        render_path: str = "grid", normalized_march: bool = True):
+        render_path: str = "grid", normalized_march: bool = True,
+        lr_iters: int = 0, occ_freeze_after: float = -1.0):
     from nerfnav_tpu.data import NeRFDataset
     from nerfnav_tpu.data.provider import DatasetOptions
     from nerfnav_tpu.models import NetworkConfig, RenderConfig
@@ -35,10 +36,15 @@ def run(layout: str, scene_dir: str, steps: int, levels: int = 16,
         grid_levels=levels, grid_level_dim=level_dim,
     )
     rcfg = RenderConfig(num_steps=128, upsample_steps=0, min_near=0.05)
+    sched = {}
+    if lr_iters:
+        sched["lr_iters"] = lr_iters
+    if occ_freeze_after >= 0.0:       # -1 = the shipped TrainerOptions default
+        sched["occ_freeze_after"] = occ_freeze_after
     opt = TrainerOptions(eval_beam=1,  # pin: quality curves compare across rounds
-        
         name=f"q_{layout}", workspace=tempfile.mkdtemp(), lr=1e-2, iters=30000,
         num_rays=4096, use_checkpoint="scratch", bg_train="white",
+        **sched,
     )
     if render_path == "grid":
         tr = Trainer(cfg, rcfg, opt,
@@ -81,6 +87,13 @@ def main():
                    help="training views (raise for high-res runs: a "
                         "Stonehenge-class 800^2 dataset wants 50-100)")
     p.add_argument("--val_views", type=int, default=2)
+    p.add_argument("--lr_iters", type=int, default=0,
+                   help="lr horizon override (0 = iters; 20000 = the "
+                        "retired round-2/3 lr_fast schedule the 37.67 dB "
+                        "number ran)")
+    p.add_argument("--occ_freeze_after", type=float, default=-1.0,
+                   help="-1 = shipped default (0.2*iters); 0 = never "
+                        "freeze (reference maintenance to 30k)")
     args = p.parse_args()
 
     from nerfnav_tpu.data.synthetic import (
@@ -98,7 +111,9 @@ def main():
         print(json.dumps(run(layout, scene_dir, args.steps, args.levels,
                               args.level_dim, args.log2_hashmap,
                               args.render_path,
-                              normalized_march=not args.fixed_march)))
+                              normalized_march=not args.fixed_march,
+                              lr_iters=args.lr_iters,
+                              occ_freeze_after=args.occ_freeze_after)))
 
 
 if __name__ == "__main__":

@@ -548,6 +548,17 @@ def _compact_idx(occ, k, spread: bool = True, key=None,
     return idx, valid, stride
 
 
+def _select_static_row(row_np, sel):
+    """row_np: STATIC 1-D numpy row; sel: (N, k) int32 indices into it ->
+    (N, k) float32. Unrolled compare+select against python scalars — zero
+    gathers (jnp.take of even a tiny table lowers to one gather row per
+    element on TPU). Trace cost: len(row_np) fused select ops."""
+    out = jnp.zeros(sel.shape, jnp.float32)
+    for s, v in enumerate(np.asarray(row_np, np.float32)):
+        out = jnp.where(sel == s, jnp.float32(v), out)
+    return out
+
+
 def _select_minor(values, sel, width: int):
     """values (N, W), sel (N, k) ints in [0, W) -> (N, k): masked-sum select
     over the minor axis (pure VPU; take_along_axis would gather per element).
@@ -1175,13 +1186,17 @@ def march_rays_block(rays_o, rays_d, blocks, blocks_coarse, cfg: MarchConfig,
             occ_a = (occ_a | occ_next) & (z_a < farA[:, None])
             idx_a, valid_a, stride_a = _compact_idx(occ_a, k_a)
             # z/dt reconstruction from the SMALL static ladder rows (z is no
-            # longer affine in the index under gamma)
-            taus_j, dtcs_j = jnp.asarray(taus_np), jnp.asarray(dtcs_np)
-            za_buf = jnp.where(valid_a, nearA[:, None] + jnp.take(taus_j, idx_a),
-                               0.0)
+            # longer affine in the index under gamma). The rows are STATIC
+            # numpy — select by unrolled compare+select against python
+            # scalars (pure VPU) instead of jnp.take: the takes were
+            # 2 x k_a gather rows per ray, and the round-5 gamma stage
+            # split put phase A at 3.2x its gamma=0 cost with these on
+            # the critical path.
+            tau_sel = _select_static_row(taus_np, idx_a)
+            dtc_sel = _select_static_row(dtcs_np, idx_a)
+            za_buf = jnp.where(valid_a, nearA[:, None] + tau_sel, 0.0)
             dta_buf = jnp.where(
-                valid_a,
-                jnp.take(dtcs_j, idx_a) * stride_a.astype(jnp.float32), 0.0)
+                valid_a, dtc_sel * stride_a.astype(jnp.float32), 0.0)
         elif cfg.a0_segments > 0 and cfg.coarse_normalized:
             # ---- phase A0: super-coarse block spans (see MarchConfig.a0_segments)
             # One bool per coarse-block ROW: "any of the bc^3 cells occupied" —
