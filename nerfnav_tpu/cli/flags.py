@@ -23,10 +23,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--lr_iters", type=int, default=0,
                    help="lr-decay horizon in steps; 0 = --iters (reference-"
-                   "parity 0.1^(t/iters) decay — safe by default since "
-                   "round 4 made occ_freeze_after the default drift "
-                   "mitigation; RESULTS.md round-4 ledger). Pass 2/3 of "
-                   "--iters for the round-2/3 workaround horizon")
+                   "parity 0.1^(t/iters) decay). Round-5 at-scale A/B "
+                   "(800^2/50 views): the reference horizon BEATS the "
+                   "retired lr_fast 2/3 horizon (36.64 vs 36.14 dB) when "
+                   "occupancy maintenance runs to 30k (also the default "
+                   "again); RESULTS.md round-5 ledger")
     p.add_argument("--ckpt", type=str, default="latest")
     p.add_argument("--num_rays", type=int, default=4096)
     p.add_argument("--cuda_ray", action="store_true",

@@ -79,18 +79,20 @@ class TrainerOptions:
     # remote relays without async dispatch). Not used in rand_pose mode.
     scan_steps: int = 1
     # Stop occupancy-grid maintenance after this step (fractions <= 1.0 are
-    # of `iters`; 0 = never). DEFAULT ON at 0.2*iters (the dt-anneal floor):
-    # the round 2-4 drift campaign measured the 30k reference-lr schedule
-    # collapsing 28.4 -> 23.5 dB without it, and every softer candidate
-    # root-cause fix FAILED its arm (thresh_freeze bitwise no-op, reference
-    # EMA scope worse, ray_hash/fp32/bf16/hysteresis all dead — RESULTS.md
-    # round-4 ledger); freeze-after-converged is the only mitigation that
-    # holds >= 28 dB. Design reading: the reference's adaptive-length
-    # marcher (up to 1024 steps/ray, raymarching.cu:707-825) pays late
-    # occupancy churn in TIME; our static K-budget renderer pays it in
-    # sample-lattice noise the late-lr optimizer chases, so a converged
-    # frozen grid is the design-correct default here. Set 0 to disable.
-    occ_freeze_after: float = 0.2
+    # of `iters`; 0 = never — REFERENCE PARITY, the default again since
+    # round 5). History: the round 2-4 drift campaign measured the 30k
+    # reference-lr schedule collapsing 28.4 -> 23.5 dB on the 128^2 / 24-
+    # view probe scene, seven candidate root-cause fixes failed their arms
+    # (RESULTS.md round-4/5 ledgers), and round 4 shipped freeze@0.2*iters
+    # as the only mitigation that held. Round 5 then ran the AT-SCALE A/B
+    # (800^2 / 50 views / 30k, the Stonehenge-class protocol): reference
+    # maintenance to 30k holds 36.64 dB while the freeze LOSES 2.0 dB
+    # (34.63) — the collapse is a small-scene pathology (few views x small
+    # frames: the late lr chases per-view sampling noise the grid then
+    # memorizes), not a property of the static-K design at its product
+    # scale. Set ~0.2 for small/few-view scenes (the drift probe's regime);
+    # leave 0 for reference-parity maintenance.
+    occ_freeze_after: float = 0.0
     # Softer guard: past this step (fractions <= 1.0 are of `iters`), PIN the
     # carve threshold at its current value instead of freezing maintenance
     # outright — density updates and EMA-decay carving continue; only the
